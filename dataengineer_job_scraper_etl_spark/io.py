@@ -1,0 +1,136 @@
+"""Sources and sinks.
+
+Covers the reference's I/O surface (SURVEY.md §2.1/§2.2) Spark-first:
+
+- S5 CSV scan: ``spark.read.csv(..., header, sep=';')`` — the exact call
+  the reference's own Spark job makes (reference etl/transform.py:62);
+  schema inference is opt-in, declared schemas are the default.
+- S6 JSONL pattern scan: skill patterns as a DataFrame for inspection,
+  and as a driver-side list for broadcasting into UDFs.
+- S7 in-memory rows -> typed frame (reference main.py:114).
+- K1 parquet sink: real ``partitionBy`` columns replace the reference's
+  filename-encoded partitioning (reference main.py:181-185 writes
+  ``transformed/{title}_jobs_{ddmmyyyy}.parquet``).
+- K2 CSV sink with ';' separator (reference etl/job_scrape.py:64).
+- K4 conditional no-op sink: skip write when frame is empty
+  (reference main.py:129,189-190).
+
+Any ``gs://`` path works unchanged when the Hadoop GCS connector jar is
+on the classpath (the reference wires it in etl/transform.py:54); tests
+use local paths.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TABLE_NAMES) -> dict[str, DataFrame]:
+    """Load the driver's testdata tables for one scale factor."""
+    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    sep: str = ";",
+    header: bool = True,
+    infer_schema: bool = False,
+) -> DataFrame:
+    """S5 — the reference's CSV scan (etl/transform.py:62 uses
+    ``header=True, inferSchema=True, sep=';'``). Declared schema beats
+    inference at scale (inference is an extra full scan), so ``schema``
+    wins when provided."""
+    reader = spark.read.option("header", header).option("sep", sep)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """S6 — JSONL scan (skill-pattern file shape)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def load_jsonl_driver_side(path: str) -> list[dict]:
+    """S6 operational mode: the pattern dictionary is loaded on the
+    driver and broadcast into the matcher UDF (reference main.py:132-133
+    attaches it to an in-process spaCy ruler). 2,412 patterns is a few
+    hundred KB — broadcast, never a shuffle side."""
+    with open(path, encoding="utf-8") as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def rows_to_df(
+    spark: SparkSession, rows: Iterable[Mapping], schema: T.StructType
+) -> DataFrame:
+    """S7 — list-of-dicts -> typed DataFrame (reference main.py:114).
+    Always with a declared schema: an empty batch must still carry the
+    canonical schema (the reference's empty typed frame, main.py:78)."""
+    return spark.createDataFrame(list(rows), schema=schema)
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] = ("job_type", "ingest_date"),
+    mode: str = "overwrite",
+    dynamic_overwrite: bool = True,
+) -> None:
+    """K1 — partitioned parquet sink.
+
+    The reference encodes (job_title, date) into the *filename*
+    (main.py:181). Real partition columns give partition pruning to
+    every downstream reader and make the nightly re-run idempotent via
+    dynamic partition overwrite (only the partitions present in ``df``
+    are replaced — the reference got idempotency from overwrite-by-
+    filename, SURVEY §2.9)."""
+    writer = df.write.mode(mode)
+    if dynamic_overwrite and mode == "overwrite":
+        writer = writer.option("partitionOverwriteMode", "dynamic")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, sep: str = ";", mode: str = "overwrite") -> None:
+    """K2 — CSV sink with the reference's ';' separator
+    (etl/job_scrape.py:64)."""
+    df.write.mode(mode).option("header", True).option("sep", sep).csv(path)
+
+
+def write_if_nonempty(df: DataFrame, write_fn, *args, **kwargs) -> bool:
+    """K4 — conditional no-op sink (reference main.py:129,189-190 skips
+    the write when zero rows were scraped). ``isEmpty`` looks at one
+    partition-first row, not a full count."""
+    if df.isEmpty():
+        return False
+    write_fn(df, *args, **kwargs)
+    return True

@@ -1,0 +1,11 @@
+"""Registered correctness queries, grouped by domain.
+
+Importing this package populates the catalog registry (see
+catalog.all_queries). Each module covers one slice of SURVEY §2's
+inventory; module docstrings map queries to operator IDs.
+"""
+
+from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
+    jobs,
+    tpch,
+)

@@ -1,0 +1,184 @@
+"""Job-postings queries — the reference's own semantics (SURVEY §2.3,
+§2.4, §2.7, §2.8: P1-P4, F1-F3, C1-C5, U1-U2, A1, J1) exercised over
+the deterministic postings fixture derived from ``documents``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import PATTERNS_PATH, register
+from dataengineer_job_scraper_etl_spark.functions.pay import (
+    extract_pay,
+    pay_oracle_sql,
+)
+from dataengineer_job_scraper_etl_spark.functions.seniority import (
+    classify_seniority,
+    seniority_oracle_sql,
+)
+from dataengineer_job_scraper_etl_spark.functions.strings import (
+    jobid_from_urn,
+    not_containing,
+)
+from dataengineer_job_scraper_etl_spark.io import load_jsonl_driver_side
+from dataengineer_job_scraper_etl_spark.operators.skills import (
+    extract_skills_native,
+    phrases_from_patterns,
+    skills_oracle_sql,
+)
+from dataengineer_job_scraper_etl_spark.plans.jobs import (
+    POSTINGS_SQL,
+    derive_postings,
+    transform_postings,
+    transform_postings_oracle_sql,
+)
+
+PHRASES = phrases_from_patterns(load_jsonl_driver_side(PATTERNS_PATH))
+
+_POSTINGS_CTE = f"WITH postings AS ({POSTINGS_SQL})"
+
+
+def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return derive_postings(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+@register(
+    "jobs_postings_fixture",
+    f"{_POSTINGS_CTE} SELECT jobid, title, description, job_type FROM postings",
+    doc="S7/P1-P4: the derivation contract itself (typed frame from rows).",
+)
+def jobs_postings_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _postings(spark, sf_dir)
+
+
+@register(
+    "jobs_pay_extraction",
+    f"{_POSTINGS_CTE} SELECT jobid, {pay_oracle_sql('description')} AS pay "
+    "FROM postings",
+    doc="C1/U1: pay regex chain, last-match-wins, K->000 (main.py:142-149).",
+)
+def jobs_pay_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _postings(spark, sf_dir).select(
+        "jobid", extract_pay(F.col("description")).alias("pay")
+    )
+
+
+@register(
+    "jobs_seniority",
+    f"{_POSTINGS_CTE} SELECT jobid, {seniority_oracle_sql('title')} AS seniority "
+    "FROM postings",
+    doc="C3: first-match-wins when-chain (main.py:164-171).",
+)
+def jobs_seniority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _postings(spark, sf_dir).select(
+        "jobid", classify_seniority(F.col("title")).alias("seniority")
+    )
+
+
+@register(
+    "jobs_skills",
+    f"{_POSTINGS_CTE} SELECT jobid, "
+    f"{skills_oracle_sql('description', PHRASES)} AS skills FROM postings "
+    "WHERE description IS NOT NULL",
+    doc="U2/J2/A1: dictionary skill match, sorted distinct array.",
+)
+def jobs_skills(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _postings(spark, sf_dir).na.drop(subset=["description"])
+    return df.select(
+        "jobid", extract_skills_native(F.col("description"), PHRASES).alias("skills")
+    )
+
+
+@register(
+    "jobs_jobid_from_urn",
+    f"{_POSTINGS_CTE} SELECT jobid, "
+    "string_split('urn:li:jobPosting:' || jobid, ':')[-1] AS parsed_id "
+    "FROM postings",
+    doc="C4: urn.split(':')[-1] (main.py:100).",
+)
+def jobs_jobid_from_urn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _postings(spark, sf_dir)
+    urn = F.concat(F.lit("urn:li:jobPosting:"), F.col("jobid"))
+    return df.select("jobid", jobid_from_urn(urn).alias("parsed_id"))
+
+
+@register(
+    "jobs_filter_software",
+    f"{_POSTINGS_CTE} SELECT jobid, title FROM postings "
+    "WHERE NOT regexp_matches(title, 'Software')",
+    doc="F3: negated substring filter; null titles dropped by 3VL "
+    "(etl/job_scrape.py:63 pandas ==False parity).",
+)
+def jobs_filter_software(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _postings(spark, sf_dir)
+    return df.filter(not_containing(F.col("title"), "Software")).select(
+        "jobid", "title"
+    )
+
+
+@register(
+    "jobs_drop_null_description",
+    f"{_POSTINGS_CTE} SELECT jobid FROM postings WHERE description IS NOT NULL",
+    doc="F1: drop_nulls(subset=[description]) BEFORE UDFs (main.py:152).",
+)
+def jobs_drop_null_description(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _postings(spark, sf_dir).na.drop(subset=["description"]).select("jobid")
+
+
+@register(
+    "jobs_union_batches",
+    f"{_POSTINGS_CTE} SELECT jobid, job_type FROM postings "
+    "WHERE jobid LIKE '1%' UNION ALL "
+    "SELECT jobid, job_type FROM postings WHERE jobid LIKE '2%'",
+    doc="J1: vertical concat of scraped batches (pl.concat, main.py:117).",
+)
+def jobs_union_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _postings(spark, sf_dir).select("jobid", "job_type")
+    a = df.filter(F.col("jobid").startswith("1"))
+    b = df.filter(F.col("jobid").startswith("2"))
+    return a.unionByName(b)
+
+
+@register(
+    "jobs_transform_full",
+    transform_postings_oracle_sql(
+        PHRASES, pay_oracle_sql("description"), seniority_oracle_sql("title")
+    ),
+    doc="EP1 transform assembled (main.py:129-175), minus the "
+    "nondeterministic date stamp.",
+)
+def jobs_transform_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = transform_postings(_postings(spark, sf_dir), PHRASES)
+    return out.drop("date")  # current_timestamp: not oracle-comparable
+
+
+@register(
+    "jobs_flagship_skill_demand",
+    f"""
+WITH postings AS ({POSTINGS_SQL}),
+transformed AS (
+  SELECT job_type, {skills_oracle_sql('description', PHRASES)} AS skills
+  FROM postings WHERE description IS NOT NULL
+)
+SELECT skill, job_type, count(*) AS n
+FROM transformed, unnest(skills) AS u(skill)
+GROUP BY skill, job_type
+ORDER BY n DESC, skill ASC, job_type ASC
+LIMIT 20
+""",
+    doc="Flagship: explode(skills)->groupBy->count->top-k (SURVEY §2.6); "
+    "deterministic total order via (n desc, skill, job_type).",
+)
+def jobs_flagship_skill_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    postings = _postings(spark, sf_dir).na.drop(subset=["description"])
+    skills = postings.select(
+        "job_type",
+        extract_skills_native(F.col("description"), PHRASES).alias("skills"),
+    )
+    return (
+        skills.select("job_type", F.explode("skills").alias("skill"))
+        .groupBy("skill", "job_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("skill"), F.asc("job_type"))
+        .limit(20)
+    )

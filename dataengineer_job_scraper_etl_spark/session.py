@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+The reference's own Spark variant enables Arrow explicitly
+(reference etl/transform.py:55 ``spark.sql.execution.arrow.pyspark.enabled``);
+we keep that and add the settings a large-cluster deployment wants on by
+default: AQE (runtime coalescing + skew-join handling), UTC session time
+zone (oracle comparability + cluster sanity), and a shuffle-partition
+count sized to the local core count rather than the 200 default.
+
+All helpers accept an existing session (the driver passes one to
+``entry``) and never assume configs they did not set — query code uses
+``try_*`` functions so it behaves identically under ANSI on/off.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "dataengineer-job-scraper-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession tuned for this engine.
+
+    At 100 TB scale these same knobs hold: AQE re-plans shuffle
+    partition counts at runtime, skew-join splitting handles hot keys,
+    and partition-size targets keep task inputs in executor memory.
+    Only ``master`` / ``shuffle_partitions`` change between local tests
+    and a real cluster.
+    """
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every JVM<->Python boundary (pandas_udf, toPandas) —
+        # the reference already chose this (etl/transform.py:55).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # dynamic join-strategy switching (sort-merge -> broadcast).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions is not None else cpus),
+        )
+        # Keep scan partitions at a size that feeds codegen well.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
