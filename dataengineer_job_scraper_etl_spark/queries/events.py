@@ -1,0 +1,190 @@
+"""Event-stream analytics over the ``events`` fixture (SURVEY §2.9,
+§2.10): JSON extraction, tumbling windows, sessionization, latest-per-
+key dedup. These are the batch formulations; streaming/ runs the same
+logic as Structured Streaming with watermarks.
+
+Scale notes: every query here shuffles at most once, on the natural
+key (event_type / user_id); sessionization uses one window shuffle on
+user_id and arithmetic instead of a self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source adapter: the events parquet stores ``ts`` as
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright
+    (PARQUET_TYPE_ILLEGAL). Read nanos as long (legacy conf, runtime-
+    settable) and truncate to microseconds — Spark's native timestamp
+    precision, matching what any µs consumer (incl. Python datetime on
+    the DuckDB oracle side) observes. ``div`` is integer division: a
+    double roundtrip would lose precision on 1.7e18-scale nanos."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+@register(
+    "events_json_extract",
+    """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM ev GROUP BY event_type
+""",
+    doc="JSON column handling (SURVEY §2.10): get_json_object on "
+    "events.props; schema-on-read stays a scan-side projection.",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+@register(
+    "events_from_json_typed",
+    """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM ev
+""",
+    doc="from_json with declared schema -> typed struct projection.",
+)
+def events_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = F.from_json("props", schema)
+    return e.select("event_id", parsed.getField("k").alias("k"))
+
+
+@register(
+    "events_tumbling_hourly",
+    """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM ev
+GROUP BY 1, 2
+""",
+    doc="Tumbling 1h window agg (F.window == date_trunc for aligned "
+    "tumbling windows); the batch twin of the streaming job.",
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = F.window("ts", "1 hour")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w").getField("start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sessionization",
+    """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events),
+gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev),
+sessions AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps)
+SELECT user_id, session_id, count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""",
+    doc="Sessionization: lag-gap > 30min -> running sum session ids -> "
+    "per-session event counts. One shuffle on user_id, reused by both "
+    "window functions and the final agg (same partition key).",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "events_latest_per_user",
+    """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev)
+WHERE rn = 1
+""",
+    doc="Keyed dedup-to-latest (CDC compaction shape): row_number over "
+    "(key, ts desc) = 1.",
+)
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+
+
+@register(
+    "events_type_value_stats",
+    """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
+SELECT event_type,
+       round(min(value), 2) AS min_v, round(max(value), 2) AS max_v,
+       round(avg(value), 4) AS avg_v,
+       round(stddev_samp(value), 4) AS sd_v,
+       count(DISTINCT user_id) AS n_users
+FROM ev GROUP BY event_type
+""",
+    doc="Multi-aggregate profile incl. exact distinct per group.",
+)
+def events_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.min("value"), 2).alias("min_v"),
+        F.round(F.max("value"), 2).alias("max_v"),
+        F.round(F.avg("value"), 4).alias("avg_v"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_v"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -1,0 +1,304 @@
+"""Text-analysis + dedup queries over ``documents`` (north-star LLM-
+pipeline operators, SURVEY §2.10): token counting, term frequencies,
+quality scoring, language-ID heuristic, fingerprinting, exact dedup,
+n-gram Jaccard near-dup.
+
+Scale notes:
+- exact dedup / fingerprint dedup shuffle on a hash of the normalized
+  text (or its md5), never on the full text value.
+- the Jaccard near-dup query generates candidate pairs via shared
+  tokens (inverted index), not a cross join; the pair space is bounded
+  by the token-postings sizes. MinHash/LSH (operators/dedup.py) is the
+  100 TB path; this explicit formulation is the oracle-checkable one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+
+# Stopword profiles for the language-ID heuristic; deterministic and
+# tiny so both engines inline them. (A real pipeline would plug fasttext
+# here — same operator shape, different scorer.)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "que"),
+    "de": ("der", "die", "das", "und", "zu"),
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(col):
+    return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+
+
+@register(
+    "text_token_stats",
+    """
+WITH tok AS (
+  SELECT doc_id, lang,
+         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+           AS n_tokens,
+         n_chars
+  FROM documents)
+SELECT lang, count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       round(avg(n_tokens), 4) AS avg_tokens,
+       round(avg(n_chars), 4) AS avg_chars
+FROM tok GROUP BY lang
+""",
+    doc="Token counting (whitespace tokenizer) aggregated per lang.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.size(_tokens(F.col("text"))).alias("n_tokens")
+    return (
+        d.select("lang", toks, "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "text_term_frequencies",
+    """
+SELECT term, count(*) AS n FROM (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+           AS term
+  FROM documents)
+WHERE term <> ''
+GROUP BY term ORDER BY n DESC, term ASC LIMIT 30
+""",
+    doc="Corpus term frequencies: explode(tokens) -> count -> top-k. "
+    "Partial agg bounds the shuffle by vocabulary size per partition.",
+)
+def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(_tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(30)
+    )
+
+
+# Quality score: deterministic arithmetic over cheap per-doc signals —
+# mean token length, stopword ratio, char count band. All expressible
+# in both engines; weights are arbitrary but fixed.
+_QUALITY_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
+         n_chars
+  FROM documents)
+SELECT doc_id,
+       round(
+         0.4 * least(len(toks) / 100.0, 1.0)
+       + 0.3 * least((length(array_to_string(toks, '')) * 1.0 / len(toks)) / 8.0, 1.0)
+       + 0.3 * (len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))
+                * 1.0 / len(toks)),
+       6) AS quality
+FROM tok
+"""
+
+
+@register(
+    "text_quality_score",
+    _QUALITY_SQL,
+    doc="Quality scoring: length band + mean token length + stopword "
+    "ratio, fixed weights (heuistic-filtering shape for LLM data prep).",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    n = F.size(toks).cast("double")
+    mean_tok_len = (
+        F.length(F.array_join(toks, "")).cast("double") / n
+    )
+    stop_ratio = (
+        F.size(
+            F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
+        ).cast("double")
+        / n
+    )
+    quality = (
+        0.4 * F.least(n / 100.0, F.lit(1.0))
+        + 0.3 * F.least(mean_tok_len / 8.0, F.lit(1.0))
+        + 0.3 * stop_ratio
+    )
+    return d.select("doc_id", F.round(quality, 6).alias("quality"))
+
+
+def _langid_sql() -> str:
+    scores = []
+    for lang, words in LANG_STOPWORDS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        scores.append(
+            f"len(list_filter(toks, t -> t IN ({inlist}))) AS score_{lang}"
+        )
+    score_cols = ", ".join(scores)
+    # argmax with deterministic tie-break: higher score wins, ties break
+    # by language code ascending.
+    pairs = ", ".join(f"(score_{lang}, '{lang}')" for lang in LANG_STOPWORDS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+scored AS (SELECT doc_id, {score_cols} FROM tok)
+SELECT doc_id,
+       (SELECT lang FROM (VALUES {pairs}) AS v(s, lang)
+        ORDER BY s DESC, lang ASC LIMIT 1) AS lang_pred
+FROM scored
+"""
+
+
+@register(
+    "text_langid_heuristic",
+    _langid_sql(),
+    doc="Language-ID: stopword-profile argmax with deterministic "
+    "tie-break (n-gram heuristic shape; scorer is pluggable).",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    df = d.select("doc_id", toks.alias("toks"))
+    # NB: the lambda must have exactly one parameter — PySpark treats a
+    # second parameter (even a default) as the element-index argument.
+    def stopword_pred(words: tuple[str, ...]):
+        return lambda t: t.isin(*words)
+
+    for lang, words in LANG_STOPWORDS.items():
+        df = df.withColumn(
+            f"score_{lang}", F.size(F.filter(F.col("toks"), stopword_pred(words)))
+        )
+    # argmax via array of (score, lang) structs + array_max: struct
+    # comparison is lexicographic, so (score asc, lang desc) max ==
+    # (score desc, lang asc) winner — flip lang ordering by negating...
+    # simpler: sort desc by score then asc by lang using array_sort with
+    # comparator.
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"score_{lang}").alias("s"), F.lit(lang).alias("lang")
+            )
+            for lang in LANG_STOPWORDS
+        ]
+    )
+    best = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a.getField("s") > b.getField("s"), -1)
+        .when(a.getField("s") < b.getField("s"), 1)
+        .when(a.getField("lang") < b.getField("lang"), -1)
+        .when(a.getField("lang") > b.getField("lang"), 1)
+        .otherwise(0),
+    )[0].getField("lang")
+    return df.select("doc_id", best.alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+    doc="Document fingerprint: md5 of whitespace-normalized lowercase "
+    "text (engine-portable; rolling/simhash variants in operators/dedup).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+@register(
+    "docs_exact_dedup",
+    """
+SELECT fingerprint, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM (SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents)
+GROUP BY fingerprint
+""",
+    doc="Exact dedup: hash-groupBy on normalized-text digest, keep "
+    "min(doc_id). Shuffles 16-byte digests, not document bodies — the "
+    "100 TB-safe formulation of dropDuplicates.",
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        d.select("doc_id", F.md5(norm).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "docs_near_dup_jaccard",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
+  FROM documents WHERE doc_id < 200),
+posting AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM posting a JOIN posting b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(toks) AS sz FROM tok)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM pair_inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+""",
+    doc="N-gram (1-gram) Jaccard near-dup via inverted-index candidate "
+    "pairs — no cross join; LSH banding (operators/dedup.py) replaces "
+    "the exact pair count at 100 TB. doc_id<200 bounds the oracle.",
+)
+def docs_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
+    tok = d.select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("toks")
+    )
+    posting = tok.select("doc_id", F.explode("toks").alias("term"))
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = tok.select("doc_id", F.size("toks").alias("sz"))
+    jac = F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -155,16 +155,20 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_anti_customers_without_orders",
+    "join_anti_customers_without_urgent_orders",
     """
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
 """,
-    doc="Left-anti join.",
+    doc="Left-anti join (predicate chosen so the result is non-empty at "
+    "every sf — every customer has *some* order in the fixture).",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

@@ -1,0 +1,160 @@
+"""Similarity search over the ``embeddings`` fixture (north star,
+SURVEY §2.10): brute-force cosine top-k as the correctness baseline,
+LSH-bucketed candidate generation as the 100 TB path (operators/
+similarity.py; rows-only checked because hash families are
+engine-specific).
+
+The dot product / norms are pure ``zip_with`` + ``aggregate`` built-in
+higher-order functions — JVM-side, no Python boundary, codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+
+N_QUERY_VECS = 5  # queries are vec_id < 5; bounds the oracle's work
+TOP_K = 10
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+@register(
+    "vec_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6)
+           AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[]))
+                      DESC, e.vec_id ASC
+         ) AS rnk
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.qid)
+SELECT qid, vec_id, cos_sim, rnk FROM scored WHERE rnk <= {TOP_K}
+""",
+    doc="Brute-force cosine top-k: tiny query side broadcast against "
+    "the corpus, ranked per query. The corpus is never shuffled — only "
+    "(qid, vec_id, sim) rows move, and at scale the per-query top-k "
+    "can be pushed into a partial TakeOrdered per partition.",
+)
+def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = (
+        e.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    )
+    # Cast float arrays to double BEFORE the arithmetic so both engines
+    # accumulate in float64 (DuckDB list_cosine_similarity promotes).
+    qe = F.transform(F.col("qe"), lambda x: x.cast("double"))
+    ee = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(qe, ee).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "qid", "vec_id", F.round("sim", 6).alias("cos_sim"), "rnk"
+        )
+    )
+
+
+@register(
+    "vec_label_centroid_norms",
+    """
+WITH per_dim AS (
+  SELECT label, i, avg(embedding[i]) AS c
+  FROM embeddings, range(1, 65) r(i)
+  GROUP BY label, i)
+SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm
+FROM per_dim GROUP BY label
+""",
+    doc="Per-label centroid (the IVF coarse-quantizer build step): "
+    "elementwise mean via zip_with partial sums, then L2 norm. "
+    "Aggregates arrays JVM-side; one shuffle on label.",
+)
+def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # posexplode -> per-(label, dim) partial means: fully distributed,
+    # no per-group vector materialization (collect_list would hold all
+    # group vectors in one aggregation buffer — wrong shape at scale).
+    per_dim = (
+        e.select("label", F.posexplode(ed).alias("i", "x"))
+        # oracle's range(1,65) is 1-based
+        .select("label", (F.col("i") + 1).alias("i"), "x")
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+    )
+    return per_dim.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm")
+    )
+
+
+@register(
+    "vec_neardup_cosine_pairs",
+    """
+WITH sub AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+             FROM embeddings WHERE vec_id < 500)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos_sim
+FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.4
+""",
+    doc="Embedding-cosine near-dup pairs above a threshold on a bounded "
+    "slice (exact formulation; the fixture embeddings are random so 0.4 "
+    "is the 'near' regime. The LSH-bucketed scale path is "
+    "operators/similarity.py, rows-only checked).",
+)
+def vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 500
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    ea = F.transform(F.col("ea"), lambda x: x.cast("double"))
+    eb = F.transform(F.col("eb"), lambda x: x.cast("double"))
+    sim = cosine(ea, eb)
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim_raw", sim)
+        .filter(F.col("cos_sim_raw") > 0.4)
+        .select("id_a", "id_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )
