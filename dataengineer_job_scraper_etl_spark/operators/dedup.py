@@ -1,0 +1,298 @@
+"""Deduplication operators (north star, SURVEY §2.10): exact,
+MinHash+LSH, SimHash, n-gram Jaccard. All shuffle-safe formulations —
+candidate generation is always hash-bucketed, never a cross join, so
+every step scales linearly with corpus size at fixed duplicate density.
+
+Hashing is Spark-native ``xxhash64`` (JVM-side, codegen'd,
+deterministic across runs and executors — seeds are column literals).
+That makes MinHash/SimHash deterministic engine-wide but NOT
+SQL-oracle-expressible (DuckDB's hash() is a different function), so
+these register rows-only checks; the exact-Jaccard verification of the
+candidates they produce IS oracle-checked (queries/text.py
+docs_near_dup_jaccard), and unit tests assert the sketch properties
+(similar docs collide, dissimilar don't).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact
+
+
+def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup. With explicit cols -> dropDuplicates (hash shuffle
+    on those cols). Full-row text dedup at scale should digest first:
+    shuffle 16-byte md5s, not document bodies (see docs_exact_dedup)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+def dedup_exact_by_digest(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Keep min(id) per normalized-text digest; only (digest, id) pairs
+    move through the shuffle."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    keep = (
+        df.select(F.md5(norm).alias("__fp"), F.col(id_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# -------------------------------------------------------------- shingles
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings (distinct).
+
+    Built-ins only: split -> sliding windows via transform over index
+    range -> slice/join. Stays JVM-side."""
+    toks = F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), n_sh)  # 1-based for slice()
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+# --------------------------------------------------------------- minhash
+
+# Mersenne prime 2^31-1 for the affine rehash family h_i(x) = (a_i*x+b_i)
+# mod p. 31-bit coefficients keep a*x < 2^62: no long overflow, so the
+# expression is safe under ANSI mode (which would throw on wrap).
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs derived from a splitmix-style mix of
+    the seed — plain Python ints, embedded as literals in the plan."""
+    params = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(num_hashes):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z ^= z >> 31
+        a = (z % (_MERSENNE_31 - 1)) + 1  # a != 0
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        b = x % _MERSENNE_31
+        params.append((a, b))
+    return params
+
+
+def _affine(a: int, b: int):
+    """Single-parameter lambda factory: PySpark infers higher-order-
+    function arity from the Python signature, so default-arg captures
+    (``lambda x, a=a:``) would be mis-read as an (element, index)
+    lambda. Close over instead."""
+    return lambda x: F.pmod(
+        F.lit(a) * F.pmod(x, F.lit(_MERSENNE_31)) + F.lit(b),
+        F.lit(_MERSENNE_31),
+    )
+
+
+def minhash_signature(
+    shingle_arr: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature as array<bigint> of length ``num_hashes``.
+
+    Each shingle is base-hashed once with xxhash64, then rehashed
+    through the affine family; min per hash function. All array
+    higher-order functions — per-row cost O(|shingles| * num_hashes)
+    with zero shuffle and zero Python."""
+    base = F.transform(shingle_arr, lambda s: F.xxhash64(s))
+    sig = []
+    for a, b in _hash_params(num_hashes, seed):
+        sig.append(F.array_min(F.transform(base, _affine(a, b))))
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidate pairs.
+
+    shingle -> signature (narrow) -> explode to ``bands`` rows of
+    (band_id, band_hash, id) -> self-join on the band bucket ->
+    distinct pairs. The ONLY shuffle is on (band_id, band_hash); with
+    r = num_hashes/bands rows per band, collision probability is the
+    classic (1 - (1 - j^r)^bands) S-curve. Returns (id_a, id_b,
+    estimated jaccard from signature agreement)."""
+    rows_per_band = num_hashes // bands
+    assert rows_per_band * bands == num_hashes
+
+    # Materialize the base shingle hashes in their own projection:
+    # without this, Catalyst inlines `shingles(...)` into each of the 64
+    # per-hash-function transforms and the (expensive, stringy) shingle
+    # construction runs 64x per row (measured 10x slowdown at sf0.01).
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("base"),
+    )
+    sig = base.select(
+        "id",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("base"), _affine(a, b)))
+                for a, b in _hash_params(num_hashes, seed)
+            ]
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(bands)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col("sig"),
+                                (b - 1) * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y
+                ),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
+    )
+
+
+# --------------------------------------------------------------- simhash
+
+
+def _bit_votes(h: Column) -> Column:
+    """xxhash64 value -> array<int> of 64 +-1 votes, MSB first.
+
+    ``bin`` renders the two's-complement bit pattern as a string (the
+    only overflow-free, ANSI-safe way to address individual bits —
+    shiftright/shiftleft take Python-int distances only, and building
+    the long back up would overflow on the sign bit)."""
+    chars = F.slice(F.split(F.lpad(F.bin(h), 64, "0"), ""), 1, 64)
+    return F.transform(
+        chars, lambda c: F.when(c == "1", F.lit(1)).otherwise(F.lit(-1))
+    )
+
+
+def simhash64(text: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over word shingles as a 64-char '0'/'1' string
+    (MSB first) — the bit-string representation keeps every downstream
+    op (hamming, chunk blocking) overflow-free and readable.
+
+    For each bit position, sum the +-1 votes of each shingle's
+    xxhash64 bit; sign of the sum -> bit. aggregate + zip_with only."""
+    sh = shingles(text, shingle_n)
+    hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    votes = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(acc, _bit_votes(h), lambda a, v: a + v),
+    )
+    return F.array_join(
+        F.transform(votes, lambda v: F.when(v > 0, "1").otherwise("0")), ""
+    )
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash bit-strings: count of
+    positions where the chars differ."""
+    return F.size(
+        F.filter(
+            F.zip_with(
+                F.split(a, ""), F.split(b, ""), lambda x, y: x != y
+            ),
+            lambda d: d,
+        )
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """SimHash near-dup: block on 4 x 16-bit chunks (pigeonhole: any
+    pair within hamming distance 3 shares at least one exact 16-bit
+    chunk), join within blocks, verify full hamming distance. Shuffle
+    key is (chunk_id, chunk_value) — never all-pairs."""
+    sh = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_n).alias("sh")
+    )
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col("sh"), k * 16 + 1, 16)
+                    for k in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            simhash_hamming(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,86 @@
+"""EP1/EP3->EP2 assembled (SURVEY §3): the fused scrape -> transform ->
+partitioned-parquet pipeline, with the two-stage bronze/silver layout
+kept as optional checkpoints (the reference's extracted/ -> transformed/
+GCS handoff, etl/job_scrape.py:80 <-> etl/transform.py:31-34).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.io import (
+    write_if_nonempty,
+    write_parquet_partitioned,
+)
+from dataengineer_job_scraper_etl_spark.plans.jobs import transform_postings
+from dataengineer_job_scraper_etl_spark.sources.scrape import (
+    Fetcher,
+    scrape_postings,
+    seed_frame,
+)
+
+
+@dataclass
+class PipelineResult:
+    wrote_bronze: bool
+    wrote_silver: bool
+    silver: DataFrame
+
+
+def run_pipeline(
+    spark: SparkSession,
+    job_titles: list[str],
+    fetcher: Fetcher,
+    phrases: list[str],
+    silver_path: str,
+    bronze_path: str | None = None,
+    concurrency: int | None = None,
+    per_request_delay: float = 0.0,
+) -> PipelineResult:
+    """Extract -> Transform -> Load, the reference's EP1 shape
+    (main.py:39-190) on Spark:
+
+    - extract: scrape source (mapInPandas fan-out, politeness bounded
+      by ``concurrency`` partitions)
+    - bronze (optional): raw postings parquet partitioned by job_type —
+      the reference's extracted/ CSV stage as a real checkpoint
+    - transform: filter-first null drop, native pay/seniority, skill
+      match, date stamp (plans/jobs.transform_postings)
+    - load: parquet partitioned by (job_type, ingest_date) with dynamic
+      partition overwrite -> idempotent nightly re-runs; empty scrape
+      -> no write at all (K4, main.py:129,189-190).
+    """
+    seeds = seed_frame(spark, job_titles)
+    raw = scrape_postings(
+        seeds,
+        fetcher,
+        per_request_delay=per_request_delay,
+        concurrency=concurrency,
+    )
+
+    wrote_bronze = False
+    if bronze_path is not None:
+        wrote_bronze = write_if_nonempty(
+            raw,
+            write_parquet_partitioned,
+            bronze_path,
+            partition_cols=("job_type",),
+        )
+        if wrote_bronze:
+            # re-read the checkpoint so transform consumes the persisted
+            # bronze (EP3->EP2 staging), not a re-scrape.
+            raw = spark.read.parquet(bronze_path)
+
+    silver = transform_postings(raw, phrases).withColumn(
+        "ingest_date", F.date_format(F.current_date(), "yyyy-MM-dd")
+    )
+    wrote_silver = write_if_nonempty(
+        silver,
+        write_parquet_partitioned,
+        silver_path,
+        partition_cols=("job_type", "ingest_date"),
+    )
+    return PipelineResult(wrote_bronze, wrote_silver, silver)

@@ -1,0 +1,110 @@
+"""Rows-only-checked queries for the sketch/LSH operators (MinHash,
+SimHash, RHP-LSH ANN, IVF ANN). Their hash families are Spark-native
+(xxhash64) and not reproducible in DuckDB SQL, so no oracle — the
+driver records a rows-only check; correctness is covered by:
+- oracle-checked exact twins (docs_near_dup_jaccard, vec_cosine_topk)
+- pytest property tests (tests/test_dedup.py, tests/test_similarity.py)
+  asserting planted duplicates are found and estimates track exact
+  values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+from dataengineer_job_scraper_etl_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    simhash64,
+    simhash_neardup_pairs,
+)
+from dataengineer_job_scraper_etl_spark.operators.similarity import (
+    ivf_topk,
+    rhp_lsh_topk,
+)
+
+EMBED_DIM = 64
+
+
+def _docs_with_planted_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus planted near-duplicates: for doc_id % 10 == 0,
+    a copy with id+1000000 and the first word changed — guarantees the
+    near-dup operators have true positives to find at every sf."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    rest = F.array_join(
+        F.slice(F.split(F.col("text"), " "), 2, 1_000_000), " "
+    )  # drop the first word
+    dups = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("XX "), rest).alias("text"),
+    )
+    return d.unionByName(dups)
+
+
+@register(
+    "neardup_minhash_lsh",
+    None,
+    doc="MinHash(64) + 16-band LSH candidate pairs over documents with "
+    "planted near-dups; banding shuffle only (SURVEY §2.10 scale path).",
+)
+def neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_planted_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(d, "doc_id", "text", shingle_n=3)
+    # keep only confident candidates; planted dups sit near 1.0
+    return pairs.filter(F.col("est_jaccard") >= 0.5).orderBy("id_a", "id_b")
+
+
+@register(
+    "neardup_simhash",
+    None,
+    doc="SimHash64 near-dup pairs (hamming<=3) via 16-bit chunk "
+    "blocking over documents with planted near-dups.",
+)
+def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs_with_planted_dups(spark, sf_dir)
+    return simhash_neardup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "neardup_simhash_fingerprints",
+    None,
+    doc="SimHash64 fingerprint per document (the sketch itself).",
+)
+def neardup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+def _vectors(spark: SparkSession, sf_dir: str):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return e, q
+
+
+@register(
+    "ann_rhp_lsh_topk",
+    None,
+    doc="Random-hyperplane LSH ANN top-10 (4 tables x 8 bits, exact "
+    "rerank of colliding candidates only).",
+)
+def ann_rhp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, q = _vectors(spark, sf_dir)
+    return rhp_lsh_topk(e, q, dim=EMBED_DIM, k=10).select(
+        "qid", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk"
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    None,
+    doc="IVF ANN top-10: seeded k-means-lite centroids, nearest-list "
+    "probing (n_probe=4 of 16 lists).",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, q = _vectors(spark, sf_dir)
+    return ivf_topk(e, q, dim=EMBED_DIM, k=10).select(
+        "qid", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk"
+    )

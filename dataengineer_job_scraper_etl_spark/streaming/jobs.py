@@ -1,0 +1,153 @@
+"""Streaming twins of the batch event queries + micro-batch plumbing.
+
+Design rules at scale:
+- every aggregation carries a watermark so state is bounded and late
+  data has a defined cutoff;
+- ``Trigger.AvailableNow`` is the reference's nightly-batch semantics
+  (drain everything queued, then stop — main.yml:36-37's scheduled
+  Pub/Sub message, minus the always-on cluster);
+- custom state uses applyInPandasWithState with an explicit timeout so
+  abandoned keys are evicted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from dataengineer_job_scraper_etl_spark.schemas import EVENTS
+
+
+def stream_events(
+    spark: SparkSession, path: str, schema: T.StructType = EVENTS
+) -> DataFrame:
+    """File-queue event stream: each new parquet dropped in ``path`` is
+    one micro-batch of events (the engine's Pub/Sub stand-in)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the
+    streaming twin of events_tumbling_hourly (same output schema)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w").getField("start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (gap-based), the streaming counterpart of
+    the batch lag-gap sessionization query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw").getField("start").alias("session_start"),
+            F.col("sw").getField("end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon:
+    dropDuplicates on event_id with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["event_id", "ts"]
+    )
+
+
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: running per-user event count + value
+    sum via applyInPandasWithState (the extension point for bespoke
+    state machines the built-ins can't express).
+
+    State is (n, total) per user; processing-time timeout evicts idle
+    keys. Emits one updated row per key per micro-batch."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        state.setTimeoutDuration(3_600_000)
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_events": n, "total_value": total}]
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_RUNNING_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def run_available_now(
+    out: DataFrame, query_name: str, checkpoint: str, output_mode: str = "append"
+) -> Any:
+    """Drain-everything-then-stop micro-batch run into a memory sink
+    (tests/dev) — the nightly-batch trigger semantics. Returns the
+    stopped query; results are in table ``query_name``."""
+    q = (
+        out.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
