@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # ---------------------------------------------------------------- exact
 
@@ -49,12 +50,21 @@ def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array of strings (distinct).
 
     Built-ins only: split -> sliding windows via transform over index
-    range -> slice/join. Stays JVM-side."""
+    range -> slice/join. Stays JVM-side.
+
+    Documents with fewer than ``n`` tokens (incl. empty/null text)
+    yield an EMPTY array: F.sequence's default step is -1 when
+    start > stop, so an unguarded sequence(1, 0) would produce [1, 0]
+    and slice() would then throw INVALID_PARAMETER_VALUE.START. The
+    CASE branch is only evaluated when the token count is >= n."""
     toks = F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    n_sh = F.size(toks) - F.lit(n - 1)
     idx = F.sequence(F.lit(1), n_sh)  # 1-based for slice()
+    windows = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+        F.when(n_sh >= 1, windows).otherwise(
+            F.array().cast(T.ArrayType(T.StringType()))
+        )
     )
 
 
@@ -140,7 +150,10 @@ def minhash_lsh_pairs(
         F.transform(
             shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
         ).alias("base"),
-    )
+        # Docs too short for a single shingle have no sketch — keep
+        # them out of banding (array_min of [] is null, and every such
+        # doc would otherwise collide in every band).
+    ).filter(F.size("base") > 0)
     sig = base.select(
         "id",
         F.array(
@@ -264,7 +277,9 @@ def simhash_neardup_pairs(
     pair within hamming distance 3 shares at least one exact 16-bit
     chunk), join within blocks, verify full hamming distance. Shuffle
     key is (chunk_id, chunk_value) — never all-pairs."""
-    sh = df.select(
+    # Shingle-less docs all sketch to the zero vector and would
+    # pairwise "collide" at hamming 0 — exclude them up front.
+    sh = df.filter(F.size(shingles(F.col(text_col), shingle_n)) > 0).select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_n).alias("sh")
     )
     chunks = sh.select(

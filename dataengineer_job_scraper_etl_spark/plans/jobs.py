@@ -125,7 +125,7 @@ def transform_postings_oracle_sql(phrases: list[str], pay_sql: str,
 WITH postings AS ({POSTINGS_SQL})
 SELECT jobid, job_type,
        {pay_sql} AS pay,
-       {skills_oracle_sql('description', phrases)} AS skills,
+       coalesce(array_to_string({skills_oracle_sql('description', phrases)}, '|'), '') AS skills,
        {seniority_sql} AS seniority
 FROM postings
 WHERE description IS NOT NULL

@@ -38,7 +38,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
 SELECT event_type,
        count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
 FROM ev GROUP BY event_type
 """,
@@ -106,30 +106,35 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events),
 gaps AS (
-  SELECT user_id, ts,
-         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL 30 MINUTE
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM ev),
 sessions AS (
   SELECT user_id,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM gaps)
 SELECT user_id, session_id, count(*) AS n_events
 FROM sessions GROUP BY user_id, session_id
 """,
     doc="Sessionization: lag-gap > 30min -> running sum session ids -> "
     "per-session event counts. One shuffle on user_id, reused by both "
-    "window functions and the final agg (same partition key).",
+    "window functions and the final agg (same partition key). Gap is "
+    "compared at microsecond precision on BOTH sides (unix_micros vs "
+    "epoch_us) so a sub-second gap straddling the 30-minute boundary "
+    "classifies identically; the running-sum window carries the "
+    "event_id tiebreak on both sides for tied timestamps.",
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
     new_session = F.when(
-        gap.isNull() | (gap > 30 * 60), F.lit(1)
+        gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

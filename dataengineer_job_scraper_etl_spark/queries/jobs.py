@@ -77,15 +77,23 @@ def jobs_seniority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "jobs_skills",
+    # NB coalesce: DuckDB array_to_string([]) is NULL, Spark
+    # array_join([]) is '' — '' is the canonical empty on both sides.
     f"{_POSTINGS_CTE} SELECT jobid, "
-    f"{skills_oracle_sql('description', PHRASES)} AS skills FROM postings "
-    "WHERE description IS NOT NULL",
-    doc="U2/J2/A1: dictionary skill match, sorted distinct array.",
+    f"coalesce(array_to_string({skills_oracle_sql('description', PHRASES)}, '|'), '') "
+    "AS skills FROM postings WHERE description IS NOT NULL",
+    doc="U2/J2/A1: dictionary skill match, sorted distinct array. "
+    "Driver-facing output is the '|'-joined string (the harness's "
+    "pandas canonicalizer can't hash list cells); the array-returning "
+    "operator itself stays internal (operators/skills.py).",
 )
 def jobs_skills(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _postings(spark, sf_dir).na.drop(subset=["description"])
     return df.select(
-        "jobid", extract_skills_native(F.col("description"), PHRASES).alias("skills")
+        "jobid",
+        F.array_join(
+            extract_skills_native(F.col("description"), PHRASES), "|"
+        ).alias("skills"),
     )
 
 
@@ -145,11 +153,13 @@ def jobs_union_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         PHRASES, pay_oracle_sql("description"), seniority_oracle_sql("title")
     ),
     doc="EP1 transform assembled (main.py:129-175), minus the "
-    "nondeterministic date stamp.",
+    "nondeterministic date stamp; skills emitted '|'-joined for the "
+    "driver canonicalizer (array cells aren't pandas-hashable).",
 )
 def jobs_transform_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = transform_postings(_postings(spark, sf_dir), PHRASES)
-    return out.drop("date")  # current_timestamp: not oracle-comparable
+    # current_timestamp: not oracle-comparable; array -> joined string.
+    return out.drop("date").withColumn("skills", F.array_join("skills", "|"))
 
 
 @register(

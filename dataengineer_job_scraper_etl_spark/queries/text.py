@@ -48,7 +48,7 @@ WITH tok AS (
          n_chars
   FROM documents)
 SELECT lang, count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(n_tokens), 4) AS avg_tokens,
        round(avg(n_chars), 4) AS avg_chars
 FROM tok GROUP BY lang
