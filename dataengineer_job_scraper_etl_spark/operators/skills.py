@@ -15,22 +15,35 @@ contiguous subsequence of the whitespace-tokenized, lowercased text.
 Output = sorted distinct matched phrases (array_sort replaces the
 reference's nondeterministic set() ordering — SURVEY §7 risk register).
 
-Two implementations, equal by construction (tested against each other):
+Three implementations, equal by construction (tested against each
+other in tests/test_skills.py):
 
 1. ``extract_skills_native`` — pure Catalyst expression: filter a
    broadcast array literal of phrases by substring containment on the
    normalized text. Zero shuffle, zero Python, codegen'd; this is the
-   oracle-checkable formulation.
-2. ``extract_skills_udf`` — Arrow-batched pandas UDF running a token
+   oracle-checkable formulation but costs O(|dict| x |text|) per row.
+2. ``extract_skills_ngram_join`` — explode token n-grams, broadcast-
+   hash-join against the phrase table, collect_set per doc. All JVM,
+   O(tokens) per row regardless of dictionary size.
+3. ``extract_skills_udf`` — Arrow-batched pandas UDF running a token
    trie (Aho-Corasick-lite) built ONCE per Python worker from a
-   broadcast variable; O(tokens) per document instead of
-   O(patterns x text). This is the scale path for dictionaries far
-   larger than a few thousand entries and is also where a real spaCy
-   pipeline would slot in (import-gated; not available in this image).
+   broadcast variable; O(tokens) per document. This is where a real
+   spaCy pipeline would slot in (import-gated; not in this image).
+
+Benchmark at the full 2,412-pattern dictionary, sf0.1 postings
+(4,167 rows, local[32], 2026-08: this round's variant decision):
+native contains 152.1 s; ngram join 2.4 s; trie pandas_udf 0.4 s
+(after worker warmup; cold ~3 s). DECISION: the transform pipeline and
+flagship query use the ngram join (fast, Python-free, dictionary-size-
+independent, and the shape that survives 100 TB); the native
+expression stays as the oracle-twin demo on the bounded
+``jobs_skills`` entry; the trie UDF is kept as the spaCy slot-in and
+equality-tested against both.
 """
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -40,28 +53,52 @@ from pyspark.sql import types as T
 
 DEFAULT_PATTERNS_PATH = "assets/skill_patterns.jsonl"
 
+# Separator punctuation treated as a token boundary — mirrors the
+# reference's spaCy tokenization, where "Python, Spark." yields the
+# tokens [python, ",", spark, "."] and so matches the patterns
+# `python` and `spark` (main.py:132-139, etl/transform.py:37-43).
+# Chars that occur INSIDE real skill tokens are deliberately NOT split:
+# '+' (c++), '#' (c#), '&', '_' (snake_case libs). '.', '-', '/' ARE
+# split, so ".net" / "scikit-learn" / "ci/cd" normalize to
+# "net" / "scikit learn" / "ci cd" on both the text and the phrase
+# side, keeping matching consistent. The same class string feeds Java
+# regex (Spark), RE2 (DuckDB), and Python re.
+PUNCT_CLASS = "[,.;:!?()\\[\\]{}<>\"'`/\\\\|=*^%$@~-]"
+_PUNCT_RE = re.compile(PUNCT_CLASS)
+_WS_RE = re.compile(r"\s+")
+
+
+def normalize_text_py(text: str) -> str:
+    """Driver/worker-side twin of ``_normalized`` (unpadded): lower,
+    punctuation -> space, collapse whitespace, trim."""
+    return _WS_RE.sub(" ", _PUNCT_RE.sub(" ", text.lower())).strip()
+
 
 def phrases_from_patterns(patterns: list[dict]) -> list[str]:
     """JSONL pattern rows ({"label","pattern":[{"LOWER": tok},...]}) ->
-    lowercase space-joined phrases. Mirrors how the reference's
-    EntityRuler consumes the file (main.py:132-133)."""
+    lowercase space-joined phrases, normalized with the SAME
+    punctuation rules as the text side so e.g. the pattern "node.js"
+    and the text "Node.js" both become "node js". Mirrors how the
+    reference's EntityRuler consumes the file (main.py:132-133)."""
     out = []
     for row in patterns:
         toks = [
             str(tok.get("LOWER") or tok.get("TEXT") or "").lower()
             for tok in row.get("pattern", [])
         ]
-        phrase = " ".join(t for t in toks if t)
+        phrase = normalize_text_py(" ".join(t for t in toks if t))
         if phrase:
             out.append(phrase)
     return sorted(set(out))
 
 
 def _normalized(text: Column) -> Column:
-    # lowercase + collapse whitespace, padded so every token boundary is
-    # a single space — makes phrase containment == token-subsequence.
+    # lowercase + punctuation->space + collapse whitespace, padded so
+    # every token boundary is a single space — makes phrase containment
+    # == token-subsequence, including tokens followed by punctuation.
+    depunct = F.regexp_replace(F.lower(text), PUNCT_CLASS, " ")
     return F.concat(
-        F.lit(" "), F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), F.lit(" ")
+        F.lit(" "), F.trim(F.regexp_replace(depunct, r"\s+", " ")), F.lit(" ")
     )
 
 
@@ -82,15 +119,94 @@ def extract_skills_native(text: Column, phrases: list[str]) -> Column:
 
 
 def skills_oracle_sql(text_expr: str, phrases: list[str]) -> str:
-    """DuckDB scalar expression computing the same sorted skill list."""
+    """DuckDB scalar expression computing the same sorted skill list
+    (same punctuation-as-boundary normalization as ``_normalized``)."""
     quoted = ", ".join("'" + p.replace("'", "''") + "'" for p in phrases)
-    padded = (
-        f"(' ' || trim(regexp_replace(lower({text_expr}), '\\s+', ' ', 'g')) || ' ')"
-    )
+    punct_sql = PUNCT_CLASS.replace("'", "''")
+    depunct = f"regexp_replace(lower({text_expr}), '{punct_sql}', ' ', 'g')"
+    padded = f"(' ' || trim(regexp_replace({depunct}, '\\s+', ' ', 'g')) || ' ')"
     return (
         f"CASE WHEN {text_expr} IS NOT NULL THEN "
         f"list_sort(list_filter([{quoted}], "
         f"p -> contains({padded}, ' ' || p || ' '))) END"
+    )
+
+
+def skill_match_pairs(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str,
+    carry_cols: list[str],
+    phrases: list[str],
+) -> DataFrame:
+    """Core of the relational matcher: (carry_cols..., phrase) rows,
+    one per DISTINCT matched phrase per document.
+
+    Explodes token n-grams (one n per distinct phrase length),
+    broadcast-hash-joins them against the phrase table, dedups on
+    (first carry col, phrase). O(tokens x n_lengths) per row —
+    independent of dictionary size; the phrase table broadcasts; the
+    only shuffle is the dedup of MATCHED pairs (sparse)."""
+    lens = sorted({len(p.split()) for p in phrases})
+    phrase_df = spark.createDataFrame([(p,) for p in phrases], "phrase string")
+    depunct = F.regexp_replace(F.lower(F.col(text_col)), PUNCT_CLASS, " ")
+    toks = F.split(F.trim(F.regexp_replace(depunct, r"\s+", " ")), " ")
+
+    def grams_of(n: int):
+        n_g = F.size(F.col("__toks")) - F.lit(n - 1)
+        win = F.transform(
+            F.sequence(F.lit(1), n_g),
+            lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " "),
+        )
+        return F.when(n_g >= 1, win).otherwise(
+            F.array().cast(T.ArrayType(T.StringType()))
+        )
+
+    grams = df.select(*carry_cols, toks.alias("__toks")).select(
+        *carry_cols,
+        F.explode(F.flatten(F.array(*[grams_of(n) for n in lens]))).alias("gram"),
+    )
+    return (
+        grams.join(F.broadcast(phrase_df), grams["gram"] == phrase_df["phrase"])
+        .select(*carry_cols, "phrase")
+        .dropDuplicates([carry_cols[0], "phrase"])
+    )
+
+
+def extract_skills_ngram_join(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str,
+    key_col: str,
+    phrases: list[str],
+    out_col: str = "skills",
+) -> DataFrame:
+    """J2 as a *relational* plan: ``skill_match_pairs`` + collect_set
+    per document + enrichment join back onto ``df``. Zero Python in
+    the hot path; the 2,412-contains-per-row cost of the literal
+    formulation becomes ~5 hash probes per token (benchmark in the
+    module docstring). This is the formulation to run at 100 TB.
+
+    Output equals extract_skills_native / the trie UDF by construction
+    (same normalization, same contiguous-token-match semantics):
+    sorted distinct matched phrases; null text -> null, no match -> [].
+    """
+    matched = skill_match_pairs(spark, df, text_col, [key_col], phrases)
+    agg = matched.groupBy(key_col).agg(
+        F.array_sort(F.collect_set("phrase")).alias("__matched")
+    )
+    return (
+        df.join(agg, key_col, "left")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col(text_col).isNotNull(),
+                F.coalesce(
+                    F.col("__matched"), F.array().cast(T.ArrayType(T.StringType()))
+                ),
+            ),
+        )
+        .drop("__matched")
     )
 
 
@@ -110,7 +226,7 @@ class _TokenTrie:
             node[""] = phrase  # terminal
 
     def match(self, text: str) -> list[str]:
-        toks = text.lower().split()
+        toks = normalize_text_py(text).split()
         found: set[str] = set()
         active: list[dict] = []
         for tok in toks:

@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from dataengineer_job_scraper_etl_spark.functions.pay import extract_pay
 from dataengineer_job_scraper_etl_spark.functions.seniority import classify_seniority
 from dataengineer_job_scraper_etl_spark.operators.skills import (
-    extract_skills_native,
+    extract_skills_ngram_join,
     skills_oracle_sql,
 )
 
@@ -102,17 +102,25 @@ def transform_postings(postings: DataFrame, phrases: list[str]) -> DataFrame:
        filter across a Python UDF, so the engine standardizes
        filter-first (SURVEY §4.1).
     2. pay: native regex chain (was a Python map_elements, main.py:155).
-    3. skills: dictionary match, sorted distinct array (main.py:159).
+    3. skills: n-gram broadcast-join matcher (main.py:159) — the
+       dictionary-size-independent formulation; see the variant
+       benchmark in operators/skills.py.
     4. seniority: when-chain (main.py:164-171).
     5. date stamp + drop wide text cols before the sink (main.py:173-175)
        — manual column pruning kept as a logical-design choice."""
-    return (
+    spark = postings.sparkSession
+    enriched = (
         postings.na.drop(subset=["description"])
         .withColumn("pay", extract_pay(F.col("description")))
-        .withColumn("skills", extract_skills_native(F.col("description"), phrases))
         .withColumn("seniority", classify_seniority(F.col("title")))
-        .withColumn("date", F.current_timestamp())
+    )
+    with_skills = extract_skills_ngram_join(
+        spark, enriched, "description", "jobid", phrases
+    )
+    return (
+        with_skills.withColumn("date", F.current_timestamp())
         .drop("title", "description")
+        .select("jobid", "job_type", "pay", "skills", "seniority", "date")
     )
 
 

@@ -24,6 +24,7 @@ from dataengineer_job_scraper_etl_spark.io import load_jsonl_driver_side
 from dataengineer_job_scraper_etl_spark.operators.skills import (
     extract_skills_native,
     phrases_from_patterns,
+    skill_match_pairs,
     skills_oracle_sql,
 )
 from dataengineer_job_scraper_etl_spark.plans.jobs import (
@@ -176,18 +177,21 @@ GROUP BY skill, job_type
 ORDER BY n DESC, skill ASC, job_type ASC
 LIMIT 20
 """,
-    doc="Flagship: explode(skills)->groupBy->count->top-k (SURVEY §2.6); "
-    "deterministic total order via (n desc, skill, job_type).",
+    doc="Flagship: skills->groupBy->count->top-k (SURVEY §2.6); "
+    "deterministic total order via (n desc, skill, job_type). Fully "
+    "relational plan: token n-grams broadcast-joined to the phrase "
+    "dict, per-doc dedup on (jobid, skill), count — no per-doc array "
+    "materialization, no Python, dictionary-size-independent (see the "
+    "variant benchmark in operators/skills.py).",
 )
 def jobs_flagship_skill_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = _postings(spark, sf_dir).na.drop(subset=["description"])
-    skills = postings.select(
-        "job_type",
-        extract_skills_native(F.col("description"), PHRASES).alias("skills"),
+    pairs = skill_match_pairs(
+        spark, postings.select("jobid", "job_type", "description"),
+        "description", ["jobid", "job_type"], PHRASES,
     )
     return (
-        skills.select("job_type", F.explode("skills").alias("skill"))
-        .groupBy("skill", "job_type")
+        pairs.groupBy(F.col("phrase").alias("skill"), F.col("job_type"))
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("skill"), F.asc("job_type"))
         .limit(20)
