@@ -61,10 +61,13 @@ def shingles(text: Column, n: int = 3) -> Column:
     n_sh = F.size(toks) - F.lit(n - 1)
     idx = F.sequence(F.lit(1), n_sh)  # 1-based for slice()
     windows = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    return F.array_distinct(
-        F.when(n_sh >= 1, windows).otherwise(
-            F.array().cast(T.ArrayType(T.StringType()))
-        )
+    return F.when(
+        text.isNotNull(),  # null text -> null shingles (propagate)
+        F.array_distinct(
+            F.when(n_sh >= 1, windows).otherwise(
+                F.array().cast(T.ArrayType(T.StringType()))
+            )
+        ),
     )
 
 

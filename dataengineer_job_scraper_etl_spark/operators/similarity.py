@@ -30,7 +30,11 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from dataengineer_job_scraper_etl_spark.queries.vectors import cosine, dot, l2_norm
+from dataengineer_job_scraper_etl_spark.functions.vector_math import (
+    cosine,
+    dot,
+    l2_norm,
+)
 
 
 def _as_double(col: Column) -> Column:

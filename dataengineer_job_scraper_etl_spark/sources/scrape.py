@@ -86,7 +86,12 @@ def default_fetcher(
 class _CardParser(HTMLParser):
     """Extract (data-entity-urn, title) pairs from a job-list page:
     stdlib equivalent of find_all('div', class_='job-search-card') +
-    h3.base-search-card__title (reference main.py:88-102)."""
+    h3.base-search-card__title (reference main.py:88-102).
+
+    A card with a data-entity-urn but no h3 title is KEPT with
+    title=None — the reference keeps the row with a null title
+    (main.py:101-102); pending cards are flushed when the next card
+    starts or the feed ends."""
 
     def __init__(self) -> None:
         super().__init__()
@@ -95,10 +100,16 @@ class _CardParser(HTMLParser):
         self._in_title = False
         self._title_parts: list[str] = []
 
+    def _flush(self) -> None:
+        if self._urn is not None:
+            self.cards.append({"urn": self._urn, "title": None})
+            self._urn = None
+
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
         cls = a.get("class", "")
         if tag == "div" and "job-search-card" in cls.split():
+            self._flush()  # previous card had no title
             self._urn = a.get("data-entity-urn")
         if tag == "h3" and "base-search-card__title" in cls.split():
             self._in_title = True
@@ -115,6 +126,10 @@ class _CardParser(HTMLParser):
             if self._urn is not None:
                 self.cards.append({"urn": self._urn, "title": title})
                 self._urn = None
+
+    def close(self) -> None:
+        super().close()
+        self._flush()  # trailing card with no title
 
 
 def parse_job_cards(html: str, limit: int = MAX_CARDS) -> list[dict]:
@@ -133,13 +148,16 @@ def parse_job_cards(html: str, limit: int = MAX_CARDS) -> list[dict]:
             cards.append(
                 {
                     "jobid": urn.split(":")[-1],
-                    "title": h3.get_text(strip=True) if h3 else "",
+                    # null-title convention matches the reference
+                    # (main.py:101-102 keeps the row, title=None).
+                    "title": h3.get_text(strip=True) if h3 else None,
                 }
             )
         return cards
     except ImportError:
         parser = _CardParser()
         parser.feed(html)
+        parser.close()
         return [
             {"jobid": c["urn"].split(":")[-1], "title": c["title"]}
             for c in parser.cards[:limit]

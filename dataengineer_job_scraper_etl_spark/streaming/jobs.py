@@ -74,10 +74,13 @@ def session_windows(
 
 
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Exactly-once-per-key within the watermark horizon:
-    dropDuplicates on event_id with bounded state."""
-    return events.withWatermark("ts", watermark).dropDuplicates(
-        ["event_id", "ts"]
+    """Exactly-once per event_id within the watermark horizon:
+    ``dropDuplicatesWithinWatermark`` keys state on event_id ALONE, so
+    a redelivered event with a perturbed timestamp still dedups (plain
+    dropDuplicates(['event_id','ts']) would not), and state for ids
+    older than the watermark is evicted."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
     )
 
 
@@ -96,13 +99,26 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def running_user_totals(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    idle_timeout_ms: int | None = 3_600_000,
+) -> DataFrame:
     """Custom stateful operator: running per-user event count + value
     sum via applyInPandasWithState (the extension point for bespoke
     state machines the built-ins can't express).
 
-    State is (n, total) per user; processing-time timeout evicts idle
-    keys. Emits one updated row per key per micro-batch."""
+    State is (n, total) per user; with ``idle_timeout_ms`` set, a
+    processing-time timeout evicts idle keys — the right default for an
+    always-on query. For drain-and-stop runs (Trigger.AvailableNow)
+    pass ``idle_timeout_ms=None``: pending processing-time timeouts
+    schedule extra timeout-handling batches that keep the query from
+    ever terminating. Emits one updated row per key per micro-batch."""
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
 
     def update(
         key: tuple,
@@ -117,7 +133,8 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             n += len(pdf)
             total += float(pdf["value"].sum())
         state.update((n, total))
-        state.setTimeoutDuration(3_600_000)
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
             [{"user_id": key[0], "n_events": n, "total_value": total}]
         )
@@ -130,7 +147,7 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             outputStructType=_RUNNING_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout_conf,
         )
     )
 

@@ -1,0 +1,129 @@
+"""Dedup operators (SURVEY §2.10): shingle edge cases, exact dedup,
+MinHash+LSH and SimHash property tests — planted near-duplicates are
+found, estimates track exact Jaccard, dissimilar docs don't collide.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.operators.dedup import (
+    dedup_exact_by_digest,
+    minhash_lsh_pairs,
+    shingles,
+    simhash_hamming,
+    simhash_neardup_pairs,
+    simhash64,
+)
+
+
+def _words(rng: random.Random, n: int) -> str:
+    return " ".join(f"w{rng.randrange(5000)}" for _ in range(n))
+
+
+def test_shingles_short_docs(spark):
+    # ADVICE r1 (high): docs with < n tokens crashed via sequence(1,0)
+    # -> [1,0] -> slice INVALID_PARAMETER_VALUE.START. Now: empty array.
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three"), (5, None)],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["sh"]
+        for r in df.select("id", shingles(F.col("text"), 3).alias("sh")).collect()
+    }
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["one two three"]
+    assert got[5] is None  # null text propagates
+
+
+def test_shingles_distinct_and_windows(spark):
+    df = spark.createDataFrame([(1, "a b a b a")], "id long, text string")
+    got = df.select(shingles(F.col("text"), 2).alias("sh")).first()["sh"]
+    assert sorted(got) == ["a b", "b a"]  # distinct windows only
+
+
+def test_exact_dedup_by_digest(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Hello   World"),
+            (2, "hello world"),  # same after normalization
+            (3, "different text"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_exact_by_digest(df, "text", "doc_id").collect()
+    )
+    assert kept == [1, 3]  # min doc_id per digest survives
+
+
+def _planted_corpus(spark, n_docs=60, doc_len=80, seed=7):
+    """n_docs random docs + a near-dup (one word changed) for every
+    10th doc, and one exact dup."""
+    rng = random.Random(seed)
+    rows = [(i, _words(rng, doc_len)) for i in range(n_docs)]
+    planted = []
+    for i, text in rows:
+        if i % 10 == 0:
+            toks = text.split()
+            toks[0] = "CHANGED"
+            planted.append((i + 1_000_000, " ".join(toks)))
+    rows += planted
+    rows.append((2_000_000, rows[3][1]))  # exact dup of doc 3
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_planted_dups(spark):
+    df = _planted_corpus(spark)
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", shingle_n=3).collect()
+    found = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    # every planted near-dup pair collides in some band and estimates high
+    for i in range(0, 60, 10):
+        assert (i, i + 1_000_000) in found, f"planted pair {i} missed"
+        assert found[(i, i + 1_000_000)] > 0.5
+    # the exact dup estimates ~1.0
+    assert found[(3, 2_000_000)] >= 0.99
+    # no rampant false positives: random doc pairs shouldn't flood in
+    false = [k for k in found if k[1] < 1_000_000]
+    assert len(false) <= 2
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    # two docs sharing exactly half their shingles -> est in [0.25, 0.75]
+    rng = random.Random(11)
+    shared = _words(rng, 60)
+    a = shared + " " + _words(rng, 60)
+    b = shared + " " + _words(rng, 60)
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", shingle_n=3).collect()
+    if pairs:  # banding may or may not surface a 0.33-jaccard pair
+        est = pairs[0]["est_jaccard"]
+        assert 0.1 <= est <= 0.7
+
+
+def test_simhash_properties(spark):
+    df = _planted_corpus(spark)
+    sketches = df.select("doc_id", simhash64(F.col("text")).alias("sh"))
+    row = sketches.first()
+    assert len(row["sh"]) == 64 and set(row["sh"]) <= {"0", "1"}
+    # identical text -> identical sketch, hamming 0
+    pair = spark.createDataFrame(
+        [("x y z a b c d e f g", "x y z a b c d e f g")], "a string, b string"
+    ).select(
+        simhash_hamming(simhash64(F.col("a")), simhash64(F.col("b"))).alias("h")
+    )
+    assert pair.first()["h"] == 0
+
+
+def test_simhash_neardup_finds_exact_dup(spark):
+    df = _planted_corpus(spark)
+    pairs = simhash_neardup_pairs(df, "doc_id", "text", max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (3, 2_000_000) in got  # exact dup at hamming 0
+    # hamming verified <= threshold on everything returned
+    assert all(
+        r["hamming"] <= 3 for r in simhash_neardup_pairs(df, "doc_id", "text").collect()
+    )

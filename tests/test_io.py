@@ -1,0 +1,82 @@
+"""K1/K2/K4/S5/S7 — sink round-trips and typed-frame contracts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.io import (
+    read_csv,
+    rows_to_df,
+    write_csv,
+    write_if_nonempty,
+    write_parquet_partitioned,
+)
+from dataengineer_job_scraper_etl_spark.schemas import JOB_POSTING_RAW
+
+
+def _postings(spark):
+    rows = [
+        {"jobid": "1", "title": "A", "description": "x", "job_type": "DE"},
+        {"jobid": "2", "title": "B", "description": "y", "job_type": "DS"},
+    ]
+    return rows_to_df(spark, rows, JOB_POSTING_RAW).withColumn(
+        "ingest_date", F.lit("2026-08-13")
+    )
+
+
+def test_partitioned_parquet_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "out")
+    df = _postings(spark)
+    write_parquet_partitioned(df, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    # real partition columns on disk (replaces the reference's
+    # filename-encoded partitioning, main.py:181)
+    assert (tmp_path / "out" / "job_type=DE" / "ingest_date=2026-08-13").exists()
+
+
+def test_dynamic_partition_overwrite_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "out")
+    df = _postings(spark)
+    write_parquet_partitioned(df, path)
+    # re-run same batch: dynamic overwrite replaces, not duplicates
+    write_parquet_partitioned(df, path)
+    assert spark.read.parquet(path).count() == 2
+    # a new batch for one partition replaces only that partition
+    df_de = df.filter(F.col("job_type") == "DE").withColumn(
+        "title", F.lit("A2")
+    )
+    write_parquet_partitioned(df_de, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 2
+    assert back.filter(F.col("job_type") == "DS").count() == 1  # untouched
+
+
+def test_csv_roundtrip_semicolon(spark, tmp_path):
+    path = str(tmp_path / "csv_out")
+    write_csv(_postings(spark).drop("ingest_date"), path)
+    back = read_csv(spark, path, schema=JOB_POSTING_RAW)
+    assert sorted(r["jobid"] for r in back.collect()) == ["1", "2"]
+    # the ';' separator is really on disk (reference etl/job_scrape.py:64)
+    part = next(p for p in (tmp_path / "csv_out").iterdir() if p.suffix == ".csv")
+    assert ";" in part.read_text().splitlines()[0]
+
+
+def test_write_if_nonempty_guard(spark, tmp_path):
+    wrote = {"n": 0}
+
+    def fake_write(df, path):
+        wrote["n"] += 1
+
+    empty = rows_to_df(spark, [], JOB_POSTING_RAW)
+    assert not write_if_nonempty(empty, fake_write, "p")
+    assert wrote["n"] == 0  # K4: no-op on empty frame
+    assert write_if_nonempty(_postings(spark), fake_write, "p")
+    assert wrote["n"] == 1
+
+
+def test_rows_to_df_empty_keeps_schema(spark):
+    # the reference's empty typed frame (main.py:78): schema exists
+    # before any rows do
+    empty = rows_to_df(spark, [], JOB_POSTING_RAW)
+    assert empty.schema == JOB_POSTING_RAW and empty.count() == 0

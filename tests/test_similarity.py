@@ -1,0 +1,89 @@
+"""ANN operators: brute-force top-k agrees with a NumPy oracle;
+LSH/IVF find planted near-neighbors (recall bound) and never return
+rank > k; kmeans-lite is deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dataengineer_job_scraper_etl_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    kmeans_lite,
+    rhp_lsh_topk,
+)
+
+DIM = 16
+
+
+def _clustered_vectors(n=120, n_clusters=4, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 5.0, (n_clusters, DIM))
+    vecs = []
+    for i in range(n):
+        c = centers[i % n_clusters]
+        vecs.append((i, (c + rng.normal(0, 0.3, DIM)).astype(float).tolist()))
+    return vecs
+
+
+def _frames(spark, vecs, n_queries=3):
+    corpus = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(i, v) for i, v in vecs[:n_queries]], "qid long, qe array<double>"
+    )
+    return corpus, queries
+
+
+def _numpy_topk(vecs, qid, k):
+    mat = np.array([v for _, v in vecs])
+    q = mat[qid]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(range(len(vecs)), key=lambda i: (-sims[i], i))
+    return [i for i in order[:k]]
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    vecs = _clustered_vectors()
+    corpus, queries = _frames(spark, vecs)
+    got = brute_force_topk(corpus, queries, k=5).collect()
+    by_q: dict = {}
+    for r in sorted(got, key=lambda r: (r["qid"], r["rnk"])):
+        by_q.setdefault(r["qid"], []).append(r["vec_id"])
+    for qid in by_q:
+        assert by_q[qid] == _numpy_topk(vecs, qid, 5)
+
+
+def test_rhp_lsh_recall_on_clusters(spark):
+    vecs = _clustered_vectors()
+    corpus, queries = _frames(spark, vecs)
+    exact = {q: set(_numpy_topk(vecs, q, 5)) for q in range(3)}
+    got = rhp_lsh_topk(corpus, queries, dim=DIM, k=5).collect()
+    assert all(r["rnk"] <= 5 for r in got)
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    # with tight clusters, bucket collisions must recover most of the
+    # true top-5 (same-cluster vectors hash to the same sign pattern)
+    recalls = [len(by_q.get(q, set()) & exact[q]) / 5 for q in range(3)]
+    assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_ivf_recall_on_clusters(spark):
+    vecs = _clustered_vectors()
+    corpus, queries = _frames(spark, vecs)
+    exact = {q: set(_numpy_topk(vecs, q, 5)) for q in range(3)}
+    got = ivf_topk(corpus, queries, dim=DIM, k=5, n_clusters=4, n_probe=2).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [len(by_q.get(q, set()) & exact[q]) / 5 for q in range(3)]
+    assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_kmeans_lite_deterministic(spark):
+    vecs = _clustered_vectors()
+    corpus, _ = _frames(spark, vecs)
+    a = kmeans_lite(corpus, "embedding", DIM, n_clusters=4, n_iter=2).collect()
+    b = kmeans_lite(corpus, "embedding", DIM, n_clusters=4, n_iter=2).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))

@@ -1,0 +1,131 @@
+"""Streaming twins evidenced (SURVEY §2.9): each streaming job runs
+with Trigger.AvailableNow over a file-queue of parquet micro-batches
+and must agree with its batch twin on the same fixture.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.schemas import EVENTS
+from dataengineer_job_scraper_etl_spark.streaming.jobs import (
+    run_available_now,
+    running_user_totals,
+    session_windows,
+    stream_events,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [
+            {
+                "event_id": eid,
+                "ts": T0 + dt.timedelta(minutes=m),
+                "user_id": u,
+                "event_type": et,
+                "value": float(v),
+                "props": "{}",
+            }
+            for (eid, m, u, et, v) in rows
+        ],
+        EVENTS,
+    )
+
+
+def _fixture(spark, tmp_path, name):
+    """Two parquet drops appended into one stream dir + the batch df."""
+    rows1 = [(1, 0, 1, "click", 1.0), (2, 10, 1, "click", 2.0),
+             (3, 70, 2, "view", 3.0)]
+    rows2 = [(4, 75, 2, "view", 4.0), (5, 130, 1, "click", 5.0)]
+    d = str(tmp_path / name)
+    _mk_events(spark, rows1).coalesce(1).write.mode("append").parquet(d)
+    _mk_events(spark, rows2).coalesce(1).write.mode("append").parquet(d)
+    batch = _mk_events(spark, rows1 + rows2)
+    stream = stream_events(spark, d)
+    return stream, batch
+
+
+def _canon(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+def test_tumbling_counts_matches_batch(spark, tmp_path):
+    stream, batch = _fixture(spark, tmp_path, "ev1")
+    out = tumbling_counts(stream)
+    # complete mode: append would withhold windows the watermark has
+    # not passed yet (the fixture spans 130min < the 2h watermark)
+    run_available_now(out, "t_tumbling", str(tmp_path / "cp1"),
+                      output_mode="complete")
+    got = spark.table("t_tumbling").collect()
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w").getField("start").alias("window_start"),
+                "event_type", "n", "total_value")
+        .collect()
+    )
+    assert _canon(got) == _canon(expected) and len(got) > 0
+
+
+def test_session_windows_matches_batch(spark, tmp_path):
+    stream, batch = _fixture(spark, tmp_path, "ev2")
+    out = session_windows(stream, gap="30 minutes")
+    run_available_now(out, "t_sessions", str(tmp_path / "cp2"),
+                      output_mode="complete")
+    got = spark.table("t_sessions").collect()
+    expected = (
+        batch.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("sw").getField("start").alias("session_start"),
+                F.col("sw").getField("end").alias("session_end"),
+                "user_id", "n_events")
+        .collect()
+    )
+    assert _canon(got) == _canon(expected)
+    # user 1: events at 0,10 (one session) and 130 (another); user 2: one
+    assert len(got) == 3
+
+
+def test_streaming_dedup_by_event_id(spark, tmp_path):
+    rows1 = [(1, 0, 1, "click", 1.0), (2, 5, 1, "click", 2.0)]
+    # event 2 redelivered with a PERTURBED timestamp -> still deduped
+    rows2 = [(2, 6, 1, "click", 2.0), (3, 9, 2, "view", 3.0)]
+    d = str(tmp_path / "ev3")
+    _mk_events(spark, rows1).coalesce(1).write.mode("append").parquet(d)
+    _mk_events(spark, rows2).coalesce(1).write.mode("append").parquet(d)
+    out = streaming_dedup(stream_events(spark, d))
+    run_available_now(out, "t_dedup", str(tmp_path / "cp3"))
+    got = spark.table("t_dedup").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2, 3]
+
+
+def test_running_user_totals_final_state_matches_batch(spark, tmp_path):
+    stream, batch = _fixture(spark, tmp_path, "ev4")
+    # idle_timeout_ms=None: processing-time timeouts would keep the
+    # drain-mode query alive forever (see operator docstring)
+    out = running_user_totals(stream, idle_timeout_ms=None)
+    run_available_now(out, "t_running", str(tmp_path / "cp4"),
+                      output_mode="update")
+    got = spark.table("t_running").collect()
+    # running totals are monotone, so the max-n row per user is the
+    # final state regardless of micro-batch structure / row order
+    last = {}
+    for r in got:
+        cur = last.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            last[r["user_id"]] = (r["n_events"], r["total_value"])
+    expected = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert last == expected
