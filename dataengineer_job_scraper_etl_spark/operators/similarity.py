@@ -30,11 +30,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from dataengineer_job_scraper_etl_spark.functions.vector_math import (
-    cosine,
-    dot,
-    l2_norm,
-)
+from dataengineer_job_scraper_etl_spark.functions.vector_math import cosine, dot
+from dataengineer_job_scraper_etl_spark.operators.topk import grouped_topk
 
 
 def _as_double(col: Column) -> Column:
@@ -63,10 +60,8 @@ def brute_force_topk(
             ),
         )
     )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
+    return grouped_topk(
+        scored, [qid_col], [F.desc("cos_sim"), F.asc(id_col)], k
     )
 
 
@@ -144,9 +139,8 @@ def rhp_lsh_topk(
             "cos_sim"
         ),
     )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= k
+    return grouped_topk(
+        scored, [qid_col], [F.desc("cos_sim"), F.asc(id_col)], k
     )
 
 
@@ -284,7 +278,6 @@ def ivf_topk(
             "cos_sim"
         ),
     )
-    w = Window.partitionBy(qid_col).orderBy(F.desc("cos_sim"), F.asc(id_col))
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= k
+    return grouped_topk(
+        scored, [qid_col], [F.desc("cos_sim"), F.asc(id_col)], k
     )

@@ -67,16 +67,13 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(qe, ee).alias("sim"),
         )
     )
-    from pyspark.sql import Window
+    # two-stage top-k (operators/topk.py): a plain window over 5 qids
+    # would sort the whole scored corpus in <=5 tasks at scale.
+    from dataengineer_job_scraper_etl_spark.operators.topk import grouped_topk
 
-    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select(
-            "qid", "vec_id", F.round("sim", 6).alias("cos_sim"), "rnk"
-        )
-    )
+    return grouped_topk(
+        scored, ["qid"], [F.desc("sim"), F.asc("vec_id")], TOP_K
+    ).select("qid", "vec_id", F.round("sim", 6).alias("cos_sim"), "rnk")
 
 
 @register(
