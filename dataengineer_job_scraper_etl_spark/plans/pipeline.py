@@ -6,6 +6,8 @@ GCS handoff, etl/job_scrape.py:80 <-> etl/transform.py:31-34).
 
 from __future__ import annotations
 
+import urllib.parse
+from collections.abc import Mapping
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +30,45 @@ class PipelineResult:
     wrote_bronze: bool
     wrote_silver: bool
     silver: DataFrame
+
+
+def job_title_from_message(message: Mapping) -> str | None:
+    """F4/EP1 — the reference's Pub/Sub message guard chain
+    (main.py:54-65): abort (None) when the 'data' key is absent; read
+    attributes.job_title and URL-decode it (C9, main.py:61); abort when
+    the attribute is missing.
+
+    The reference has a known bug here — ``job_title_found`` is only
+    assigned on the success path (main.py:62) but read unconditionally
+    (main.py:69), raising NameError when the attribute is absent.
+    Deliberately NOT replicated (SURVEY §3): missing attribute is a
+    clean abort."""
+    if "data" not in message:
+        return None
+    attributes = message.get("attributes")
+    if not isinstance(attributes, Mapping):
+        return None
+    job_title = attributes.get("job_title")
+    if job_title is None:
+        return None
+    return urllib.parse.unquote(job_title)
+
+
+def run_from_message(
+    spark: SparkSession,
+    message: Mapping,
+    fetcher: Fetcher,
+    phrases: list[str],
+    silver_path: str,
+    **kwargs,
+) -> PipelineResult | None:
+    """EP1 entry shape: ``main(pubsub_message, ...)`` -> guard chain ->
+    one pipeline run for the decoded title; None = aborted on guard
+    (the reference logs and returns, main.py:56-60)."""
+    title = job_title_from_message(message)
+    if title is None:
+        return None
+    return run_pipeline(spark, [title], fetcher, phrases, silver_path, **kwargs)
 
 
 def run_pipeline(

@@ -112,6 +112,23 @@ def jobs_jobid_from_urn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jobs_url_decode",
+    f"{_POSTINGS_CTE} SELECT jobid, "
+    "replace(replace(replace('Data%20Engineer%2Frole%3Dde%2F' || jobid, "
+    "'%20', ' '), '%2F', '/'), '%3D', '=') AS decoded FROM postings",
+    doc="C9: URL decode (main.py:61, urllib.parse.unquote — the "
+    "'Data%20Engineer' -> 'Data Engineer' title decode). Spark side is "
+    "the real F.url_decode; DuckDB has no url_decode, so the oracle "
+    "mirrors this input's bounded escape set {%20,%2F,%3D} exactly via "
+    "replace.",
+)
+def jobs_url_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _postings(spark, sf_dir)
+    encoded = F.concat(F.lit("Data%20Engineer%2Frole%3Dde%2F"), F.col("jobid"))
+    return df.select("jobid", F.url_decode(encoded).alias("decoded"))
+
+
+@register(
     "jobs_filter_software",
     f"{_POSTINGS_CTE} SELECT jobid, title FROM postings "
     "WHERE NOT regexp_matches(title, 'Software')",

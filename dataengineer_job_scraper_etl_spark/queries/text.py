@@ -251,19 +251,33 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Document-frequency ceiling for the Jaccard near-dup vocabulary: a
+# term appearing in more than MAX_DF of the (bounded, <200) docs is
+# stopword-grade — its posting list makes the inverted-index self-join
+# quadratic in that term's df (the skew bomb at 100 TB: one hot term
+# = |df|^2 join rows in one task). Pruning it bounds every posting
+# list at MAX_DF, so the pair space is <= n_terms * MAX_DF^2 and no
+# single join key dominates. Jaccard is then computed over the pruned
+# vocabulary on BOTH engines (sizes too), keeping the oracle exact.
+JACCARD_MAX_DF = 100
+
+
 @register(
     "docs_near_dup_jaccard",
-    """
+    f"""
 WITH tok AS (
   SELECT doc_id,
          list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
   FROM documents WHERE doc_id < 200),
 posting AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tdf AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+kept AS (SELECT p.doc_id, p.term FROM posting p
+         JOIN tdf ON p.term = tdf.term WHERE tdf.df <= {JACCARD_MAX_DF}),
 pair_inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM posting a JOIN posting b ON a.term = b.term AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-sizes AS (SELECT doc_id, len(toks) AS sz FROM tok)
+sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id)
 SELECT doc_a, doc_b,
        round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
 FROM pair_inter
@@ -272,8 +286,11 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
 """,
     doc="N-gram (1-gram) Jaccard near-dup via inverted-index candidate "
-    "pairs — no cross join; LSH banding (operators/dedup.py) replaces "
-    "the exact pair count at 100 TB. doc_id<200 bounds the oracle.",
+    "pairs — no cross join, and terms with document frequency above "
+    f"JACCARD_MAX_DF={JACCARD_MAX_DF} are pruned BEFORE the self-join "
+    "(posting lists bounded, no hot join key). LSH banding "
+    "(operators/dedup.py) replaces the exact pair count at 100 TB. "
+    "doc_id<200 bounds the oracle.",
 )
 def docs_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
@@ -281,8 +298,16 @@ def docs_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("toks")
     )
     posting = tok.select("doc_id", F.explode("toks").alias("term"))
-    a = posting.alias("a")
-    b = posting.alias("b")
+    tdf = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # no broadcast hint: the kept-vocabulary size is corpus-dependent
+    # (unbounded at 100 TB) — AQE picks broadcast when it actually fits
+    kept = posting.join(
+        tdf.filter(F.col("df") <= JACCARD_MAX_DF).select("term"),
+        "term",
+        "left_semi",
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
     inter = (
         a.join(
             b,
@@ -294,7 +319,7 @@ def docs_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = tok.select("doc_id", F.size("toks").alias("sz"))
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     jac = F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
     return (
         inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))

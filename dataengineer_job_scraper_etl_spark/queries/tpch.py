@@ -316,3 +316,35 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("O"),
         F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("P"),
     )
+
+
+@register(
+    "agg_approx_distinct_tol",
+    """
+SELECT abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey)) * 1.0
+         / count(DISTINCT o_custkey) < 0.1 AS custkey_within_tol,
+       approx_count_distinct(o_orderpriority) = count(DISTINCT o_orderpriority)
+         AS priority_exact_small
+FROM orders
+""",
+    doc="approx_count_distinct (SURVEY §2.10): each engine runs its OWN "
+    "HLL sketch (Spark HLL++, DuckDB HyperLogLog — raw estimates are "
+    "not comparable across engines), so the oracle-checked contract is "
+    "the relative-error bound: estimate within 10% of the exact count "
+    "(measured ~1% on this data), and exact agreement in the "
+    "small-cardinality regime where both sketches degenerate to exact.",
+)
+def agg_approx_distinct_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.approx_count_distinct("o_custkey").alias("ac"),
+        F.countDistinct("o_custkey").alias("ec"),
+        F.approx_count_distinct("o_orderpriority").alias("ap"),
+        F.countDistinct("o_orderpriority").alias("ep"),
+    )
+    return agg.select(
+        (
+            F.abs(F.col("ac") - F.col("ec")) / F.col("ec") < 0.1
+        ).alias("custkey_within_tol"),
+        (F.col("ap") == F.col("ep")).alias("priority_exact_small"),
+    )
