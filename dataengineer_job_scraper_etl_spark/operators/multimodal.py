@@ -123,6 +123,108 @@ def extract_features(
     )
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resize_ok", T.BooleanType()),
+    ]
+)
+
+# resizer: (payload, width, height) -> resized payload bytes or None.
+Resizer = Callable[[bytes, int, int], "bytes | None"]
+
+
+def fake_resizer(payload: bytes, width: int, height: int) -> bytes | None:
+    """Deterministic stand-in for PIL's Image.resize: clamp/cycle the
+    payload to width*height bytes. Real codec absent from this image;
+    inject a Pillow-backed Resizer with the same signature."""
+    if payload is None or len(payload) == 0:
+        return None
+    n = width * height
+    reps = (n // len(payload)) + 1
+    return (bytes(payload) * reps)[:n]
+
+
+def resize_assets(
+    assets: DataFrame, width: int, height: int, resizer: Resizer = fake_resizer
+) -> DataFrame:
+    """Resize stage: narrow mapInPandas, 1 row in -> 1 row out, meta
+    width/height updated; failures -> resize_ok false, payload null."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for r in batch.itertuples(index=False):
+                try:
+                    out = resizer(r.payload, width, height)
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    out = None
+                rows.append(
+                    {
+                        "asset_id": r.asset_id,
+                        "modality": r.modality,
+                        "payload": out,
+                        "width": width if out is not None else None,
+                        "height": height if out is not None else None,
+                        "resize_ok": out is not None,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "modality", "payload", "width",
+                         "height", "resize_ok"],
+            )
+
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        run, RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    assets: DataFrame, frame_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling stage: 1 asset row -> N frame rows (the flatMap
+    shape a video pipeline needs), still a narrow mapInPandas — no
+    shuffle, frames inherit the asset's partition. The fake 'codec'
+    chunks the payload into fixed-size frames; a real deployment swaps
+    in an av/ffmpeg keyframe reader with the same output schema."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for r in batch.itertuples(index=False):
+                payload = r.payload
+                if payload is None:
+                    continue
+                data = bytes(payload)
+                for i in range(min(max_frames, max(1, len(data) // frame_bytes))):
+                    rows.append(
+                        {
+                            "asset_id": r.asset_id,
+                            "frame_idx": i,
+                            "frame": data[i * frame_bytes:(i + 1) * frame_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame"])
+
+    return assets.select("asset_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
 def meta_stats(assets: DataFrame) -> DataFrame:
     """Metadata-only profile — never touches ``payload``, so the scan
     prunes the binary column entirely (verify via ReadSchema in

@@ -80,3 +80,38 @@ def test_meta_stats_prunes_payload_column(spark, tmp_path):
     assert schemas and all("payload" not in s for s in schemas)
     # nested-field pruning too: only meta.n_bytes is read
     assert any("n_bytes" in s for s in schemas)
+
+
+def test_resize_assets_plumbing(spark):
+    from dataengineer_job_scraper_etl_spark.operators.multimodal import (
+        fake_resizer,
+        resize_assets,
+    )
+
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(b"abc")), (2, "image", None)],
+        "asset_id long, modality string, payload binary",
+    )
+    got = {r["asset_id"]: r for r in resize_assets(assets, 4, 2).collect()}
+    assert got[1]["resize_ok"] and len(got[1]["payload"]) == 8
+    assert bytes(got[1]["payload"]) == fake_resizer(b"abc", 4, 2)
+    assert got[1]["width"] == 4 and got[1]["height"] == 2
+    assert not got[2]["resize_ok"] and got[2]["payload"] is None
+
+
+def test_sample_frames_flatmap_shape(spark):
+    from dataengineer_job_scraper_etl_spark.operators.multimodal import sample_frames
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(bytes(range(200)))), (2, None), (3, bytearray(b"tiny"))],
+        "asset_id long, payload binary",
+    )
+    got = sample_frames(assets, frame_bytes=64, max_frames=8).collect()
+    by_asset: dict = {}
+    for r in got:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert len(by_asset[1]) == 3  # 200 // 64 frames
+    assert [r["frame_idx"] for r in sorted(by_asset[1], key=lambda r: r["frame_idx"])] == [0, 1, 2]
+    assert bytes(sorted(by_asset[1], key=lambda r: r["frame_idx"])[0]["frame"]) == bytes(range(64))
+    assert 2 not in by_asset  # null payload -> no frames
+    assert len(by_asset[3]) == 1 and bytes(by_asset[3][0]["frame"]) == b"tiny"
