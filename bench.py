@@ -36,6 +36,13 @@ HEADLINE += [
     "docs_near_dup_jaccard",
     "vec_cosine_topk",
 ]
+HEADLINE += [
+    "tpch_q13_customer_order_distribution",
+    "events_asof_purchase_view",
+    "neardup_minhash_lsh",
+    "multimodal_features",
+    "streaming_tumbling_hourly",
+]
 
 
 def _force(df) -> None:

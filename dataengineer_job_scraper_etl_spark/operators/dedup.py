@@ -166,7 +166,7 @@ def minhash_lsh_pairs(
             ]
         ).alias("sig"),
     )
-    banded = sig.select(
+    banded_plan = sig.select(
         "id",
         "sig",
         F.posexplode(
@@ -188,6 +188,11 @@ def minhash_lsh_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
+    # Materialize the banded sketch once: AQE defeats static exchange
+    # reuse here, so without this BOTH self-join branches recompute the
+    # whole shingle->signature pipeline (measured 2x cost at sf0.1).
+    # localCheckpoint truncates lineage; executor loss just recomputes.
+    banded = banded_plan.localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -296,7 +301,9 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("chunk_id", "chunk_val"),
-    )
+        # materialized once for the same reason as the minhash banding:
+        # the self-join would otherwise recompute the sketch per branch
+    ).localCheckpoint(eager=False)
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (

@@ -148,6 +148,55 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_purchase_view",
+    """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events),
+purchases AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+views AS (SELECT * FROM ev WHERE event_type = 'view')
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT v.event_id FROM views v
+        WHERE v.user_id = p.user_id AND v.ts <= p.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_event_id,
+       (SELECT round(v.value, 2) FROM views v
+        WHERE v.user_id = p.user_id AND v.ts <= p.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS view_value
+FROM purchases p
+""",
+    doc="As-of (point-in-time) join: each purchase joined to the "
+    "latest at-or-before view of the same user — the attribution "
+    "shape. Engine side is operators/asof.asof_join (union + ordered "
+    "window: ONE shuffle on user_id, no pair materialization); the "
+    "oracle is the correlated argmax subquery. Ties on (user, ts) "
+    "break by max event_id on both sides.",
+)
+def events_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.round("value", 2).alias("value")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        right_cols=["event_id", "value"],
+        suffix="_v",
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("event_id_v").alias("view_event_id"),
+        F.col("value_v").alias("view_value"),
+    )
+
+
+@register(
     "events_latest_per_user",
     """
 WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)

@@ -1,0 +1,123 @@
+"""Structured-Streaming queries as ORACLE-CHECKED catalog entries.
+
+Each entry stages the ``events`` fixture into a stream directory
+(micro-batch file queue), runs the watermarked streaming job with
+``Trigger.AvailableNow`` (drain everything, then stop — the
+reference's nightly-batch semantics, SURVEY §2.9), and returns the
+memory-sink result. The oracle is plain batch SQL over the same
+events — so the STREAMING execution path itself (watermarks, state
+store, micro-batch planner) is hash-verified against DuckDB, not just
+the batch twin.
+
+Staging notes: the fixture parquet stores TIMESTAMP(NANOS), which the
+streaming reader's declared TimestampType schema cannot scan directly;
+the stage pass truncates to micros (Spark's native precision — same
+values every downstream consumer sees) and writes two micro-batch
+files so the run exercises multi-batch state handoff.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+from dataengineer_job_scraper_etl_spark.queries.events import _events
+from dataengineer_job_scraper_etl_spark.streaming.jobs import (
+    run_available_now,
+    stream_events,
+    tumbling_counts,
+)
+
+_EV_CTE = (
+    "WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
+    "event_type, value, props FROM events)"
+)
+
+
+def _stage_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events fixture as a 2-file stream directory (cached
+    per (session, sf_dir) under the session's temp root)."""
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{key}")
+    marker = os.path.join(root, "_STAGED")
+    if not os.path.exists(marker):
+        e = _events(spark, sf_dir)
+        half = e.filter(F.col("event_id") % 2 == 0)
+        rest = e.filter(F.col("event_id") % 2 == 1)
+        half.coalesce(1).write.mode("append").parquet(root)
+        rest.coalesce(1).write.mode("append").parquet(root)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+def _drain(out: DataFrame, spark: SparkSession) -> DataFrame:
+    name = "q" + uuid.uuid4().hex[:12]
+    cp = os.path.join(tempfile.gettempdir(), "spark_graft_cp", name)
+    run_available_now(out, name, cp, output_mode="complete")
+    return spark.table(name)
+
+
+@register(
+    "streaming_tumbling_hourly",
+    f"""
+{_EV_CTE}
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM ev GROUP BY 1, 2
+""",
+    doc="events_tumbling_hourly executed through the STREAMING path: "
+    "watermarked tumbling windows, AvailableNow drain over a 2-file "
+    "micro-batch queue, memory sink — hash-checked against the same "
+    "batch SQL oracle as the batch twin (complete output mode, so the "
+    "final state is total).",
+)
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _stage_stream_dir(spark, sf_dir)
+    return _drain(tumbling_counts(stream_events(spark, d)), spark)
+
+
+@register(
+    "streaming_session_counts",
+    f"""
+{_EV_CTE}
+, gaps AS (
+  -- NB '>=': session_window's end is EXCLUSIVE (an event exactly
+  -- gap-after the previous one starts a NEW session), unlike the
+  -- batch lag-gap query's '>' — mirror the streaming semantics here.
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM gaps)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""",
+    doc="Native streaming session windows (F.session_window, 30-minute "
+    "gap) drained with AvailableNow, checked against the batch lag-gap "
+    "sessionization SQL: a session's window start == min(ts) of the "
+    "lag-gap group, so the two formulations must produce identical "
+    "(user, start, count) rows. NB: the oracle's running-sum window "
+    "omits the event_id tiebreak on purpose — session membership is "
+    "tiebreak-invariant (ties share a session either way) and the "
+    "grouped output makes any internal ordering unobservable.",
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.streaming.jobs import session_windows
+
+    d = _stage_stream_dir(spark, sf_dir)
+    out = session_windows(stream_events(spark, d))
+    return _drain(out, spark).select(
+        "user_id", F.col("session_start"), "n_events"
+    )

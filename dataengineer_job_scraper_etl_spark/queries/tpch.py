@@ -348,3 +348,185 @@ def agg_approx_distinct_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("custkey_within_tol"),
         (F.col("ap") == F.col("ep")).alias("priority_exact_small"),
     )
+
+
+@register(
+    "tpch_q4_order_priority_exists",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape: EXISTS correlated subquery -> left-semi join "
+    "on the fact key (Catalyst decorrelates; no row multiplication "
+    "from multi-match lineitems), then a low-cardinality agg. "
+    "Predicate adapted to this fixture's columns (no l_commitdate).",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 25
+""",
+    doc="TPC-H Q6 shape: highly selective conjunctive filter -> global "
+    "agg. All three predicates reach the parquet scan (PushedFilters); "
+    "the agg is a single partial+final pass with no groupBy shuffle "
+    "(one exchange of one partial row per partition).",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q13_customer_order_distribution",
+    """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape: left outer join with a join-side predicate "
+    "(kept in the ON clause — moving it to WHERE would change outer "
+    "semantics), per-customer count incl. zero, then the distribution "
+    "agg. Two shuffles total (join key, then tiny c_count agg).",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "set_intersect_customers",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    doc="INTERSECT set op: customers with both a finished and an open "
+    "order. Spark plans a left-semi aggregate join (distinct both "
+    "sides, hash-join on the full row) — one shuffle per side on the "
+    "set key.",
+)
+def set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(op)
+
+
+@register(
+    "set_except_customers",
+    """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""",
+    doc="EXCEPT set op: customers with finished orders and no open "
+    "ones (left-anti aggregate join).",
+)
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(op)  # subtract == EXCEPT DISTINCT
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+SELECT l_orderkey, l_linenumber, measure, round(val, 2) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey < 100
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+  FROM lineitem WHERE l_orderkey < 100)
+""",
+    doc="Unpivot/melt (wide -> long): df.unpivot is a single Expand "
+    "node — one pass over the input emitting 3 rows per input row, no "
+    "join, no shuffle; the oracle mirrors with UNION ALL arms.",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_tax"],
+        "measure",
+        "val",
+    )
+    return out.withColumn("val", F.round("val", 2))
+
+
+@register(
+    "events_value_percentiles",
+    """
+WITH ev AS (SELECT event_type, value FROM events)
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM ev GROUP BY event_type
+""",
+    doc="Exact interpolated percentiles per group: Spark percentile() "
+    "== DuckDB quantile_cont (both linear interpolation). Exact "
+    "percentile is a full-sort-per-group aggregate — at 100 TB swap "
+    "in approx_percentile (t-digest, mergeable partial aggs) and "
+    "widen the tolerance check like agg_approx_distinct_tol.",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.queries.events import _events
+
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9D)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99D)"), 4).alias("p99"),
+    )
