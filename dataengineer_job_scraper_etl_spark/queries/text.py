@@ -327,3 +327,43 @@ def docs_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents WHERE doc_id < 300),
+n_docs AS (SELECT count(*) AS n FROM tok),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+  WHERE term <> '' GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT t.doc_id, t.term,
+       round(t.tf * ln((SELECT n FROM n_docs) * 1.0 / df.df), 6) AS tfidf
+FROM tf t JOIN df ON t.term = df.term
+WHERE t.tf * ln((SELECT n FROM n_docs) * 1.0 / df.df) > 2.0
+""",
+    doc="TF-IDF scoring (text-analytics staple): per-doc term "
+    "frequencies, corpus document frequencies, tf * ln(N/df), "
+    "thresholded. Two keyed aggs + one join on term; the df table is "
+    "vocabulary-sized (AQE broadcasts when it fits). doc_id<300 "
+    "bounds the oracle; threshold (p99-ish on this corpus) keeps the output sparse.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    posting = d.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = posting.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = d.count()  # driver-side scalar: one tiny job, like the oracle's subquery
+    tdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    return (
+        tf.join(tdf, "term")
+        .filter(tfidf > 2.0)
+        .select("doc_id", "term", F.round(tfidf, 6).alias("tfidf"))
+    )
