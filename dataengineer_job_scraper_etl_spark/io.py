@@ -134,3 +134,25 @@ def write_if_nonempty(df: DataFrame, write_fn, *args, **kwargs) -> bool:
         return False
     write_fn(df, *args, **kwargs)
     return True
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed table: rows are pre-shuffled
+    into ``n_buckets`` files by ``bucket_cols`` at WRITE time, so every
+    subsequent join or aggregation on those columns skips its exchange
+    entirely (see tests/test_bucketed.py for the plan assertion).
+
+    This is the 100 TB answer to repeatedly-joined fact tables: pay
+    the shuffle once at ingest, never again per query. Bucketing
+    requires the table catalog (saveAsTable), not a bare path."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -530,3 +530,56 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.9D)"), 4).alias("p90"),
         F.round(F.expr("percentile(value, 0.99D)"), 4).alias("p99"),
     )
+
+
+@register(
+    "grouping_sets_orders",
+    """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    doc="GROUPING SETS (the general form of rollup/cube): one Expand "
+    "node emits a row per set per input row, then a single partial+ "
+    "final agg — not three scans. SQL API surface (spark.sql).",
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "window_rolling_30day_spend",
+    """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+         AS spend_30d
+FROM orders WHERE o_custkey < 200
+""",
+    doc="RANGE-frame window with a time interval (rolling 30-day spend "
+    "per customer): value-based frame bounds, not row counts — ties on "
+    "o_orderdate share a frame, so the result is order-insensitive and "
+    "oracle-safe. One shuffle on o_custkey.",
+)
+def window_rolling_30day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v2")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               round(sum(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+                 AS spend_30d
+        FROM orders_v2 WHERE o_custkey < 200
+        """
+    )
