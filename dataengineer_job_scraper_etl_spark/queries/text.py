@@ -261,30 +261,34 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vocabulary on BOTH engines (sizes too), keeping the oracle exact.
 JACCARD_MAX_DF = 100
 
-
-@register(
-    "docs_near_dup_jaccard",
-    f"""
-WITH tok AS (
+# CTE stack shared by the pair query and the cluster query's oracle.
+_JACCARD_CTES = """tok AS (
   SELECT doc_id,
          list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS toks
   FROM documents WHERE doc_id < 200),
 posting AS (SELECT doc_id, unnest(toks) AS term FROM tok),
 tdf AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
 kept AS (SELECT p.doc_id, p.term FROM posting p
-         JOIN tdf ON p.term = tdf.term WHERE tdf.df <= {JACCARD_MAX_DF}),
+         JOIN tdf ON p.term = tdf.term WHERE tdf.df <= {maxdf}),
 pair_inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
   GROUP BY 1, 2),
-sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id)
-SELECT doc_a, doc_b,
-       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
-FROM pair_inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
-""",
+sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+  FROM pair_inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8)""".format(
+    maxdf=JACCARD_MAX_DF
+)
+
+
+@register(
+    "docs_near_dup_jaccard",
+    f"WITH {_JACCARD_CTES}\nSELECT doc_a, doc_b, jaccard FROM pairs",
     doc="N-gram (1-gram) Jaccard near-dup via inverted-index candidate "
     "pairs — no cross join, and terms with document frequency above "
     f"JACCARD_MAX_DF={JACCARD_MAX_DF} are pruned BEFORE the self-join "
@@ -293,6 +297,10 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
     "doc_id<200 bounds the oracle.",
 )
 def docs_near_dup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs(spark, sf_dir)
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 200)
     tok = d.select(
         "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("toks")
@@ -366,4 +374,38 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(tdf, "term")
         .filter(tfidf > 2.0)
         .select("doc_id", "term", F.round(tfidf, 6).alias("tfidf"))
+    )
+
+
+@register(
+    "docs_dedup_clusters",
+    f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node
+""",
+    doc="Near-dup CLUSTERS: connected components over the Jaccard pair "
+    "edges (operators/components.py min-label propagation — keyed "
+    "joins + min-aggs per round, labels localCheckpoint'ed, no "
+    "collect). component = min reachable doc_id = the doc a dedup "
+    "pass would keep. Oracle: DuckDB recursive CTE computing exact "
+    "reachability minima over the same pairs.",
+)
+def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = _jaccard_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").cast("bigint")
+        .alias("component")
     )
