@@ -242,3 +242,58 @@ def events_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("value"), 4).alias("sd_v"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "events_scd2_user_history",
+    """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events),
+typed AS (SELECT * FROM ev WHERE event_type = 'signup')
+SELECT user_id, event_id, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         AS is_current
+FROM typed
+""",
+    doc="SCD-Type-2 history build (dimension versioning): each change "
+    "row gets [valid_from, valid_to) from its successor via lead(); "
+    "open-ended current row flagged. One shuffle on the business key; "
+    "the standard snapshot-merge pattern without a table format.",
+)
+def events_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).filter(F.col("event_type") == "signup")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "events_value_histogram",
+    """
+WITH ev AS (SELECT value FROM events)
+SELECT CASE WHEN value < 0.0 THEN 0
+            WHEN value >= 100.0 THEN 21
+            ELSE CAST(floor(value / 5.0) AS BIGINT) + 1 END AS bucket,
+       count(*) AS n,
+       round(min(value), 2) AS lo, round(max(value), 2) AS hi
+FROM ev GROUP BY bucket
+""",
+    doc="Equi-width histogram via width_bucket(0,100,20) incl. the "
+    "below/above overflow buckets 0 and 21; DuckDB has no "
+    "width_bucket, so the oracle mirrors its exact floor arithmetic. "
+    "A single partial agg keyed by <=22 buckets.",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    b = F.width_bucket("value", F.lit(0.0), F.lit(100.0), F.lit(20))
+    return e.groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )

@@ -142,3 +142,46 @@ def vec_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim_raw") > 0.4)
         .select("id_a", "id_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
     )
+
+
+@register(
+    "vec_quantize_int8_stats",
+    """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 500),
+scaled AS (
+  SELECT vec_id,
+         list_max(list_transform(e, x -> abs(x))) AS maxabs,
+         e
+  FROM v)
+SELECT vec_id,
+       round(maxabs, 6) AS scale,
+       CAST(list_sum(list_transform(e, x -> abs(floor(x * 127.0 / maxabs))))
+            AS BIGINT) AS l1_quantized
+FROM scaled WHERE maxabs > 0
+""",
+    doc="Int8 scalar quantization of embeddings (the storage-shrink "
+    "step before ANN serving): per-vector max-abs scale, floor to "
+    "[-127,127]. floor (not round) on both sides — engines disagree "
+    "on .5 rounding modes, floor never does. Output is the per-vector "
+    "L1 checksum of the quantized codes: array cells are not "
+    "canonicalizer-hashable, the checksum pins every code value.",
+)
+def vec_quantize_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 500
+    )
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(ed, lambda x: F.abs(x)))
+    df = e.select("vec_id", ed.alias("e"), maxabs.alias("maxabs")).filter(
+        F.col("maxabs") > 0
+    )
+    code = lambda x: F.abs(F.floor(x * 127.0 / F.col("maxabs")))  # noqa: E731
+    l1 = F.aggregate(
+        F.transform(F.col("e"), code), F.lit(0.0), lambda a, v: a + v
+    )
+    return df.select(
+        "vec_id",
+        F.round("maxabs", 6).alias("scale"),
+        l1.cast("bigint").alias("l1_quantized"),
+    )
