@@ -156,3 +156,43 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSONL sink (one JSON object per line — the interchange format
+    of the skill-pattern asset and most LLM-corpus tooling)."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — second columnar format, exercised so format choice
+    stays a one-line swap."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    tmp_suffix: str = "__compacting",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files (coalesce — a narrow, shuffle-free merge)
+    via a temp dir + atomic-ish swap. Returns the row count.
+
+    The small-files problem is the classic failure mode of per-batch
+    appends at scale (every micro-batch writes a file per partition);
+    compaction restores scan efficiency without changing data."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    tmp = path.rstrip("/") + tmp_suffix
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n

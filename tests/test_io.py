@@ -80,3 +80,36 @@ def test_rows_to_df_empty_keeps_schema(spark):
     # before any rows do
     empty = rows_to_df(spark, [], JOB_POSTING_RAW)
     assert empty.schema == JOB_POSTING_RAW and empty.count() == 0
+
+
+def test_json_roundtrip(spark, tmp_path):
+    from dataengineer_job_scraper_etl_spark.io import read_jsonl, write_json
+
+    path = str(tmp_path / "json_out")
+    write_json(_postings(spark).drop("ingest_date"), path)
+    back = read_jsonl(spark, path, schema=JOB_POSTING_RAW)
+    assert sorted(r["jobid"] for r in back.collect()) == ["1", "2"]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    from dataengineer_job_scraper_etl_spark.io import read_orc, write_orc
+
+    path = str(tmp_path / "orc_out")
+    write_orc(_postings(spark), path)
+    assert read_orc(spark, path).count() == 2
+
+
+def test_compact_parquet(spark, tmp_path):
+    from dataengineer_job_scraper_etl_spark.io import compact_parquet
+
+    path = str(tmp_path / "frag")
+    # fragment: 8 separate appends -> many small files
+    for i in range(8):
+        spark.range(i * 10, i * 10 + 10).write.mode("append").parquet(path)
+    n_before = len(list((tmp_path / "frag").glob("*.parquet")))
+    assert n_before >= 8
+    rows = compact_parquet(spark, path, target_files=1)
+    assert rows == 80
+    n_after = len(list((tmp_path / "frag").glob("*.parquet")))
+    assert n_after == 1
+    assert spark.read.parquet(path).count() == 80
