@@ -112,6 +112,29 @@ def jobs_jobid_from_urn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jobs_skills_trie_udf",
+    # same oracle as jobs_skills: the trie UDF must be value-identical
+    f"{_POSTINGS_CTE} SELECT jobid, "
+    f"coalesce(array_to_string({skills_oracle_sql('description', PHRASES)}, '|'), '') "
+    "AS skills FROM postings WHERE description IS NOT NULL",
+    doc="U3: the Arrow-batched trie pandas UDF path (per-worker trie "
+    "from a broadcast variable — where a real spaCy pipeline slots "
+    "in), checked against the SAME oracle as the native jobs_skills "
+    "entry, so the Python worker path itself is hash-verified.",
+)
+def jobs_skills_trie_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.skills import (
+        extract_skills_udf,
+    )
+
+    df = _postings(spark, sf_dir).na.drop(subset=["description"])
+    out = extract_skills_udf(spark, df, "description", PHRASES)
+    return out.select(
+        "jobid", F.array_join("skills", "|").alias("skills")
+    )
+
+
+@register(
     "jobs_url_decode",
     f"{_POSTINGS_CTE} SELECT jobid, "
     "replace(replace(replace('Data%20Engineer%2Frole%3Dde%2F' || jobid, "

@@ -113,3 +113,17 @@ def test_compact_parquet(spark, tmp_path):
     n_after = len(list((tmp_path / "frag").glob("*.parquet")))
     assert n_after == 1
     assert spark.read.parquet(path).count() == 80
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    path = str(tmp_path / "pp")
+    df = _postings(spark)
+    write_parquet_partitioned(df, path, partition_cols=("job_type",))
+    read = spark.read.parquet(path).filter(F.col("job_type") == "DE")
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    # the partition predicate must prune at the SCAN, not post-filter
+    assert "PartitionFilters: [" in plan
+    assert any(
+        "job_type" in l for l in plan.splitlines() if "PartitionFilters" in l
+    )
+    assert read.count() == 1
