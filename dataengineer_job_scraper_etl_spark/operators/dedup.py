@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from dataengineer_job_scraper_etl_spark.session import ensure_min_parallelism
+
 # ---------------------------------------------------------------- exact
 
 
@@ -44,6 +46,20 @@ def dedup_exact_by_digest(
 
 
 # -------------------------------------------------------------- shingles
+
+
+def _token_count(text: Column) -> Column:
+    """Whitespace token count under the same normalization ``shingles``
+    uses. ``size(shingles(t, n)) > 0`` is equivalent to
+    ``_token_count(t) >= n`` (and NULL text fails both) — but this one
+    is a single cheap pass, so it is SAFE for Catalyst to push below a
+    repartition exchange. Filtering on ``size(shingles(...))`` instead
+    would push the entire shingle construction into the (narrow,
+    few-partition) scan stage and then recompute it downstream —
+    measured 2x the whole sketch cost at sf0.1."""
+    return F.size(
+        F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+    )
 
 
 def shingles(text: Column, n: int = 3) -> Column:
@@ -97,15 +113,30 @@ def _hash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     return params
 
 
-def _affine(a: int, b: int):
-    """Single-parameter lambda factory: PySpark infers higher-order-
-    function arity from the Python signature, so default-arg captures
-    (``lambda x, a=a:``) would be mis-read as an (element, index)
-    lambda. Close over instead."""
-    return lambda x: F.pmod(
-        F.lit(a) * F.pmod(x, F.lit(_MERSENNE_31)) + F.lit(b),
-        F.lit(_MERSENNE_31),
-    )
+def _signature_from_hashes(
+    base_hashes: Column, num_hashes: int, seed: int
+) -> Column:
+    """All ``num_hashes`` running minima in ONE aggregate pass over the
+    base-hash array (vs num_hashes independent array_min(transform(...))
+    projections, which re-traverse the array once per hash function —
+    measured ~2x wall cost for the whole LSH query at sf0.1).
+
+    Per element: reduce x mod p once, then zip the (a, b) coefficient
+    arrays (plan literals) into the 64 candidate hashes and fold them
+    into the accumulator with least(). Empty input -> all-p sentinel
+    signature (callers filter empty shingle sets out first)."""
+    params = _hash_params(num_hashes, seed)
+    a_arr = F.array(*[F.lit(a) for a, _ in params])
+    b_arr = F.array(*[F.lit(b) for _, b in params])
+    p = F.lit(_MERSENNE_31)
+
+    def step(acc: Column, x: Column) -> Column:
+        xm = F.pmod(x, p)
+        hashes = F.zip_with(a_arr, b_arr, lambda a, b: F.pmod(a * xm + b, p))
+        return F.zip_with(acc, hashes, lambda m, h: F.least(m, h))
+
+    init = F.array_repeat(p.cast("long"), num_hashes)
+    return F.aggregate(base_hashes, init, step)
 
 
 def minhash_signature(
@@ -114,14 +145,10 @@ def minhash_signature(
     """MinHash signature as array<bigint> of length ``num_hashes``.
 
     Each shingle is base-hashed once with xxhash64, then rehashed
-    through the affine family; min per hash function. All array
-    higher-order functions — per-row cost O(|shingles| * num_hashes)
-    with zero shuffle and zero Python."""
+    through the affine family; min per hash function, all minima
+    carried in a single aggregate pass. Zero shuffle, zero Python."""
     base = F.transform(shingle_arr, lambda s: F.xxhash64(s))
-    sig = []
-    for a, b in _hash_params(num_hashes, seed):
-        sig.append(F.array_min(F.transform(base, _affine(a, b))))
-    return F.array(*sig)
+    return _signature_from_hashes(base, num_hashes, seed)
 
 
 def minhash_lsh_pairs(
@@ -144,27 +171,33 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
 
+    # Fan a small input out to all cores BEFORE the CPU-heavy sketch
+    # projection: a one-row-group parquet file scans as 1-2 partitions
+    # and would pin the whole signature stage to 1-2 cores (measured
+    # 12s -> ~4s at sf0.1 on local[32]). No-op at scale (never
+    # repartitions down), and only the narrow (id, text) moves.
+    # Docs too short for a single shingle have no sketch — keep them
+    # out of banding (they would otherwise all share the sentinel
+    # signature and collide in every band). The filter uses the cheap
+    # token-count twin of the shingle-emptiness test so its inevitable
+    # pushdown below the exchange stays cheap (see _token_count).
+    src = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .filter(_token_count(F.col("__text")) >= shingle_n)
+    )
     # Materialize the base shingle hashes in their own projection:
     # without this, Catalyst inlines `shingles(...)` into each of the 64
     # per-hash-function transforms and the (expensive, stringy) shingle
     # construction runs 64x per row (measured 10x slowdown at sf0.01).
-    base = df.select(
-        F.col(id_col).alias("id"),
+    base = src.select(
+        "id",
         F.transform(
-            shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+            shingles(F.col("__text"), shingle_n), lambda s: F.xxhash64(s)
         ).alias("base"),
-        # Docs too short for a single shingle have no sketch — keep
-        # them out of banding (array_min of [] is null, and every such
-        # doc would otherwise collide in every band).
-    ).filter(F.size("base") > 0)
+    )
     sig = base.select(
         "id",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("base"), _affine(a, b)))
-                for a, b in _hash_params(num_hashes, seed)
-            ]
-        ).alias("sig"),
+        _signature_from_hashes(F.col("base"), num_hashes, seed).alias("sig"),
     )
     banded_plan = sig.select(
         "id",
@@ -285,11 +318,16 @@ def simhash_neardup_pairs(
     pair within hamming distance 3 shares at least one exact 16-bit
     chunk), join within blocks, verify full hamming distance. Shuffle
     key is (chunk_id, chunk_value) — never all-pairs."""
-    # Shingle-less docs all sketch to the zero vector and would
-    # pairwise "collide" at hamming 0 — exclude them up front.
-    sh = df.filter(F.size(shingles(F.col(text_col), shingle_n)) > 0).select(
-        F.col(id_col).alias("id"), simhash64(F.col(text_col), shingle_n).alias("sh")
+    # Fan small inputs out to all cores before the sketch projection
+    # (same rationale as minhash_lsh_pairs; no-op at scale). Shingle-
+    # less docs all sketch to the zero vector and would pairwise
+    # "collide" at hamming 0 — excluded up front via the cheap
+    # token-count twin (pushdown-safe, see _token_count).
+    src = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .filter(_token_count(F.col("__text")) >= shingle_n)
     )
+    sh = src.select("id", simhash64(F.col("__text"), shingle_n).alias("sh"))
     chunks = sh.select(
         "id",
         "sh",

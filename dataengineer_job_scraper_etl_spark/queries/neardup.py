@@ -23,6 +23,7 @@ from dataengineer_job_scraper_etl_spark.operators.similarity import (
     ivf_topk,
     rhp_lsh_topk,
 )
+from dataengineer_job_scraper_etl_spark.session import ensure_min_parallelism
 
 EMBED_DIM = 64
 
@@ -72,7 +73,9 @@ def neardup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="SimHash64 fingerprint per document (the sketch itself).",
 )
 def neardup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = ensure_min_parallelism(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
     return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
 
 

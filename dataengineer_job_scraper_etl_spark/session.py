@@ -63,3 +63,30 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_min_parallelism(df, min_partitions: int | None = None):
+    """Round-robin repartition ``df`` up to ``min_partitions`` (default:
+    the cluster's defaultParallelism) IF it currently has fewer
+    partitions; no-op otherwise.
+
+    Why: a small parquet file (one row group) scans as 1-2 partitions,
+    so a CPU-heavy downstream projection (minhash signatures, simhash
+    sketches) runs on 1-2 cores no matter how wide the cluster is.
+    Scan-level splitting (files.minPartitionNum) cannot split inside a
+    row group, so a tiny shuffle is the correct fix. At 100 TB the scan
+    already has >> defaultParallelism partitions and this is a no-op —
+    we never repartition DOWN, so large inputs are never shuffled.
+
+    Call this on a NARROW projection (ids + the columns the expensive
+    stage needs), before the expensive expressions, so the heavy
+    compute lands after the exchange.
+    """
+    target = (
+        min_partitions
+        if min_partitions is not None
+        else df.sparkSession.sparkContext.defaultParallelism
+    )
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
