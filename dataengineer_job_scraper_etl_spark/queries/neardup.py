@@ -100,6 +100,66 @@ def ann_rhp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _recall_contract(
+    ann: DataFrame, exact: DataFrame, min_hits: int
+) -> DataFrame:
+    """Per-query recall contract: TRUE iff the ANN result recovered at
+    least ``min_hits`` of the exact top-10. The hash families are
+    seeded literals, so recall is deterministic per fixture — the
+    oracle can assert the contract (all TRUE) and the driver's hash
+    check enforces a hard recall floor on the approximate path."""
+    hits = ann.join(exact.select("qid", "vec_id"), ["qid", "vec_id"], "left_semi")
+    per_q = hits.groupBy("qid").agg(F.count("*").alias("n_hit"))
+    all_q = exact.select("qid").distinct()
+    return (
+        all_q.join(per_q, "qid", "left")
+        .select(
+            "qid",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) >= min_hits).alias("recall_ok"),
+        )
+    )
+
+
+_RECALL_ORACLE = """
+SELECT DISTINCT vec_id AS qid, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
+
+
+@register(
+    "ann_recall_rhp_lsh",
+    _RECALL_ORACLE,
+    doc="Hard recall floor for the RHP-LSH ANN path: per query vector, "
+    "the 8-table multi-probe config must recover >=2 of the exact "
+    "cosine top-10 (measured 4-8 at sf0.01/sf0.1; deterministic seeded "
+    "hyperplanes make the margin stable). Turns the rows-only LSH "
+    "evidence into an oracle-checked recall@10 bound.",
+)
+def ann_recall_rhp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.queries.vectors import vec_cosine_topk
+
+    e, q = _vectors(spark, sf_dir)
+    ann = rhp_lsh_topk(e, q, dim=EMBED_DIM, k=10, n_tables=8, multiprobe=1)
+    exact = vec_cosine_topk(spark, sf_dir)
+    return _recall_contract(ann, exact, min_hits=2)
+
+
+@register(
+    "ann_recall_ivf",
+    _RECALL_ORACLE,
+    doc="Hard recall floor for the IVF ANN path: per query vector, "
+    "probing 4 of 16 lists must recover >=2 of the exact cosine top-10 "
+    "(measured 3-9 across sf0.01/sf0.1; deterministic seeded k-means).",
+)
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.queries.vectors import vec_cosine_topk
+
+    e, q = _vectors(spark, sf_dir)
+    ann = ivf_topk(e, q, dim=EMBED_DIM, k=10)
+    exact = vec_cosine_topk(spark, sf_dir)
+    return _recall_contract(ann, exact, min_hits=2)
+
+
 @register(
     "ann_ivf_topk",
     None,
