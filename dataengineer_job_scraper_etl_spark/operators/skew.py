@@ -38,7 +38,20 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the left side salted and the right side
     replicated across all salt values. Result equals
-    ``left.join(right, on, how)`` for inner/left joins."""
+    ``left.join(right, on, how)`` for left-oriented joins ONLY: with
+    'right'/'full', every unmatched right row would be emitted once
+    per salt replica (n_salt duplicate null-extended rows), so those
+    modes are rejected up front."""
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti",
+    }
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join is only correct for left-oriented joins "
+            f"(got how={how!r}): the right side is replicated per salt, "
+            f"so right/full-outer would duplicate unmatched right rows"
+        )
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt)
     ).alias("__salt")

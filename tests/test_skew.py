@@ -58,3 +58,13 @@ def test_two_stage_distinct_count(spark):
         for r in two_stage_agg_distinct_count(df, ["k"], "v").collect()
     }
     assert plain == salted
+
+
+def test_salted_join_rejects_right_oriented_modes(spark):
+    import pytest
+
+    left = _skewed(spark)
+    right = spark.createDataFrame([(1, "one")], "k long, label string")
+    for how in ("right", "full", "full_outer", "cross"):
+        with pytest.raises(ValueError, match="left-oriented"):
+            salted_join(left, right, ["k"], how=how)
