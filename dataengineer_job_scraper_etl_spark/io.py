@@ -182,17 +182,42 @@ def compact_parquet(
 ) -> int:
     """Small-file compaction: rewrite a parquet directory into
     ``target_files`` files (coalesce — a narrow, shuffle-free merge)
-    via a temp dir + atomic-ish swap. Returns the row count.
+    via a temp dir + rename swap. Returns the row count.
 
     The small-files problem is the classic failure mode of per-batch
     appends at scale (every micro-batch writes a file per partition);
-    compaction restores scan efficiency without changing data."""
-    import shutil
+    compaction restores scan efficiency without changing data.
 
+    Filesystem handling goes through the Hadoop FileSystem API, so any
+    scheme Spark can write (file://, hdfs://, gs://, s3a:// with the
+    connector on the classpath) compacts the same way — no local-only
+    shutil. Swap order is crash-recoverable: tmp is fully written,
+    then path -> path__old, tmp -> path, delete path__old; at every
+    crash point a complete copy of the data exists under a known name.
+    The swap is NOT atomic for concurrent readers — a reader listing
+    the directory between the two renames sees a missing path (and on
+    object stores rename itself is a copy, not a metadata op); run
+    compaction in a maintenance window or behind a table format
+    (Delta/Iceberg) when readers are live."""
     df = spark.read.parquet(path)
     n = df.count()
-    tmp = path.rstrip("/") + tmp_suffix
+    base = path.rstrip("/")
+    tmp = base + tmp_suffix
+    old = base + "__old"
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    hold = jvm.org.apache.hadoop.fs.Path(old)
+    htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    if fs.exists(hold):  # leftover from a crashed prior run
+        fs.delete(hold, True)
+    if not fs.rename(hpath, hold):
+        raise IOError(f"compact_parquet: rename {base} -> {old} failed")
+    if not fs.rename(htmp, hpath):
+        # restore the original so the table never disappears
+        fs.rename(hold, hpath)
+        raise IOError(f"compact_parquet: rename {tmp} -> {base} failed")
+    fs.delete(hold, True)
     return n

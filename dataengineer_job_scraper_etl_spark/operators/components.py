@@ -33,7 +33,13 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) — component = min node id reachable via
     undirected edges. Nodes appearing only in edges are covered; pass
-    isolated nodes separately if they must appear."""
+    isolated nodes separately if they must appear.
+
+    Raises RuntimeError if labels are still changing after
+    ``max_iter`` rounds (propagation distance exceeded the budget,
+    e.g. a chain longer than max_iter+1 nodes): silently returning
+    partially-propagated labels would be WRONG data with no signal —
+    callers should raise max_iter for high-diameter graphs."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -71,5 +77,9 @@ def connected_components(
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within max_iter={max_iter} "
+        f"rounds; the graph's propagation distance exceeds the budget — "
+        f"raise max_iter"
+    )

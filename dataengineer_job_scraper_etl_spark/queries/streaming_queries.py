@@ -40,19 +40,44 @@ _EV_CTE = (
 
 
 def _stage_stream_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Write the events fixture as a 2-file stream directory (cached
-    per (session, sf_dir) under the session's temp root)."""
+    """Write the events fixture as a 2-file stream directory, cached in
+    the temp root keyed by a FINGERPRINT of the source fixture
+    (size + mtime): regenerated fixtures get a fresh stage dir instead
+    of silently reusing stale batches from an earlier run.
+
+    Staging is crash- and race-safe: batches are written into a
+    private temp dir, then a single os.rename publishes the complete
+    directory — the existence of the final root IS the staged marker,
+    so no partially-written root is ever observable. If two processes
+    race, the loser's rename fails against the winner's (complete)
+    directory and its temp copy is discarded."""
+    import hashlib
+    import shutil
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{src}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:12]
     key = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_stream_{key}")
-    marker = os.path.join(root, "_STAGED")
-    if not os.path.exists(marker):
-        e = _events(spark, sf_dir)
-        half = e.filter(F.col("event_id") % 2 == 0)
-        rest = e.filter(F.col("event_id") % 2 == 1)
-        half.coalesce(1).write.mode("append").parquet(root)
-        rest.coalesce(1).write.mode("append").parquet(root)
-        with open(marker, "w") as f:
-            f.write("ok")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_{key}_{fp}"
+    )
+    if os.path.exists(root):
+        return root
+    tmp = tempfile.mkdtemp(prefix="spark_graft_stage_")
+    staged = os.path.join(tmp, "data")
+    e = _events(spark, sf_dir)
+    half = e.filter(F.col("event_id") % 2 == 0)
+    rest = e.filter(F.col("event_id") % 2 == 1)
+    half.coalesce(1).write.mode("append").parquet(staged)
+    rest.coalesce(1).write.mode("append").parquet(staged)
+    try:
+        os.rename(staged, root)
+    except OSError:
+        pass  # concurrent stager won the race; its dir is complete
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return root
 
 

@@ -367,11 +367,15 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
     ).filter(F.col("term") != "")
     tf = posting.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = d.count()  # driver-side scalar: one tiny job, like the oracle's subquery
+    # Corpus size as a broadcast 1-row frame, not a driver-side
+    # d.count(): keeps the whole query ONE job (no separate count
+    # action) and one plan Catalyst can see end-to-end.
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     tdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    tfidf = F.col("tf") * F.log(F.col("__n") / F.col("df"))
     return (
         tf.join(tdf, "term")
+        .crossJoin(F.broadcast(n_docs))
         .filter(tfidf > 2.0)
         .select("doc_id", "term", F.round(tfidf, 6).alias("tfidf"))
     )

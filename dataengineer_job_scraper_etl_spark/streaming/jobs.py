@@ -215,14 +215,23 @@ def run_foreach_batch_parquet(
 ) -> Any:
     """foreachBatch sink: each micro-batch lands as parquet via the
     BATCH writer — the escape hatch for sinks/logic streaming writers
-    can't express (merges, multi-table fan-out). Exactly-once comes
-    from the checkpoint's batch-id tracking plus the idempotent write
-    (re-run of a failed batch overwrites the same files)."""
+    can't express (merges, multi-table fan-out).
+
+    Exactly-once = checkpoint batch-id tracking + a write that is
+    IDEMPOTENT per batch id: output is partitioned by __batch_id and
+    written with dynamic partition overwrite, so a batch retried after
+    a partial failure replaces exactly its own partition instead of
+    appending duplicate part-files (a blind mode('append') here would
+    silently downgrade the sink to at-least-once)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(path)
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
 
     q = (
         out.writeStream.foreachBatch(write_batch)

@@ -32,3 +32,15 @@ def test_clique_and_cycle(spark):
     got = _cc(spark, clique + cycle)
     assert {got[n] for n in range(4)} == {0}
     assert {got[n] for n in (20, 21, 22)} == {20}
+
+
+def test_raises_on_non_convergence(spark):
+    import pytest
+
+    # a 13-node chain needs 12 propagation rounds; max_iter=3 must
+    # raise instead of returning partially-propagated (wrong) labels
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)

@@ -183,3 +183,38 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     back = spark.read.parquet(out_path)
     assert back.count() == batch.count()
     assert "__batch_id" in back.columns
+
+    # exactly-once: replaying the same batches (fresh checkpoint ->
+    # same batch ids) must overwrite each batch's partition, not
+    # append duplicates
+    run_foreach_batch_parquet(stream, out_path, str(tmp_path / "cp7_retry"))
+    assert spark.read.parquet(out_path).count() == batch.count()
+
+
+def test_stage_dir_refreshes_on_fixture_change(spark, tmp_path):
+    """A regenerated fixture (new mtime/size) must get a fresh stage
+    dir — the round-2 cache keyed only by sf_dir path silently served
+    stale batches after fixture changes."""
+    import os
+    import shutil
+
+    from dataengineer_job_scraper_etl_spark.queries.streaming_queries import (
+        _stage_stream_dir,
+    )
+
+    sf_copy = tmp_path / "sf"
+    sf_copy.mkdir()
+    src = "/root/testdata/sf0.001/events.parquet"
+    dst = str(sf_copy / "events.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copyfile)(src, dst)
+
+    first = _stage_stream_dir(spark, str(sf_copy))
+    assert os.path.isdir(first)
+    again = _stage_stream_dir(spark, str(sf_copy))
+    assert again == first  # cache hit while the fixture is unchanged
+
+    # simulate regeneration: bump mtime
+    os.utime(dst, (os.path.getmtime(dst) + 10, os.path.getmtime(dst) + 10))
+    refreshed = _stage_stream_dir(spark, str(sf_copy))
+    assert refreshed != first
+    assert os.path.isdir(refreshed)
