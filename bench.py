@@ -43,6 +43,11 @@ HEADLINE += [
     "multimodal_features",
     "streaming_tumbling_hourly",
 ]
+HEADLINE += [
+    "docs_dedup_clusters",
+    "text_tfidf_top_terms",
+    "ann_ivf_topk",
+]
 
 
 def _force(df) -> None:
