@@ -79,6 +79,74 @@ def neardup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
 
 
+@register(
+    "neardup_minhash_planted_recall",
+    """
+SELECT doc_id, TRUE AS found
+FROM documents WHERE doc_id % 10 = 0
+""",
+    doc="Hard per-document contract on the MinHash+LSH path: EVERY "
+    "planted near-duplicate (first word changed, jaccard ~0.9) must "
+    "surface as a candidate pair with est_jaccard >= 0.5. Banding "
+    "theory says P(miss) ~ (1 - 0.9^4)^16 ~ 1e-3 per pair and the "
+    "seeded hash family is deterministic (measured 50/50 at sf0.01, "
+    "500/500 at sf0.1). Converts the rows-only sketch evidence into "
+    "an oracle-checked guarantee.",
+)
+def neardup_minhash_planted_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = neardup_minhash_lsh(spark, sf_dir)
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    found = pairs.filter(F.col("id_b") == F.col("id_a") + 1000000).select(
+        F.col("id_a").alias("doc_id")
+    )
+    return planted.join(found, "doc_id", "left_semi").select(
+        "doc_id", F.lit(True).alias("found")
+    )
+
+
+@register(
+    "neardup_simhash_planted_recall",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_planted, TRUE AS recall_ok
+FROM documents WHERE doc_id % 10 = 0
+""",
+    doc="Aggregate floor on the SimHash path: hamming<=3 on 64 bits is "
+    "a deliberately strict near-dup bar (one changed word flips >3 "
+    "bits in many short docs), so the contract is recall >= 0.3 of "
+    "planted dups (measured 0.43-0.44 at sf0.01/sf0.1; deterministic "
+    "xxhash sketch).",
+)
+def neardup_simhash_planted_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = neardup_simhash(spark, sf_dir)
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+    found = pairs.filter(F.col("id_b") == F.col("id_a") + 1000000).select(
+        F.col("id_a").alias("doc_id")
+    )
+    n_found = planted.join(found, "doc_id", "left_semi").agg(
+        F.count("*").alias("__nf")
+    )
+    return (
+        planted.agg(F.count("*").alias("n_planted"))
+        .crossJoin(F.broadcast(n_found))
+        .select(
+            "n_planted",
+            (F.col("__nf") >= F.col("n_planted") * 0.3).alias("recall_ok"),
+        )
+    )
+
+
 def _vectors(spark: SparkSession, sf_dir: str):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.filter(F.col("vec_id") < 5).select(
