@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from dataengineer_job_scraper_etl_spark.functions.vector_math import cosine, dot
 from dataengineer_job_scraper_etl_spark.operators.topk import grouped_topk
+from dataengineer_job_scraper_etl_spark.session import ensure_min_parallelism
 
 
 def _as_double(col: Column) -> Column:
@@ -48,10 +49,12 @@ def brute_force_topk(
     k: int = 10,
 ) -> DataFrame:
     """Exact cosine top-k of corpus rows per query row (queries small,
-    broadcast)."""
+    broadcast). The corpus is fanned out to all cores first — a
+    single-row-group parquet scan is 1 partition, which would run the
+    whole scoring pass on one core (no-op at scale)."""
     scored = (
         F.broadcast(queries)
-        .crossJoin(corpus)
+        .crossJoin(ensure_min_parallelism(corpus))
         .select(
             F.col(qid_col),
             F.col(id_col),
@@ -105,6 +108,8 @@ def rhp_lsh_topk(
     table. One scan, one cross join against <=16 rows, one projection.
     """
     spark = corpus.sparkSession
+    corpus = ensure_min_parallelism(corpus)  # 1-partition scans would
+    # otherwise pin the bucket+rerank stages to one core (no-op at scale)
     planes_rows = [
         (t, _hyperplanes(dim, n_bits, seed + 1000 * t))
         for t in range(n_tables)
@@ -187,6 +192,10 @@ def kmeans_lite(
         for cid in range(n_clusters)
     ]
     spark = corpus.sparkSession
+    # Fan the corpus out once and truncate lineage: every Lloyd round
+    # re-reads it (assign + per-dim partial means), so a 1-partition
+    # scan would serialize all rounds on one core.
+    corpus = ensure_min_parallelism(corpus).localCheckpoint(eager=False)
     for _ in range(n_iter):
         cent_df = spark.createDataFrame(
             [(cid, vec) for cid, vec in cents], "cluster_id int, centroid array<double>"
@@ -274,6 +283,7 @@ def ivf_topk(
 
     At scale the inverted corpus is written bucketed by cluster_id so
     repeated query batches prune to the probed lists at scan time."""
+    corpus = ensure_min_parallelism(corpus)
     cents = kmeans_lite(corpus, vec_col, dim, n_clusters, n_iter, seed)
     inverted = assign_to_centroid(corpus, cents, vec_col)
 
