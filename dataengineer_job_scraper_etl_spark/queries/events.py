@@ -297,3 +297,53 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------- merge
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Relational MERGE (last-writer-wins upsert): rows in ``updates``
+    replace same-key rows in ``base``; new keys are appended. One
+    anti-join shuffle on the key + a union — the DataFrame rendering
+    of Delta/Iceberg MERGE for environments without a table format.
+    At 100 TB prefer a real table format (file-level pruning +
+    transactional swap); semantics here are identical.
+
+    Both inputs must share a schema; updates must be key-unique
+    (dedupe upstream — this operator does not arbitrate intra-batch
+    conflicts)."""
+    return base.join(updates, key_cols, "left_anti").unionByName(updates)
+
+
+@register(
+    "events_merge_upsert",
+    """
+WITH base AS (
+  SELECT event_id, round(value, 2) AS value, 'base' AS src
+  FROM events WHERE event_id % 3 <> 0),
+u AS (
+  SELECT event_id, round(value, 2) AS value, 'upd' AS src
+  FROM events WHERE event_id % 5 = 0)
+SELECT event_id, value, src FROM base
+WHERE event_id NOT IN (SELECT event_id FROM u)
+UNION ALL
+SELECT event_id, value, src FROM u
+""",
+    doc="MERGE/upsert semantics as anti-join + union (merge_upsert "
+    "operator): an update batch replaces matching snapshot keys and "
+    "inserts new ones. The src column proves provenance: every "
+    "overlapping key must come out tagged 'upd'. Oracle is the "
+    "NOT IN + UNION ALL rendering.",
+)
+def events_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    base = e.filter(F.col("event_id") % 3 != 0).select(
+        "event_id", F.round("value", 2).alias("value"), F.lit("base").alias("src")
+    )
+    updates = e.filter(F.col("event_id") % 5 == 0).select(
+        "event_id", F.round("value", 2).alias("value"), F.lit("upd").alias("src")
+    )
+    return merge_upsert(base, updates, ["event_id"])

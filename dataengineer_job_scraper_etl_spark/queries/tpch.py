@@ -1025,3 +1025,50 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "window_ntile_customer_quartiles",
+    """
+SELECT o_orderkey, o_custkey,
+       ntile(4) OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+FROM orders
+""",
+    doc="ntile window: per-customer spend quartiles. Partition-local "
+    "ranking — one shuffle on o_custkey, no global sort.",
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey", "o_custkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@register(
+    "window_percentrank_event_values",
+    """
+SELECT event_id, event_type,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""",
+    doc="percent_rank + cume_dist windows over event values per type "
+    "(deterministic via the event_id tiebreak). One shuffle on "
+    "event_type.",
+)
+def window_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.queries.events import _events
+
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
