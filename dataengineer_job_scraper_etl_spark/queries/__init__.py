@@ -10,6 +10,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     jobs,
     multimodal,
     neardup,
+    sampling,
     skewq,
     streaming_queries,
     text,

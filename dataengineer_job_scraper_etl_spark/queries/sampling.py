@@ -1,0 +1,142 @@
+"""Sampling / dataset-splitting operators (training-pipeline staples).
+
+Deterministic hash-based splitting is THE way to partition a corpus at
+scale: stateless per-row predicate (no shuffle, no RNG state, stable
+across reruns and engines), so membership never flips between runs.
+md5's hex string is identical in Spark and DuckDB, which makes the
+whole family fully oracle-checkable — unlike seeded RNG sampling
+(sample()/sampleBy()), whose engine-specific generators get a
+tolerance CONTRACT instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """Assign each row a deterministic split label from the first hex
+    nibble of md5(key): 16 buckets, allocated per ``splits`` = list of
+    (label, n_buckets) summing to 16. Default 12/2/2 = 75/12.5/12.5
+    train/val/test. Same key -> same split, forever, on any engine."""
+    splits = splits or [("train", 12), ("val", 2), ("test", 2)]
+    assert sum(n for _, n in splits) == 16
+    # hex nibble -> 0..15 without numeric parsing: position in the
+    # lowercase hex alphabet (both engines emit lowercase hex)
+    bucket = F.expr(
+        f"position(substring(md5(cast({key_col} as string)), 1, 1) "
+        f"in '0123456789abcdef') - 1"
+    )
+    expr = None
+    lo = 0
+    for label, n in splits:
+        cond = (bucket >= lo) & (bucket < lo + n)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+        lo += n
+    return df.withColumn("split", expr)
+
+
+@register(
+    "docs_train_val_test_split",
+    """
+WITH tagged AS (
+  SELECT doc_id,
+         CASE
+           WHEN b < 12 THEN 'train'
+           WHEN b < 14 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM (
+    SELECT doc_id,
+           position(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    in '0123456789abcdef') - 1 AS b
+    FROM documents))
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM tagged GROUP BY split
+""",
+    doc="Deterministic 75/12.5/12.5 train/val/test split of documents "
+    "from the first md5 hex nibble of doc_id: stateless, shuffle-free, "
+    "rerun-stable. The id_checksum pins EXACT membership per split on "
+    "both engines — the property that matters for leakage-free "
+    "training splits.",
+)
+def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return (
+        hash_split(d, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
+@register(
+    "lineitem_deterministic_sample",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
+       round(sum(l_extendedprice), 2) AS price_checksum
+FROM lineitem
+WHERE substring(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 1)
+      IN ('0', '1', '2')
+""",
+    doc="Deterministic ~18.75% sample (3 of 16 md5 nibbles) of "
+    "lineitem keyed by (orderkey, linenumber): per-row predicate, "
+    "pushable, no shuffle, no RNG state — the reproducible-sample "
+    "primitive for data audits. Checksums pin exact membership.",
+)
+def lineitem_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    keep = F.substring(F.md5(key), 1, 1).isin("0", "1", "2")
+    return l.filter(keep).agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("l_orderkey").alias("key_checksum"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price_checksum"),
+    )
+
+
+@register(
+    "events_sampleby_fraction_contract",
+    """
+SELECT event_type, TRUE AS frac_ok
+FROM events GROUP BY event_type
+""",
+    doc="Native seeded sampleBy (stratified RNG sampling) under a "
+    "tolerance CONTRACT: each stratum's realized sampling fraction "
+    "must sit within +-40% relative of the requested 0.2 (seeded -> "
+    "deterministic per engine; the RNG stream itself is engine-"
+    "specific, so the oracle asserts the contract, not the rows).",
+)
+def events_sampleby_fraction_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.queries.events import _events
+
+    e = _events(spark, sf_dir)
+    fractions = {
+        t: 0.2
+        for t in ["click", "view", "purchase", "signup", "error"]
+    }
+    sampled = e.sampleBy("event_type", fractions, seed=42)
+    totals = e.groupBy("event_type").agg(F.count("*").alias("n_total"))
+    got = sampled.groupBy("event_type").agg(F.count("*").alias("n_sampled"))
+    frac = F.col("n_sampled") / F.col("n_total")
+    return (
+        totals.join(got, "event_type", "left")
+        .select(
+            "event_type",
+            ((frac >= 0.12) & (frac <= 0.28)).alias("frac_ok"),
+        )
+    )
