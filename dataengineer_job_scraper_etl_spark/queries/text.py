@@ -96,22 +96,31 @@ def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Quality score: deterministic arithmetic over cheap per-doc signals —
-# mean token length, stopword ratio, char count band. All expressible
-# in both engines; weights are arbitrary but fixed.
+# mean token length, stopword ratio, char count band; weights 0.4 /
+# 0.3 / 0.3. The score is emitted in MILLIONTHS via pure BIGINT
+# arithmetic: the double formulation (0.4*min(n,100)/100 +
+# 0.3*min(L/(8n),1) + 0.3*k/n, rounded) landed on exact decimal ties
+# (e.g. 0.5196875) where Spark's and DuckDB's last-ulp doubles round
+# in opposite directions — found at sf0.1, 4 docs in 5000. The
+# algebraically identical exact rational is
+#   (8*n*min(n,100) + 75*min(L,8n) + 600*k) / (2000*n)
+# so floor(1e6 * q) = (500 * numerator) DIV n — integer-exact on any
+# engine, no doubles anywhere.
 _QUALITY_SQL = """
 WITH tok AS (
   SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
-         n_chars
-  FROM documents)
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+         len(toks) AS n,
+         length(array_to_string(toks, '')) AS l_chars,
+         len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS k
+  FROM tok)
 SELECT doc_id,
-       round(
-         0.4 * least(len(toks) / 100.0, 1.0)
-       + 0.3 * least((length(array_to_string(toks, '')) * 1.0 / len(toks)) / 8.0, 1.0)
-       + 0.3 * (len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))
-                * 1.0 / len(toks)),
-       6) AS quality
-FROM tok
+       CAST((500 * (8 * n * least(n, 100) + 75 * least(l_chars, 8 * n)
+                    + 600 * k)) // n AS BIGINT) AS quality_millionths
+FROM sig
 """
 
 
@@ -119,27 +128,34 @@ FROM tok
     "text_quality_score",
     _QUALITY_SQL,
     doc="Quality scoring: length band + mean token length + stopword "
-    "ratio, fixed weights (heuistic-filtering shape for LLM data prep).",
+    "ratio, fixed weights (heuristic-filtering shape for LLM data "
+    "prep). Integer-exact in millionths — see _QUALITY_SQL comment "
+    "for why doubles cannot cross-engine-hash here.",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = _tokens(F.col("text"))
-    n = F.size(toks).cast("double")
-    mean_tok_len = (
-        F.length(F.array_join(toks, "")).cast("double") / n
-    )
-    stop_ratio = (
+    sig = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n"),
+        F.length(F.array_join(toks, "")).cast("long").alias("l_chars"),
         F.size(
             F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
-        ).cast("double")
-        / n
+        ).cast("long").alias("k"),
     )
-    quality = (
-        0.4 * F.least(n / 100.0, F.lit(1.0))
-        + 0.3 * F.least(mean_tok_len / 8.0, F.lit(1.0))
-        + 0.3 * stop_ratio
+    num = (
+        F.lit(8) * F.col("n") * F.least(F.col("n"), F.lit(100))
+        + F.lit(75) * F.least(F.col("l_chars"), F.lit(8) * F.col("n"))
+        + F.lit(600) * F.col("k")
     )
-    return d.select("doc_id", F.round(quality, 6).alias("quality"))
+    return sig.select(
+        "doc_id",
+        (F.lit(500) * num).alias("__scaled"),
+        "n",
+    ).select(
+        "doc_id",
+        F.expr("CAST(__scaled DIV n AS BIGINT)").alias("quality_millionths"),
+    )
 
 
 def _langid_sql() -> str:
