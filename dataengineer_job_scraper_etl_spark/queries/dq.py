@@ -1,0 +1,137 @@
+"""Data-quality operators: column profiling (ANALYZE-shape) and
+declarative constraint checks (dbt-test-shape) — the validation layer
+every production pipeline runs between ingest and publish.
+
+Both are single-pass aggregations: profiling computes all column
+stats in one scan (one partial-agg shuffle of a handful of rows);
+constraint checks are counts of violating rows (anti-joins for
+referential integrity), unioned into one (check_name, n_violations)
+report. At 100 TB each check is a pushed-filter scan or one keyed
+semi/anti join — no full materialization anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Long-format numeric column profile: one row per column with
+    count / nulls / distincts / min / max. All columns profiled in a
+    SINGLE aggregation pass (one job, one tiny shuffle), then pivoted
+    to long form with a union of 1-row projections."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}"),
+            F.countDistinct(c).alias(f"__dist_{c}"),
+            F.round(F.min(F.col(c).cast("double")), 2).alias(f"__min_{c}"),
+            F.round(F.max(F.col(c).cast("double")), 2).alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    parts = [
+        wide.select(
+            F.lit(c).alias("col_name"),
+            F.col(f"__n_{c}").alias("n_rows"),
+            F.col(f"__null_{c}").cast("long").alias("n_null"),
+            F.col(f"__dist_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_value"),
+            F.col(f"__max_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "dq_profile_orders",
+    """
+WITH w AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_tp,
+         count(DISTINCT o_totalprice) AS dist_tp,
+         round(min(CAST(o_totalprice AS DOUBLE)), 2) AS min_tp,
+         round(max(CAST(o_totalprice AS DOUBLE)), 2) AS max_tp,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ck,
+         count(DISTINCT o_custkey) AS dist_ck,
+         round(min(CAST(o_custkey AS DOUBLE)), 2) AS min_ck,
+         round(max(CAST(o_custkey AS DOUBLE)), 2) AS max_ck
+  FROM orders)
+SELECT 'o_totalprice' AS col_name, n AS n_rows, null_tp AS n_null,
+       dist_tp AS n_distinct, min_tp AS min_value, max_tp AS max_value FROM w
+UNION ALL
+SELECT 'o_custkey', n, null_ck, dist_ck, min_ck, max_ck FROM w
+""",
+    doc="Column profiling (ANALYZE shape): count/null/distinct/min/max "
+    "for orders columns, ALL computed in one aggregation pass — the "
+    "ingest-side stats a catalog or optimizer wants, with one scan.",
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profile_columns(o, ["o_totalprice", "o_custkey"])
+
+
+@register(
+    "dq_constraint_checks",
+    """
+SELECT 'orders_pk_unique' AS check_name,
+       CAST((SELECT count(*) FROM (
+          SELECT o_orderkey FROM orders GROUP BY o_orderkey
+          HAVING count(*) > 1)) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_quantity_positive',
+       CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+UNION ALL
+SELECT 'orders_totalprice_nonnegative',
+       CAST((SELECT count(*) FROM orders WHERE o_totalprice < 0) AS BIGINT)
+""",
+    doc="Declarative constraint checks (dbt-test shape): primary-key "
+    "uniqueness, lineitem->orders referential integrity (anti-join), "
+    "and range assertions, unioned into one (check, n_violations) "
+    "report. The fixture satisfies all four (all zeros) — and the "
+    "oracle proves the CHECKS agree, not just the happy counts.",
+)
+def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    dup_pk = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > 1)
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    orphans = (
+        l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+    bad_qty = l.filter(F.col("l_quantity") <= 0).agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
+    neg_price = o.filter(F.col("o_totalprice") < 0).agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
+
+    def tag(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"), F.col("n_violations")
+        )
+
+    return (
+        tag(dup_pk, "orders_pk_unique")
+        .unionByName(tag(orphans, "lineitem_fk_orders"))
+        .unionByName(tag(bad_qty, "lineitem_quantity_positive"))
+        .unionByName(tag(neg_price, "orders_totalprice_nonnegative"))
+    )
