@@ -62,7 +62,17 @@ def _pick(col: Column, options: tuple, modulo: int) -> Column:
 
 def derive_postings(documents: DataFrame) -> DataFrame:
     """documents -> job postings in the reference's raw schema
-    (jobid, title, description, job_type — main.py:78)."""
+    (jobid, title, description, job_type — main.py:78).
+
+    The source is fanned out to all cores first: the downstream
+    pipeline (pay regex, tokenize, n-gram explode, broadcast phrase
+    join) contains NO shuffle until the match dedup, so whatever
+    partition count the scan produces is the parallelism of the whole
+    matcher — and a one-row-group fixture scans as 1-2 partitions.
+    No-op at scale (never repartitions down)."""
+    from dataengineer_job_scraper_etl_spark.session import ensure_min_parallelism
+
+    documents = ensure_min_parallelism(documents)
     did = F.col("doc_id")
     return documents.select(
         did.cast("string").alias("jobid"),
