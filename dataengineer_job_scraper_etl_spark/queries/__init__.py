@@ -16,5 +16,6 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     streaming_queries,
     text,
     tpch,
+    tpch_full,
     vectors,
 )
