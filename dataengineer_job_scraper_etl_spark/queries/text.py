@@ -429,3 +429,220 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"), F.col("component").cast("bigint")
         .alias("component")
     )
+
+
+def _trigrams(toks):
+    """Space-joined 3-grams of a token array (empty if < 3 tokens).
+
+    Guarded: Spark's sequence(1, n) DESCENDS when n < 1, so the
+    under-3-tokens case must short-circuit to an empty array."""
+    return F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "docs_contamination_ngram",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+  FROM tok),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       round(sum(CASE WHEN bench.gram IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*), 6) AS contamination_rate
+FROM g LEFT JOIN bench ON g.gram = bench.gram
+WHERE g.doc_id >= 5
+GROUP BY g.doc_id
+""",
+    doc="Benchmark-contamination check (LLM training hygiene): per "
+    "document, the fraction of its DISTINCT 3-grams that appear in a "
+    "held-out benchmark set (here: the 3-grams of doc_id < 5). The "
+    "benchmark gram set is broadcast (it is bounded by the benchmark "
+    "suite size, not the corpus), so the corpus side never shuffles: "
+    "explode -> broadcast left join -> per-doc agg, one exchange on "
+    "doc_id. At 100 TB the bench set for a real eval suite is a few "
+    "million grams — still broadcastable; were it not, the same plan "
+    "with a shuffle hash join on gram is the fallback Spark picks.",
+)
+def docs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    # Tokenize into an ALIASED column first: element_at(toks, i) inside
+    # the trigram lambda otherwise inlines the whole regexp+split and
+    # Spark does no CSE inside lambda functions — the text would be
+    # re-tokenized ~3x per gram per row.
+    tokd = d.select("doc_id", _tokens(F.col("text")).alias("__toks"))
+    grams = tokd.select(
+        "doc_id", F.explode(_trigrams(F.col("__toks"))).alias("gram")
+    ).dropDuplicates(["doc_id", "gram"])
+    bench = (
+        grams.filter(F.col("doc_id") < 5).select("gram").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        grams.filter(F.col("doc_id") >= 5)
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+@register(
+    "text_repetition_signals",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+flat AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+per_tok AS (
+  SELECT doc_id, tok, count(*) AS c FROM flat GROUP BY doc_id, tok),
+big AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS bg
+  FROM tok),
+bigstats AS (
+  SELECT doc_id, len(bg) AS n_bigrams,
+         len(list_distinct(bg)) AS n_distinct_bigrams
+  FROM big)
+SELECT p.doc_id,
+       CAST(sum(p.c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(count(*) / sum(p.c), 6) AS distinct_ratio,
+       round(max(p.c) / sum(p.c), 6) AS top_token_frac,
+       round(1.0 - b.n_distinct_bigrams / b.n_bigrams, 6) AS dup_bigram_rate
+FROM per_tok p JOIN bigstats b ON b.doc_id = p.doc_id
+GROUP BY p.doc_id, b.n_bigrams, b.n_distinct_bigrams
+""",
+    doc="Within-document repetition quality signals (LLM data "
+    "filtering): distinct-token ratio, most-frequent-token mass, and "
+    "duplicate-bigram rate per doc. The bigram stats are per-row "
+    "array ops (size/array_distinct — no shuffle at all); only the "
+    "token-mode stat aggregates, shuffling (doc_id, token, count) "
+    "partials once. Filters like 'drop docs with top_token_frac > "
+    "0.2' are then a pushed-down predicate.",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    # Two hard-won evaluation-order rules (both measured, not
+    # theoretical):
+    # 1. Tokenize into an ALIASED column before building bigrams —
+    #    element_at(toks, i) inside the transform lambda inlines the
+    #    whole regexp+split per element (no CSE inside lambdas).
+    # 2. Project the O(n^2) array_distinct below the explode — an
+    #    expression in the same select as a generator is evaluated per
+    #    GENERATED row (113s -> ~1s at sf0.01 for this split).
+    tokd = d.select("doc_id", _tokens(F.col("text")).alias("__toks"))
+    tcol = F.col("__toks")
+    bigrams = F.when(
+        F.size(tcol) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tcol) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tcol, i), F.element_at(tcol, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pre = tokd.select(
+        "doc_id",
+        "__toks",
+        F.size(bigrams).alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).alias("n_distinct_bigrams"),
+    )
+    base = pre.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        F.explode("__toks").alias("tok"),
+    )
+    per_tok = base.groupBy(
+        "doc_id", "n_bigrams", "n_distinct_bigrams", "tok"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_tok.groupBy("doc_id", "n_bigrams", "n_distinct_bigrams")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_ratio"),
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_token_frac"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            "distinct_ratio",
+            "top_token_frac",
+            F.round(
+                1.0 - F.col("n_distinct_bigrams") / F.col("n_bigrams"), 6
+            ).alias("dup_bigram_rate"),
+        )
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+flat AS (SELECT doc_id, unnest(t) AS tok FROM tok),
+uni AS (SELECT tok, count(*) AS c FROM flat GROUP BY tok),
+n AS (SELECT sum(c) AS total FROM uni)
+SELECT f.doc_id,
+       round(avg(-ln(uni.c / n.total)), 6) AS avg_neg_logprob
+FROM flat f JOIN uni ON uni.tok = f.tok CROSS JOIN n
+GROUP BY f.doc_id
+""",
+    doc="Unigram cross-entropy scoring (perplexity-ish quality "
+    "signal): train corpus-wide unigram frequencies, score each doc "
+    "as the mean negative log-probability of its tokens. The unigram "
+    "table is an aggregate of the corpus itself (vocab-sized — "
+    "broadcastable at any realistic scale; AQE decides), the total "
+    "travels as a broadcast 1-row frame, and scoring is explode -> "
+    "join -> per-doc agg. High scores = rare-token-heavy docs, the "
+    "usual 'junk or gold' review queue.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    flat = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    uni = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = uni.agg(F.sum("c").cast("double").alias("__total"))
+    return (
+        flat.join(F.broadcast(uni), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(-F.log(F.col("c") / F.col("__total"))), 6
+            ).alias("avg_neg_logprob")
+        )
+    )
