@@ -48,6 +48,12 @@ HEADLINE += [
     "text_tfidf_top_terms",
     "ann_ivf_topk",
 ]
+HEADLINE += [
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
+    "docs_contamination_ngram",
+    "text_unigram_logprob",
+]
 
 
 def _force(df) -> None:
