@@ -71,8 +71,43 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # Warmup: touch the fact table once (JVM + parquet footer caches).
+    # Warmup: exclude one-time process costs from per-query numbers
+    # (the docstring contract). Three pools are lazily initialized the
+    # first time anything touches them, and each costs seconds:
+    #   1. JVM codegen + parquet footer caches (scan warm-up),
+    #   2. the Python-worker pool (first pandas_udf/mapInPandas call
+    #      forks 32 workers and imports pandas in each),
+    #   3. the Structured Streaming engine (state store providers,
+    #      micro-batch thread pools).
+    # None of these is per-query work — on a long-lived cluster they are
+    # paid once at startup — so spin all three up before timing.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+    for t in ("documents", "embeddings", "orders"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
+    warm = spark.range(64).repartition(32)
+    warm.mapInPandas(lambda it: it, "id long").count()  # fork workers
+    try:  # streaming engine warm-up: 1-row AvailableNow drain
+        import tempfile
+        import uuid
+
+        d = tempfile.mkdtemp(prefix="bench_warm_stream_")
+        spark.range(1).write.mode("overwrite").parquet(d)
+        name = "warm" + uuid.uuid4().hex[:8]
+        (
+            spark.readStream.schema("id long")
+            .parquet(d)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="bench_warm_cp_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    except Exception:
+        pass  # warm-up only; never fail the bench over it
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

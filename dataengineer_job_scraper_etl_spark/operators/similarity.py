@@ -183,9 +183,15 @@ def kmeans_lite(
 ) -> DataFrame:
     """Deterministic Lloyd iterations with seeded-literal init, pure
     DataFrame ops. Centroids: (cluster_id, centroid array<double>).
-    Each round: broadcast centroids -> argmin assign -> posexplode ->
-    per-(cluster, dim) mean. The per-round shuffle carries (cluster,
-    dim, partial sums) only."""
+
+    Each round is ONE shuffle: broadcast centroids -> argmin assign ->
+    per-cluster mean of every dimension as ``dim`` avg aggregates over
+    projected element columns (dim is a known argument). Partial
+    aggregation bounds the shuffle at n_clusters x dim running means
+    per map partition regardless of corpus size. For very wide vectors
+    (dim > 256) the wide-agg plan would strain codegen, so the round
+    falls back to posexplode -> per-(cluster, dim) mean — two shuffles,
+    but rows instead of columns."""
     rng = random.Random(seed)
     cents = [
         (cid, [rng.gauss(0.0, 0.2) for _ in range(dim)])
@@ -201,26 +207,40 @@ def kmeans_lite(
             [(cid, vec) for cid, vec in cents], "cluster_id int, centroid array<double>"
         )
         assigned = assign_to_centroid(corpus, cent_df, vec_col)
-        new = (
-            assigned.select(
-                "cluster_id", F.posexplode(_as_double(F.col(vec_col))).alias("i", "x")
+        if dim <= 256:
+            vec = _as_double(F.col(vec_col))
+            new = assigned.groupBy("cluster_id").agg(
+                *[
+                    F.avg(F.element_at(vec, i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
             )
-            .groupBy("cluster_id", "i")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster_id")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("i"), F.col("m")))
-                ).alias("pairs")
+            got = {
+                r["cluster_id"]: [r[f"m{i}"] for i in range(dim)]
+                for r in new.collect()
+            }
+        else:
+            new = (
+                assigned.select(
+                    "cluster_id",
+                    F.posexplode(_as_double(F.col(vec_col))).alias("i", "x"),
+                )
+                .groupBy("cluster_id", "i")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cluster_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i"), F.col("m")))
+                    ).alias("pairs")
+                )
+                .select(
+                    "cluster_id",
+                    F.transform(
+                        F.col("pairs"), lambda p: p.getField("m")
+                    ).alias("centroid"),
+                )
             )
-            .select(
-                "cluster_id",
-                F.transform(F.col("pairs"), lambda p: p.getField("m")).alias(
-                    "centroid"
-                ),
-            )
-        )
-        got = {r["cluster_id"]: list(r["centroid"]) for r in new.collect()}
+            got = {r["cluster_id"]: list(r["centroid"]) for r in new.collect()}
         cents = [
             (cid, got.get(cid, vec)) for cid, vec in cents
         ]  # empty clusters keep previous position

@@ -138,9 +138,12 @@ def skill_match_pairs(
     text_col: str,
     carry_cols: list[str],
     phrases: list[str],
+    distinct: bool = True,
 ) -> DataFrame:
     """Core of the relational matcher: (carry_cols..., phrase) rows,
-    one per DISTINCT matched phrase per document.
+    one per DISTINCT matched phrase per document (``distinct=False``
+    skips that shuffle for consumers whose own aggregation dedups —
+    e.g. a downstream ``collect_set``).
 
     Explodes token n-grams (one n per distinct phrase length),
     broadcast-hash-joins them against the phrase table, dedups on
@@ -166,11 +169,12 @@ def skill_match_pairs(
         *carry_cols,
         F.explode(F.flatten(F.array(*[grams_of(n) for n in lens]))).alias("gram"),
     )
-    return (
-        grams.join(F.broadcast(phrase_df), grams["gram"] == phrase_df["phrase"])
-        .select(*carry_cols, "phrase")
-        .dropDuplicates([carry_cols[0], "phrase"])
-    )
+    joined = grams.join(
+        F.broadcast(phrase_df), grams["gram"] == phrase_df["phrase"]
+    ).select(*carry_cols, "phrase")
+    if distinct:
+        joined = joined.dropDuplicates([carry_cols[0], "phrase"])
+    return joined
 
 
 def extract_skills_ngram_join(
@@ -191,7 +195,11 @@ def extract_skills_ngram_join(
     (same normalization, same contiguous-token-match semantics):
     sorted distinct matched phrases; null text -> null, no match -> [].
     """
-    matched = skill_match_pairs(spark, df, text_col, [key_col], phrases)
+    # distinct=False: the collect_set below dedups per document anyway,
+    # so the pair-level dropDuplicates would be a pure extra shuffle.
+    matched = skill_match_pairs(
+        spark, df, text_col, [key_col], phrases, distinct=False
+    )
     agg = matched.groupBy(key_col).agg(
         F.array_sort(F.collect_set("phrase")).alias("__matched")
     )
