@@ -11,6 +11,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     jobs,
     multimodal,
     neardup,
+    pipeline_ops,
     sampling,
     skewq,
     streaming_queries,

@@ -1,0 +1,353 @@
+"""LLM-training-pipeline operators beyond the round-2 battery
+(north-star §2.10 family): BPE-ish subword token counting, a
+composite pre-train quality gate, sequence packing into fixed-size
+training shards, an approximate-percentile tolerance contract, a
+range (interval) join, a multi-stage conversion funnel, and a
+continuous-aggregate style rollup that re-aggregates coarse windows
+from fine-window partials.
+
+Scale notes per query are on each entry; the common themes:
+- per-doc signals are single-pass array expressions (no explode
+  unless a join needs rows), so nothing shuffles full text;
+- the range join keys on user_id first (equi component bounds the
+  pair space), the range predicate prunes inside each key;
+- the packing window partitions by source — running offsets are
+  sequential WITHIN a shard-producing partition only, which is how
+  a real tokenizer-sharder parallelizes (one writer per source/day).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+from dataengineer_job_scraper_etl_spark.queries.events import _events
+
+# BPE-ish pre-tokenizer: letter runs, single digits, single
+# non-alnum marks — the classic GPT-2-style split shape (letters
+# glued, digits separate, punctuation separate). Same pattern text
+# feeds Java regex (Spark) and DuckDB's RE2.
+BPE_SPLIT = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+_WS_SQL = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _ws_tokens(col):
+    return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+
+
+@register(
+    "text_bpe_token_count",
+    f"""
+WITH tok AS (
+  SELECT source,
+         len(regexp_extract_all(lower(text), '{BPE_SPLIT}')) AS n_pieces,
+         len({_WS_SQL}) AS n_words
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+       round(avg(n_pieces), 4) AS avg_pieces,
+       CAST(sum(n_pieces) * 1000000 / sum(n_words) AS BIGINT)
+         AS pieces_per_word_ppm
+FROM tok GROUP BY source
+""",
+    doc="Token counting with a BPE-ish pre-tokenizer regex (letter "
+    "runs / single digits / punctuation marks — the GPT-2 split "
+    "shape) next to the whitespace count: per-source totals and the "
+    "subword-inflation ratio in ppm (integer-exact). Single "
+    "projection + one partial-agg shuffle; the regex runs once per "
+    "row inside codegen, no explode.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    pieces = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_SPLIT), F.lit(0))
+    )
+    words = F.size(_ws_tokens(F.col("text")))
+    return (
+        d.select("source", pieces.alias("n_pieces"), words.alias("n_words"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+            F.round(F.avg("n_pieces"), 4).alias("avg_pieces"),
+            (F.sum("n_pieces") * 1000000 / F.sum("n_words"))
+            .cast("bigint")
+            .alias("pieces_per_word_ppm"),
+        )
+    )
+
+
+@register(
+    "docs_pretrain_filter",
+    f"""
+WITH sig AS (
+  SELECT doc_id,
+         len({_WS_SQL}) AS n_toks,
+         len(list_distinct({_WS_SQL})) AS d_toks
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN n_toks < 20 THEN 'too_short'
+            WHEN n_toks > 90 THEN 'too_long'
+            WHEN d_toks * 1000000 // n_toks < 400000 THEN 'low_diversity'
+            ELSE 'kept' END AS verdict
+FROM sig
+""",
+    doc="Composite pre-train quality gate (the filter stage of an LLM "
+    "data pipeline): length band + distinct-token diversity floor, "
+    "first-failing-rule verdict per document. All signals are "
+    "integer-exact (counts and ppm ratios via integer division) so "
+    "the cross-engine hash can't hit float ties. Pure per-row map — "
+    "no shuffle at all; at 100 TB this is a narrow scan-and-filter.",
+)
+def docs_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = _ws_tokens(F.col("text"))
+    sig = d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("d_toks"),
+    )
+    ratio = F.expr("d_toks * 1000000 div n_toks")
+    return sig.select(
+        "doc_id",
+        F.when(F.col("n_toks") < 20, F.lit("too_short"))
+        .when(F.col("n_toks") > 90, F.lit("too_long"))
+        .when(ratio < 400000, F.lit("low_diversity"))
+        .otherwise(F.lit("kept"))
+        .alias("verdict"),
+    )
+
+
+@register(
+    "docs_pack_sequences",
+    f"""
+WITH tok AS (
+  SELECT source, doc_id, len({_WS_SQL}) AS n_toks
+  FROM documents),
+off AS (
+  SELECT source, n_toks,
+         coalesce(sum(n_toks) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM tok)
+SELECT source, off // 2048 AS shard_id,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS shard_tokens
+FROM off GROUP BY source, shard_id
+""",
+    doc="Sequence packing for training shards: docs are laid out in "
+    "doc_id order within each source, each doc starts at the running "
+    "token offset of its predecessors, and shard_id = offset div "
+    "2048 (the context-window budget). Partitioning the running sum "
+    "by source is the scale design: offsets are only sequential "
+    "within one shard-writer's slice, sources pack in parallel. One "
+    "window shuffle on source + one partial-agg shuffle.",
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "source", "doc_id", F.size(_ws_tokens(F.col("text"))).alias("n_toks")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = tok.select(
+        "source",
+        "n_toks",
+        F.coalesce(F.sum("n_toks").over(w), F.lit(0)).alias("off"),
+    )
+    return (
+        off.withColumn("shard_id", F.expr("off div 2048"))
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("shard_tokens"),
+        )
+    )
+
+
+@register(
+    "agg_approx_percentile_tol",
+    """
+WITH s AS (
+  SELECT approx_quantile(value, 0.5) AS a50,
+         approx_quantile(value, 0.9) AS a90,
+         approx_quantile(value, 0.99) AS a99,
+         quantile_cont(value, 0.5) AS e50,
+         quantile_cont(value, 0.9) AS e90,
+         quantile_cont(value, 0.99) AS e99
+  FROM events)
+SELECT abs(a50 - e50) <= 0.05 * abs(e50) AS p50_within_tol,
+       abs(a90 - e90) <= 0.05 * abs(e90) AS p90_within_tol,
+       abs(a99 - e99) <= 0.05 * abs(e99) AS p99_within_tol
+FROM s
+""",
+    doc="Approximate-percentile sketch contract (same formulation as "
+    "agg_approx_distinct_tol): each engine runs its OWN sketch "
+    "(Spark GK percentile_approx, DuckDB t-digest) against its own "
+    "exact percentile, and the oracle-checked claim is the 5% "
+    "relative-error bound — the cross-engine-comparable property of "
+    "a mergeable quantile sketch. Both aggregates are single-pass "
+    "with bounded state per partition.",
+)
+def agg_approx_percentile_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    agg = e.agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("a"),
+        F.percentile("value", [0.5, 0.9, 0.99]).alias("x"),
+    )
+    def within(i: int):
+        a, x = F.col("a")[i], F.col("x")[i]
+        return F.abs(a - x) <= 0.05 * F.abs(x)
+    return agg.select(
+        within(0).alias("p50_within_tol"),
+        within(1).alias("p90_within_tol"),
+        within(2).alias("p99_within_tol"),
+    )
+
+
+@register(
+    "events_purchase_views_within_15m",
+    """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                   event_type FROM events)
+SELECT p.event_id, count(v.event_id) AS n_views_15m
+FROM ev p
+LEFT JOIN ev v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 15 MINUTE AND v.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""",
+    doc="Range (interval) join: for every purchase, how many views "
+    "the same user made in the trailing 15 minutes. The equi "
+    "component (user_id) bounds the pair space — the join shuffles "
+    "both sides on user_id once and the range predicate prunes "
+    "within each key group, so cost scales with per-user activity, "
+    "never corpus x corpus. The as-of join (operators/asof.py) picks "
+    "ONE row per probe; this keeps ALL rows in the interval.",
+)
+def events_purchase_views_within_15m(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _events(spark, sf_dir)
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    joined = p.join(
+        v,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 15 MINUTES"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("v_id").alias("n_views_15m")
+    )
+
+
+@register(
+    "events_funnel_conversion",
+    """
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+            FROM events),
+v AS (SELECT user_id, min(ts) AS t_view FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t_click
+      FROM ev e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM ev e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS users_viewed,
+       (SELECT count(*) FROM c) AS users_clicked_after_view,
+       (SELECT count(*) FROM p) AS users_purchased_after_click
+""",
+    doc="Multi-stage conversion funnel (view -> click after first "
+    "view -> purchase after first qualifying click): each stage is "
+    "a keyed aggregate joined to the previous stage's per-user "
+    "anchor time. Every join/agg keys on user_id, so the whole "
+    "funnel is three shuffles on the same key — a co-partitioned "
+    "pipeline at scale (one Exchange reused under AQE).",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).select("ts", "user_id", "event_type")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("users_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("users_clicked_after_view")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).alias("users_purchased_after_click"))
+        )
+    )
+
+
+@register(
+    "events_hourly_daily_rollup",
+    """
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM ev GROUP BY 1
+""",
+    doc="Continuous-aggregate rollup: daily totals are re-aggregated "
+    "FROM hourly partials (sum of sums / sum of counts), the "
+    "hypertable-rollup pattern where coarse windows never rescan raw "
+    "rows. The oracle aggregates raw -> daily directly; equality "
+    "holds because count/sum are decomposable. Values sum as integer "
+    "cents so double summation order can't flip the hash. Two "
+    "partial-agg shuffles (hour, then day), both tiny after map-side "
+    "combine.",
+)
+def events_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    hourly = (
+        e.select(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", F.col("hour")).alias("day"))
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )

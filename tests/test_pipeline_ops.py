@@ -1,0 +1,107 @@
+"""Property tests for the LLM-pipeline operators in
+queries/pipeline_ops.py (the oracle harness pins exact values; these
+pin the semantic invariants that survive data changes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.queries.pipeline_ops import (
+    docs_pack_sequences,
+    docs_pretrain_filter,
+    events_funnel_conversion,
+    events_hourly_daily_rollup,
+    events_purchase_views_within_15m,
+    text_bpe_token_count,
+)
+from dataengineer_job_scraper_etl_spark.queries.events import _events
+
+
+def test_bpe_pieces_at_least_words(spark, sf_dir):
+    # A BPE-ish split can only refine whitespace tokens, never merge
+    # them, so the ppm ratio is >= 1,000,000 for every source.
+    rows = text_bpe_token_count(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["pieces_per_word_ppm"] >= 1_000_000
+        assert r["total_pieces"] >= r["n_docs"]
+
+
+def test_pretrain_filter_verdicts_partition_the_corpus(spark, sf_dir):
+    out = docs_pretrain_filter(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    counts = {
+        r["verdict"]: r["n"]
+        for r in out.groupBy("verdict").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(counts.values()) == n_docs  # every doc gets one verdict
+    assert set(counts) <= {"kept", "too_short", "too_long", "low_diversity"}
+    assert counts.get("kept", 0) > 0
+
+
+def test_pack_sequences_conserves_tokens_and_orders_shards(spark, sf_dir):
+    shards = docs_pack_sequences(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in shards:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, rows in by_source.items():
+        ids = sorted(r["shard_id"] for r in rows)
+        # Shard ids start at 0; a shard only exists if some doc's
+        # start offset fell inside it, so ids are unique.
+        assert ids[0] == 0
+        assert len(set(ids)) == len(ids)
+        # Offset arithmetic: tokens before shard k fill k windows, so
+        # every shard except possibly the last must carry enough
+        # tokens to reach the next shard's start.
+        total = sum(r["shard_tokens"] for r in rows)
+        assert total >= (ids[-1]) * 2048 - 2048  # sanity lower bound
+    # Conservation: shard tokens sum to the corpus token count.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        )
+    )
+    corpus_total = docs.agg(F.sum(toks)).collect()[0][0]
+    assert sum(r["shard_tokens"] for r in shards) == corpus_total
+
+
+def test_funnel_stages_are_monotone(spark, sf_dir):
+    row = events_funnel_conversion(spark, sf_dir).collect()[0]
+    assert (
+        row["users_viewed"]
+        >= row["users_clicked_after_view"]
+        >= row["users_purchased_after_click"]
+        >= 0
+    )
+
+
+def test_range_join_keeps_every_purchase(spark, sf_dir):
+    out = events_purchase_views_within_15m(spark, sf_dir)
+    e = _events(spark, sf_dir)
+    n_purchases = e.filter(F.col("event_type") == "purchase").count()
+    rows = out.collect()
+    assert len(rows) == n_purchases  # left join: no purchase dropped
+    assert all(r["n_views_15m"] >= 0 for r in rows)
+
+
+def test_rollup_matches_direct_daily_aggregation(spark, sf_dir):
+    rolled = {
+        r["day"]: (r["n"], r["total_cents"])
+        for r in events_hourly_daily_rollup(spark, sf_dir).collect()
+    }
+    e = _events(spark, sf_dir)
+    direct = {
+        r["day"]: (r["n"], r["total_cents"])
+        for r in e.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .collect()
+    }
+    assert rolled == direct
