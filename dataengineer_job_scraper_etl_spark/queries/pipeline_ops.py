@@ -315,6 +315,106 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-user z-score, integer-exact formulation shared by the native
+# window entry and the applyInPandas twin below. With integer cents
+# c = round(value*100), n = count, S = sum(c), SS = sum(c^2):
+#   z = (v - mean) / stddev_pop = (c*n - S) / sqrt(n*SS - S^2)
+# Everything left of the sqrt is exact int64 arithmetic; sqrt and the
+# final division are single correctly-rounded IEEE ops, so both
+# engines (and pandas) produce bit-identical doubles — no summation-
+# order ulp ties (the failure mode that bit the quality score). The
+# score is emitted as floor(z * 1e4) in BIGINT: engines disagree on
+# round() for doubles (Spark rounds the exact BigDecimal expansion,
+# DuckDB/numpy round the z*1e4 double, half-even), but floor of the
+# identical double is truncation — bit-deterministic everywhere.
+_ZSCORE_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+st AS (
+  SELECT event_id, c,
+         count(*) OVER w AS n,
+         sum(c) OVER w AS s,
+         sum(c * c) OVER w AS ss
+  FROM ev WINDOW w AS (PARTITION BY user_id))
+SELECT event_id,
+       CASE WHEN n * ss - s * s > 0
+            THEN CAST(floor((c * n - s) / sqrt(n * ss - s * s) * 10000)
+                      AS BIGINT) END AS z_e4
+FROM st
+"""
+
+
+@register(
+    "events_user_zscore",
+    _ZSCORE_SQL,
+    doc="Per-user z-score normalization of event values: one window "
+    "shuffle on user_id, no join. The moments are integer-exact "
+    "(cents, sum, sum-of-squares) so the score is deterministic to "
+    "the bit across engines; constant-valued users get null (zero "
+    "variance). At scale this is the standard per-group feature "
+    "normalization pass.",
+)
+def events_user_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    c = F.round(F.col("value") * 100).cast("bigint")
+    st = e.select("event_id", "user_id", c.alias("c")).select(
+        "event_id",
+        "c",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("ss"),
+    )
+    var = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    z = (F.col("c") * F.col("n") - F.col("s")) / F.sqrt(var)
+    return st.select(
+        "event_id",
+        F.when(var > 0, F.floor(z * 10000).cast("bigint")).alias("z_e4"),
+    )
+
+
+@register(
+    "events_user_zscore_grouped_udf",
+    _ZSCORE_SQL,
+    doc="The SAME z-score computed through GroupedData.applyInPandas "
+    "(grouped-map Arrow UDF): each user's rows arrive as one pandas "
+    "frame, moments are exact int64 sums, and the hash-check against "
+    "the SQL oracle verifies the grouped-map PYTHON path end-to-end "
+    "— the same evidence pattern as the trie-UDF skills entry. The "
+    "native window twin (events_user_zscore) is the hot-path "
+    "formulation; this one exists for operators that genuinely need "
+    "per-group imperative logic and documents its exchange cost "
+    "(full shuffle of the group payload to Python workers).",
+)
+def events_user_zscore_grouped_udf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    def z_per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = pdf["c"].to_numpy(dtype="int64")
+        n = np.int64(len(c))
+        s = c.sum()
+        ss = (c * c).sum()
+        var = n * ss - s * s
+        if var > 0:
+            z = np.floor((c * n - s) / np.sqrt(var) * 10000)
+            z_e4 = pd.array(z, dtype="Int64")
+        else:
+            z_e4 = pd.array([None] * len(c), dtype="Int64")
+        return pd.DataFrame({"event_id": pdf["event_id"], "z_e4": z_e4})
+
+    e = _events(spark, sf_dir)
+    c = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        e.select("event_id", "user_id", c.alias("c"))
+        .groupBy("user_id")
+        .applyInPandas(z_per_user, "event_id long, z_e4 long")
+    )
+
+
 @register(
     "events_hourly_daily_rollup",
     """

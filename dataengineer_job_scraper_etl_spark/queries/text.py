@@ -431,6 +431,73 @@ def docs_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_dedup_canonical",
+    f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+full_map AS (
+  SELECT d.doc_id, CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster,
+         d.n_chars
+  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 200) d
+  LEFT JOIN comp c ON d.doc_id = c.node)
+SELECT doc_id, cluster,
+       first_value(doc_id) OVER (PARTITION BY cluster
+                                 ORDER BY n_chars DESC, doc_id ASC)
+         AS kept_doc,
+       doc_id = first_value(doc_id) OVER (PARTITION BY cluster
+                                          ORDER BY n_chars DESC, doc_id ASC)
+         AS is_kept
+FROM full_map
+""",
+    doc="The dedup pipeline's FINAL stage: every document mapped to "
+    "its near-dup cluster (docs outside any pair are singletons) and "
+    "to the cluster's canonical survivor — longest text wins, doc_id "
+    "breaks ties. This is the keep-one decision a 100 TB dedup pass "
+    "materializes: clusters via min-label propagation, then one "
+    "window over cluster (a key whose group size is the cluster "
+    "size, bounded by dedup locality — no global sort). doc_id<200 "
+    "bounds the recursive oracle.",
+)
+def docs_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from dataengineer_job_scraper_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = _jaccard_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id", "n_chars"
+    )
+    full = docs.join(
+        cc, docs["doc_id"] == cc["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id"))
+        .cast("bigint")
+        .alias("cluster"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    kept = F.first("doc_id").over(w)
+    return full.select(
+        "doc_id",
+        "cluster",
+        kept.alias("kept_doc"),
+        (F.col("doc_id") == kept).alias("is_kept"),
+    )
+
+
 def _trigrams(toks):
     """Space-joined 3-grams of a token array (empty if < 3 tokens).
 

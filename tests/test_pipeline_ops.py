@@ -85,6 +85,39 @@ def test_range_join_keeps_every_purchase(spark, sf_dir):
     assert all(r["n_views_15m"] >= 0 for r in rows)
 
 
+def test_zscore_native_equals_grouped_udf(spark, sf_dir):
+    from dataengineer_job_scraper_etl_spark.queries.pipeline_ops import (
+        events_user_zscore,
+        events_user_zscore_grouped_udf,
+    )
+
+    native = {
+        r["event_id"]: r["z_e4"]
+        for r in events_user_zscore(spark, sf_dir).collect()
+    }
+    udf = {
+        r["event_id"]: r["z_e4"]
+        for r in events_user_zscore_grouped_udf(spark, sf_dir).collect()
+    }
+    assert native == udf  # bit-identical integer scores, incl. nulls
+
+
+def test_dedup_canonical_keeps_exactly_one_per_cluster(spark, sf_dir):
+    from dataengineer_job_scraper_etl_spark.queries.text import (
+        docs_dedup_canonical,
+    )
+
+    rows = docs_dedup_canonical(spark, sf_dir).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cluster, members in by_cluster.items():
+        kept = {r["kept_doc"] for r in members}
+        assert len(kept) == 1  # one survivor per cluster
+        assert kept.pop() in {r["doc_id"] for r in members}
+        assert sum(r["is_kept"] for r in members) == 1
+
+
 def test_rollup_matches_direct_daily_aggregation(spark, sf_dir):
     rolled = {
         r["day"]: (r["n"], r["total_cents"])
