@@ -279,39 +279,51 @@ SELECT (SELECT count(*) FROM v) AS users_viewed,
        (SELECT count(*) FROM p) AS users_purchased_after_click
 """,
     doc="Multi-stage conversion funnel (view -> click after first "
-    "view -> purchase after first qualifying click): each stage is "
-    "a keyed aggregate joined to the previous stage's per-user "
-    "anchor time. Every join/agg keys on user_id, so the whole "
-    "funnel is three shuffles on the same key — a co-partitioned "
-    "pipeline at scale (one Exchange reused under AQE).",
+    "view -> purchase after first qualifying click) in ONE scan: "
+    "the stage anchors are chained unordered windows over user_id, "
+    "so all three stages reuse a single Exchange (vs the naive "
+    "3-filtered-aggregates-plus-joins plan, which costs 13); the "
+    "per-user collapse rides the same partitioning and only the "
+    "final 1-row count shuffles again.",
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir).select("ts", "user_id", "event_type")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_view"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") >= F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") >= F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    return (
-        v.agg(F.count(F.lit(1)).alias("users_viewed"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("users_clicked_after_view")))
-        .crossJoin(
-            p.agg(F.count(F.lit(1)).alias("users_purchased_after_click"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
         )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("users_viewed"),
+        F.count("t_click").alias("users_clicked_after_view"),
+        F.count("t_purchase").alias("users_purchased_after_click"),
     )
 
 
