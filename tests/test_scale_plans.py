@@ -1,0 +1,117 @@
+"""Plan-level evidence for the scale mechanics the engine relies on:
+partition pruning (static + dynamic) and AQE skew-join splitting.
+
+These don't oracle-check values (the companion queries do); they pin
+that the PHYSICAL plans behave the way the 100 TB design assumes —
+a partition filter actually prunes files, a dim filter actually
+prunes fact partitions at runtime, a hot key actually gets split.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def part_dir(spark, tmp_path_factory):
+    """Events written partitioned by day — the layout io.write_parquet
+    produces for K1's partitioned sink."""
+    d = str(tmp_path_factory.mktemp("part") / "events_by_day")
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 30).alias("day"),
+        (F.col("id") % 7).alias("user_id"),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+    df.write.partitionBy("day").mode("overwrite").parquet(d)
+    return d
+
+
+def test_static_partition_pruning_reads_only_matching_files(spark, part_dir):
+    df = spark.read.parquet(part_dir).filter(F.col("day") == 3)
+    # The scan must prune at the PARTITION level: the filter appears as
+    # a PartitionFilter (evaluated against directory values, no file
+    # read), not a post-scan Filter.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan and "(day" in plan
+    assert df.count() == 100
+
+
+def test_data_filter_is_pushed_to_parquet(spark, part_dir):
+    df = spark.read.parquet(part_dir).filter(F.col("value") > 90)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value,90.0)" in plan
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, part_dir):
+    """DPP: a filter on the DIM side prunes FACT partitions at runtime
+    — the mechanism that makes star joins over date-partitioned 100 TB
+    facts feasible without static date predicates."""
+    fact = spark.read.parquet(part_dir)
+    dim = spark.range(0, 30).select(
+        F.col("id").alias("day"),
+        F.when(F.col("id") < 3, "hot").otherwise("cold").alias("tier"),
+    )
+    joined = fact.join(dim, "day").filter(F.col("tier") == "hot")
+    optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in optimized.lower()
+    assert joined.count() == 300  # days 0,1,2
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path_factory):
+    """One hot key dominating a sort-merge join must be split by AQE's
+    skew handling (OptimizeSkewedJoin) instead of serializing on one
+    task — the safety net behind every keyed join in the catalog
+    (salting, operators/skew.py, is the deterministic alternative)."""
+    d = tmp_path_factory.mktemp("skew")
+    left = spark.range(0, 200_000).select(
+        # 95% of rows share key 0, the rest spread over 1000 keys.
+        F.when(F.col("id") % 20 < 19, 0)
+        .otherwise(F.col("id") % 1000)
+        .alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    )
+    left.write.mode("overwrite").parquet(str(d / "l"))
+    right.write.mode("overwrite").parquet(str(d / "r"))
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        # Thresholds scaled down so the ~20 MB hot partition counts as
+        # skewed in a test-sized shuffle; broadcast disabled to force
+        # the sort-merge path AQE has to rescue.
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "1MB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        j = spark.read.parquet(str(d / "l")).join(
+            spark.read.parquet(str(d / "r")), "k"
+        )
+        # collect() drives THIS DataFrame's QueryExecution, so the
+        # adaptive plan below is the final (post-reoptimization) one;
+        # count() would plan a separate query and hide it.
+        assert len(j.collect()) == 200_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
