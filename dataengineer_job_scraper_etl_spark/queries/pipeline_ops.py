@@ -327,6 +327,64 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24
+
+
+@register(
+    "docs_chunk_sliding_udtf",
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents)
+SELECT doc_id,
+       unnest(list_transform(range(0, len(t), {CHUNK_STRIDE}),
+              (st, i) -> struct_pack(
+                chunk_no := CAST(i - 1 AS INT),
+                chunk := array_to_string(
+                  list_slice(t, st + 1, st + {CHUNK_SIZE}), ' '))),
+              recursive := true)
+FROM s
+""",
+    doc="Sliding-window document chunking (RAG / context-window prep): "
+    f"each doc yields {CHUNK_SIZE}-token chunks at stride "
+    f"{CHUNK_STRIDE} (8-token overlap). Implemented as a Python UDTF "
+    "(lateral table function, the one-row-to-N-rows UDF shape) and "
+    "hash-checked against a pure-SQL oracle — evidence for the UDTF "
+    "execution path itself, like the trie-UDF and grouped-map "
+    "entries. Chunking is per-row work: the UDTF is narrow (no "
+    "shuffle), and at 100 TB the same generator form runs inside the "
+    "scan stage. The all-JVM twin is posexplode over a slice "
+    "transform (used by the gram matcher); the UDTF form is for "
+    "chunkers with real tokenizer logic that SQL can't express.",
+)
+def docs_chunk_sliding_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_no int, chunk string")
+    class ChunkDoc:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            toks = _re.sub(r"\s+", " ", text or "").strip().split(" ")
+            for i, start in enumerate(
+                range(0, len(toks), CHUNK_STRIDE)
+            ):
+                yield (
+                    doc_id,
+                    i,
+                    " ".join(toks[start : start + CHUNK_SIZE]),
+                )
+
+    spark.udtf.register("chunk_doc_sliding", ChunkDoc)
+    _docs(spark, sf_dir).createOrReplaceTempView("__chunk_docs_src")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_no, c.chunk "
+        "FROM __chunk_docs_src AS d, "
+        "LATERAL chunk_doc_sliding(d.doc_id, d.text) AS c"
+    )
+
+
 # Per-user z-score, integer-exact formulation shared by the native
 # window entry and the applyInPandas twin below. With integer cents
 # c = round(value*100), n = count, S = sum(c), SS = sum(c^2):

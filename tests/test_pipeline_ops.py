@@ -85,6 +85,40 @@ def test_range_join_keeps_every_purchase(spark, sf_dir):
     assert all(r["n_views_15m"] >= 0 for r in rows)
 
 
+def test_chunking_covers_every_token_with_overlap(spark, sf_dir):
+    from dataengineer_job_scraper_etl_spark.queries.pipeline_ops import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        docs_chunk_sliding_udtf,
+    )
+
+    chunks = docs_chunk_sliding_udtf(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    import re
+
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        toks = re.sub(r"\s+", " ", docs[doc_id]).strip().split(" ")
+        rows.sort(key=lambda r: r["chunk_no"])
+        # chunk_no contiguous from 0; reassembling the stride-heads of
+        # every chunk plus the tail of the last reproduces the doc.
+        assert [r["chunk_no"] for r in rows] == list(range(len(rows)))
+        rebuilt: list[str] = []
+        for r in rows[:-1]:
+            rebuilt.extend(r["chunk"].split(" ")[:CHUNK_STRIDE])
+        rebuilt.extend(rows[-1]["chunk"].split(" "))
+        assert rebuilt == toks
+        assert all(
+            len(r["chunk"].split(" ")) <= CHUNK_SIZE for r in rows
+        )
+
+
 def test_zscore_native_equals_grouped_udf(spark, sf_dir):
     from dataengineer_job_scraper_etl_spark.queries.pipeline_ops import (
         events_user_zscore,
