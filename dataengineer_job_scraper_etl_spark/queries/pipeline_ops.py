@@ -486,6 +486,118 @@ def events_user_zscore_grouped_udf(
 
 
 @register(
+    "events_user_daily_gapfill",
+    """
+WITH ev AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events),
+daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         count(*) AS n_events, sum(c) AS day_cents
+  FROM ev GROUP BY 1, 2),
+b AS (SELECT date_trunc('day', min(ts)) AS d0,
+             date_trunc('day', max(ts)) AS d1 FROM ev),
+days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+         FROM b),
+spine AS (SELECT u.user_id, days.day
+          FROM (SELECT DISTINCT user_id FROM ev) u, days)
+SELECT s.user_id, s.day,
+       CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+       last_value(d.day_cents IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS locf_day_cents
+FROM spine s
+LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+""",
+    doc="Time-series gap-fill with LOCF (last observation carried "
+    "forward): the dense (user x day) spine comes from exploding the "
+    "global day range against the distinct-user dim, inactive days "
+    "left-join to null and inherit the user's last active day's "
+    "cents. The spine IS the output size (unavoidable for gap-fill) "
+    "and builds partition-parallel; bounds travel as a broadcast "
+    "1-row frame, not a driver collect. Sums are integer cents. One "
+    "join + one window, both keyed on user_id.",
+)
+def events_user_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    c = F.round(F.col("value") * 100).cast("bigint")
+    daily = (
+        e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"), c.alias("c"))
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("c").alias("day_cents"),
+        )
+    )
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = (
+        e.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY")
+                )
+            ).alias("day"),
+        )
+    )
+    filled = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("day_cents", ignorenulls=True).over(w).alias("locf_day_cents"),
+    )
+
+
+@register(
+    "agg_freq_items_contract",
+    """
+WITH tot AS (SELECT count(*) AS n FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_exact_frequent,
+       true AS sketch_covers_exact
+FROM (SELECT event_type FROM events
+      GROUP BY event_type
+      HAVING count(*) >= 0.15 * (SELECT n FROM tot))
+""",
+    doc="Frequent-items sketch contract: Spark's freqItems "
+    "(Karp-Papadimitriou-Shenker single-pass sketch) guarantees every "
+    "item above the support threshold appears in its result (with "
+    "false positives allowed) — so the oracle-checkable claim is "
+    "that the EXACT frequent set (computed relationally) is a subset "
+    "of the sketch output, plus the exact set's size. Same contract "
+    "shape as the approx-distinct and approx-percentile entries.",
+)
+def agg_freq_items_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    sketch_items = set(
+        e.stat.freqItems(["event_type"], 0.15).collect()[0][0]
+    )
+    total = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    exact = total.crossJoin(
+        F.broadcast(e.agg(F.count(F.lit(1)).alias("tot")))
+    ).filter(F.col("n") >= 0.15 * F.col("tot"))
+    return exact.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_frequent"),
+        F.every(
+            F.col("event_type").isin(list(sketch_items))
+        ).alias("sketch_covers_exact"),
+    )
+
+
+@register(
     "events_hourly_daily_rollup",
     """
 WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events)

@@ -152,6 +152,30 @@ def test_dedup_canonical_keeps_exactly_one_per_cluster(spark, sf_dir):
         assert sum(r["is_kept"] for r in members) == 1
 
 
+def test_gapfill_spine_is_dense_and_locf_carries(spark, sf_dir):
+    from dataengineer_job_scraper_etl_spark.queries.pipeline_ops import (
+        events_user_daily_gapfill,
+    )
+
+    rows = events_user_daily_gapfill(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_days = {len(v) for v in by_user.values()}
+    assert len(n_days) == 1  # every user gets the SAME dense day spine
+    for user_rows in by_user.values():
+        user_rows.sort(key=lambda r: r["day"])
+        seen_value = None
+        for r in user_rows:
+            if r["n_events"] > 0:
+                seen_value = r["locf_day_cents"]
+                assert seen_value is not None
+            else:
+                # inactive day: carries the last active day's value
+                # (null only before the user's first activity)
+                assert r["locf_day_cents"] == seen_value
+
+
 def test_rollup_matches_direct_daily_aggregation(spark, sf_dir):
     rolled = {
         r["day"]: (r["n"], r["total_cents"])
