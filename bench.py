@@ -54,6 +54,14 @@ HEADLINE += [
     "docs_contamination_ngram",
     "text_unigram_logprob",
 ]
+HEADLINE += [
+    "events_purchase_views_within_15m",
+    "events_funnel_conversion",
+    "events_user_zscore",
+    "events_user_daily_gapfill",
+    "docs_pack_sequences",
+    "docs_chunk_sliding_udtf",
+]
 
 
 def _force(df) -> None:
