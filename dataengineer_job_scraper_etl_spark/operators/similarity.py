@@ -27,7 +27,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dataengineer_job_scraper_etl_spark.functions.vector_math import cosine, dot
@@ -173,40 +173,44 @@ def rhp_lsh_topk(
     )
 
 
-def kmeans_lite(
+def _centroids_sql(cents: list[tuple[int, list[float]]]) -> str:
+    """Render centroids as ONE SQL literal: array of (cluster_id,
+    centroid) structs. A single Py4J round trip that Catalyst constant-
+    folds into a plan Literal — vs shipping an n_clusters x dim local
+    relation + collect_list sub-aggregation + crossJoin(broadcast) per
+    Lloyd round. CAST('<repr>' AS DOUBLE) round-trips every IEEE-754
+    value exactly on both build (Python repr) and parse (JVM) sides."""
+    structs = ", ".join(
+        "named_struct('cluster_id', {cid}, 'centroid', array({vals}))".format(
+            cid=int(cid),
+            vals=", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in vec),
+        )
+        for cid, vec in cents
+    )
+    return f"array({structs})"
+
+
+def _kmeans_rounds(
     corpus: DataFrame,
     vec_col: str,
     dim: int,
-    n_clusters: int,
-    n_iter: int = 3,
-    seed: int = 42,
-) -> DataFrame:
-    """Deterministic Lloyd iterations with seeded-literal init, pure
-    DataFrame ops. Centroids: (cluster_id, centroid array<double>).
+    cents: list[tuple[int, list[float]]],
+    n_iter: int,
+) -> list[tuple[int, list[float]]]:
+    """Run ``n_iter`` Lloyd rounds over an already-parallelized (and
+    ideally checkpointed) corpus; returns the updated centroid list.
 
-    Each round is ONE shuffle: broadcast centroids -> argmin assign ->
-    per-cluster mean of every dimension as ``dim`` avg aggregates over
-    projected element columns (dim is a known argument). Partial
-    aggregation bounds the shuffle at n_clusters x dim running means
-    per map partition regardless of corpus size. For very wide vectors
-    (dim > 256) the wide-agg plan would strain codegen, so the round
-    falls back to posexplode -> per-(cluster, dim) mean — two shuffles,
-    but rows instead of columns."""
-    rng = random.Random(seed)
-    cents = [
-        (cid, [rng.gauss(0.0, 0.2) for _ in range(dim)])
-        for cid in range(n_clusters)
-    ]
-    spark = corpus.sparkSession
-    # Fan the corpus out once and truncate lineage: every Lloyd round
-    # re-reads it (assign + per-dim partial means), so a 1-partition
-    # scan would serialize all rounds on one core.
-    corpus = ensure_min_parallelism(corpus).localCheckpoint(eager=False)
+    Each round is ONE job and ONE shuffle: literal-centroid argmin
+    assign (no join) -> per-cluster mean of every dimension as ``dim``
+    avg aggregates over projected element columns (dim is a known
+    argument). Partial aggregation bounds the shuffle at
+    n_clusters x dim running means per map partition regardless of
+    corpus size. For very wide vectors (dim > 256) the wide-agg plan
+    would strain codegen, so the round falls back to posexplode ->
+    per-(cluster, dim) mean — two shuffles, but rows instead of
+    columns."""
     for _ in range(n_iter):
-        cent_df = spark.createDataFrame(
-            [(cid, vec) for cid, vec in cents], "cluster_id int, centroid array<double>"
-        )
-        assigned = assign_to_centroid(corpus, cent_df, vec_col)
+        assigned = assign_to_centroid(corpus, cents, vec_col)
         if dim <= 256:
             vec = _as_double(F.col(vec_col))
             new = assigned.groupBy("cluster_id").agg(
@@ -244,22 +248,54 @@ def kmeans_lite(
         cents = [
             (cid, got.get(cid, vec)) for cid, vec in cents
         ]  # empty clusters keep previous position
+    return cents
+
+
+def _seeded_init(
+    dim: int, n_clusters: int, seed: int
+) -> list[tuple[int, list[float]]]:
+    rng = random.Random(seed)
+    return [
+        (cid, [rng.gauss(0.0, 0.2) for _ in range(dim)])
+        for cid in range(n_clusters)
+    ]
+
+
+def kmeans_lite(
+    corpus: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_clusters: int,
+    n_iter: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic Lloyd iterations with seeded-literal init, pure
+    DataFrame ops. Centroids: (cluster_id, centroid array<double>).
+    See ``_kmeans_rounds`` for the per-round plan shape."""
+    spark = corpus.sparkSession
+    # Fan the corpus out once and truncate lineage: every Lloyd round
+    # re-reads it (assign + per-dim partial means), so a 1-partition
+    # scan would serialize all rounds on one core.
+    corpus = ensure_min_parallelism(corpus).localCheckpoint(eager=False)
+    cents = _kmeans_rounds(
+        corpus, vec_col, dim, _seeded_init(dim, n_clusters, seed), n_iter
+    )
     return spark.createDataFrame(
         cents, "cluster_id int, centroid array<double>"
     )
 
 
 def assign_to_centroid(
-    df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str = "vec_id"
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str,
+    id_col: str = "vec_id",
 ) -> DataFrame:
-    """Nearest-centroid assignment: argmin over the (small, broadcast)
-    centroid set, computed as array_sort of (d2, cluster_id) structs —
-    per-row, no window, no shuffle at all. Cost O(n_clusters) per row."""
-    rows = centroids.select(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("cluster_id"), F.col("centroid")))
-        ).alias("cents")
-    )
+    """Nearest-centroid assignment: argmin over the constant-folded
+    literal centroid set, computed as array_sort of (d2, cluster_id)
+    structs — per-row, no join, no shuffle, no extra job at all. Cost
+    O(n_clusters x dim) per row."""
+    cents = F.expr(_centroids_sql(centroids))
     d2 = lambda c: F.aggregate(  # noqa: E731
         F.zip_with(
             _as_double(F.col(vec_col)),
@@ -270,18 +306,14 @@ def assign_to_centroid(
         lambda acc, v: acc + v,
     )
     scored = F.transform(
-        F.col("cents"),
+        cents,
         lambda s: F.struct(
             d2(s.getField("centroid")).alias("d2"),
             s.getField("cluster_id").alias("cluster_id"),
         ),
     )
     best = F.array_sort(scored)[0].getField("cluster_id")
-    return (
-        df.crossJoin(F.broadcast(rows))
-        .withColumn("cluster_id", best)
-        .drop("cents")
-    )
+    return df.withColumn("cluster_id", best)
 
 
 def ivf_topk(
@@ -301,28 +333,40 @@ def ivf_topk(
     """IVF ANN: build centroids, invert the corpus by nearest centroid,
     and for each query score only the ``n_probe`` nearest lists.
 
-    At scale the inverted corpus is written bucketed by cluster_id so
-    repeated query batches prune to the probed lists at scan time."""
-    corpus = ensure_min_parallelism(corpus)
-    cents = kmeans_lite(corpus, vec_col, dim, n_clusters, n_iter, seed)
+    The corpus is checkpointed ONCE and shared by the Lloyd rounds and
+    the final inversion; the probed-list choice is a per-row
+    slice(array_sort(...)) over the literal centroid set — no window,
+    no crossJoin, no shuffle on the query side at all. At scale the
+    inverted corpus is written bucketed by cluster_id so repeated
+    query batches prune to the probed lists at scan time."""
+    corpus = ensure_min_parallelism(corpus).localCheckpoint(eager=False)
+    cents = _kmeans_rounds(
+        corpus, vec_col, dim, _seeded_init(dim, n_clusters, seed), n_iter
+    )
     inverted = assign_to_centroid(corpus, cents, vec_col)
 
-    qd = F.aggregate(
+    qd = lambda c: F.aggregate(  # noqa: E731
         F.zip_with(
             _as_double(F.col(qvec_col)),
-            F.col("centroid"),
-            lambda x, c: (x - c) * (x - c),
+            c,
+            lambda x, cc: (x - cc) * (x - cc),
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    qw = Window.partitionBy(qid_col).orderBy(F.asc("qd"), F.asc("cluster_id"))
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .withColumn("qd", qd)
-        .withColumn("__r", F.row_number().over(qw))
-        .filter(F.col("__r") <= n_probe)
-        .select(qid_col, qvec_col, "cluster_id")
+    scored_cents = F.transform(
+        F.expr(_centroids_sql(cents)),
+        lambda s: F.struct(
+            qd(s.getField("centroid")).alias("qd"),
+            s.getField("cluster_id").alias("cluster_id"),
+        ),
+    )
+    probed = F.transform(
+        F.slice(F.array_sort(scored_cents), 1, n_probe),
+        lambda s: s.getField("cluster_id"),
+    )
+    probes = queries.select(
+        qid_col, qvec_col, F.explode(probed).alias("cluster_id")
     )
     cand = inverted.join(F.broadcast(probes), "cluster_id")
     scored = cand.select(
