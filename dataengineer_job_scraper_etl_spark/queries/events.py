@@ -131,7 +131,11 @@ FROM sessions GROUP BY user_id, session_id
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
+    # unix_micros only accepts TIMESTAMP (LTZ); the fixture parquet stores
+    # timestamp[us] with no timezone, which Spark 4 reads as TIMESTAMP_NTZ.
+    # Cast first: no-op for LTZ input, and offset-free under the UTC
+    # session timezone for NTZ input.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.lag(us).over(w)
     new_session = F.when(
         gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)
