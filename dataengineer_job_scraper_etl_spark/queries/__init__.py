@@ -9,6 +9,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     dq,
     events,
     jobs,
+    layout,
     multimodal,
     neardup,
     pipeline_ops,

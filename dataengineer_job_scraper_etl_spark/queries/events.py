@@ -351,3 +351,46 @@ def events_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.round("value", 2).alias("value"), F.lit("upd").alias("src")
     )
     return merge_upsert(base, updates, ["event_id"])
+
+
+@register(
+    "events_value_ewma",
+    """
+WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+framed AS (
+  SELECT user_id, event_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS l
+  FROM ev)
+SELECT user_id, event_id,
+       round(list_reduce(list_transform(l, (x, i) -> x * 0.5 ** (len(l) - i)),
+                         (a, b) -> a + b)
+             / (2.0 - 0.5 ** (len(l) - 1)), 6) AS ewma
+FROM framed
+""",
+    doc="Exponentially-weighted moving average per user (time-series "
+    "feature engineering): decay 0.5 over the trailing 8 events, "
+    "normalized by the finite-window weight sum. Expressed as ONE "
+    "window pass (collect the frame) + per-row higher-order-function "
+    "arithmetic — no self-join, no UDF, one shuffle on user_id. "
+    "Weights are powers of 0.5 (exact mantissa shifts) and both "
+    "engines fold the frame list left-to-right, so the doubles agree "
+    "bit-for-bit before rounding.",
+)
+def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    framed = e.select(
+        "user_id", "event_id", F.collect_list("value").over(w).alias("l")
+    )
+    n = F.size(F.col("l"))
+    weighted = F.transform(
+        F.col("l"), lambda x, i: x * F.pow(F.lit(0.5), n - 1 - i)
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda a, b: a + b)
+    ewma = F.round(num / (F.lit(2.0) - F.pow(F.lit(0.5), n - 1)), 6)
+    return framed.select("user_id", "event_id", ewma.alias("ewma"))

@@ -1,0 +1,64 @@
+"""Physical-layout operators: Z-order locality buckets.
+
+Demonstrates (and oracle-checks) the Morton-key arithmetic behind
+``operators.zorder.write_zordered``: bucketing lineitem by the top
+bits of a 2-D Z-curve over (l_orderkey, l_partkey) yields buckets
+whose per-dimension min/max spans are BOTH much narrower than the full
+key domain — exactly the property parquet zone maps exploit to prune
+scans filtered on either column. The whole query is integer shift/and
+arithmetic: one shuffle (the bucket groupBy), no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+from dataengineer_job_scraper_etl_spark.operators.zorder import (
+    zorder_key,
+    zorder_key_sql,
+)
+
+_ZBITS = 16  # 16 bits per dimension -> 32-bit Morton key
+_BUCKET_SHIFT = 22  # top 10 bits -> up to 1024 Z-range buckets
+
+
+@register(
+    "lineitem_zorder_locality",
+    f"""
+WITH keyed AS (
+  SELECT l_orderkey, l_partkey,
+         ({zorder_key_sql(["l_orderkey", "l_partkey"], _ZBITS)}) AS zval
+  FROM lineitem)
+SELECT zval >> {_BUCKET_SHIFT} AS z_bucket,
+       count(*) AS n,
+       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+       min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+FROM keyed GROUP BY 1
+""",
+    doc="Z-order layout buckets: Morton-interleave (l_orderkey, "
+    "l_partkey) 16 bits each, bucket by the key's top bits, and report "
+    "per-bucket row counts + per-dimension min/max spans. The narrow "
+    "spans on BOTH dimensions are what makes a Z-ordered file layout "
+    "prunable on either filter column (Delta/Iceberg OPTIMIZE ZORDER "
+    "shape). Pure integer bit arithmetic — exact cross-engine.",
+)
+def lineitem_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    keyed = li.select(
+        "l_orderkey",
+        "l_partkey",
+        zorder_key(["l_orderkey", "l_partkey"], _ZBITS).alias("zval"),
+    )
+    return (
+        keyed.withColumn("z_bucket", F.shiftright("zval", _BUCKET_SHIFT))
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_partkey").alias("max_pk"),
+        )
+    )

@@ -146,3 +146,28 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(out, spark).select(
         "user_id", F.col("session_start"), "n_events"
     )
+
+
+@register(
+    "streaming_latest_per_user",
+    f"""
+{_EV_CTE}
+SELECT user_id, event_id, event_type, ts FROM (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev)
+WHERE rn = 1
+""",
+    doc="Keyed dedup-to-latest executed through the STREAMING path: "
+    "max over a (ts, event_id) struct per user in complete mode, "
+    "drained with AvailableNow across the 2-file micro-batch queue "
+    "(so per-key state merges across batches), hash-checked against "
+    "the batch row_number()=1 oracle. State is one struct per key — "
+    "bounded by key cardinality, not event volume.",
+)
+def streaming_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.streaming.jobs import latest_per_user
+
+    d = _stage_stream_dir(spark, sf_dir)
+    return _drain(latest_per_user(stream_events(spark, d)), spark)

@@ -713,3 +713,82 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neg_logprob")
         )
     )
+
+
+# PII regex battery. Kept RE2-compatible (no backrefs/lookaround) so
+# the same pattern text runs verbatim in Java regex (Spark) and RE2
+# (DuckDB); \b is supported by both.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{2} \d{7}"
+
+
+@register(
+    "text_pii_redaction",
+    f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || repeat(' user' || CAST(doc_id AS VARCHAR)
+                        || '@mail.example.com', 1 + doc_id % 3)
+              || ' call +47 ' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 7, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS txt
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(txt, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(txt, '{_PII_IP}')) AS BIGINT) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(txt,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IP}', '<IP>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g')) AS red_fp
+FROM seeded
+""",
+    doc="PII scrubbing (mandatory pre-training hygiene pass): redact "
+    "emails, IPv4 addresses, and phone numbers via a regex battery, "
+    "reporting per-doc match counts and an md5 fingerprint of the "
+    "redacted text so the REDACTION ITSELF is hash-checked cross-"
+    "engine, not just the counts. The fixture corpus contains no PII, "
+    "so each row is seeded with synthetic PII derived deterministically "
+    "from doc_id (identically on both engines) — including a varying "
+    "email multiplicity so counts aren't constant. Per-row narrow "
+    "JVM-side regex work; no shuffle, no UDF; patterns are "
+    "RE2-and-Java-compatible by construction.",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    seeded = F.concat(
+        F.col("text"),
+        F.repeat(
+            F.concat(F.lit(" user"), did.cast("string"),
+                     F.lit("@mail.example.com")),
+            (F.lit(1) + did % 3).cast("int"),
+        ),
+        F.lit(" call +47 "),
+        F.lpad((did % 10_000_000).cast("string"), 7, "0"),
+        F.lit(" from 10."),
+        (did % 256).cast("string"),
+        F.lit(".0."),
+        ((did * 7) % 256).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP, "<IP>",
+        ),
+        _PII_PHONE, "<PHONE>",
+    )
+    return (
+        d.select("doc_id", seeded.alias("txt"))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("txt"), F.lit(_PII_EMAIL), F.lit(0)))
+            .cast("bigint").alias("n_email"),
+            F.size(F.regexp_extract_all(F.col("txt"), F.lit(_PII_PHONE), F.lit(0)))
+            .cast("bigint").alias("n_phone"),
+            F.size(F.regexp_extract_all(F.col("txt"), F.lit(_PII_IP), F.lit(0)))
+            .cast("bigint").alias("n_ip"),
+            F.md5(redacted).alias("red_fp"),
+        )
+    )

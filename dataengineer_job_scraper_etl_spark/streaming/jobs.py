@@ -241,3 +241,28 @@ def run_foreach_batch_parquet(
     )
     q.awaitTermination()
     return q
+
+
+def latest_per_user(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming CDC compaction: the latest event per user as a
+    watermarked streaming aggregation. max over a (ts, event_id, ...)
+    struct is an ordinary mergeable agg, so state is ONE struct per
+    key regardless of event volume — the streaming twin of the batch
+    row_number()=1 query, with the same (ts, event_id) tiebreak
+    encoded by struct comparison order."""
+    m = F.max(
+        F.struct(
+            F.col("ts"), F.col("event_id"), F.col("event_type")
+        )
+    ).alias("m")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .agg(m)
+        .select(
+            "user_id",
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.event_type").alias("event_type"),
+            F.col("m.ts").alias("ts"),
+        )
+    )
