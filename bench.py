@@ -62,6 +62,12 @@ HEADLINE += [
     "docs_pack_sequences",
     "docs_chunk_sliding_udtf",
 ]
+HEADLINE += [
+    "lineitem_zorder_locality",
+    "text_pii_redaction",
+    "events_value_ewma",
+    "streaming_latest_per_user",
+]
 
 
 def _force(df) -> None:
@@ -109,6 +115,18 @@ def main() -> None:
         extract_skills_ngram_join(
             spark, one, "description", "job_id", PHRASES
         ).count()
+    except Exception:
+        pass
+    try:  # stage the streaming fixture queue outside the timings: the
+        # staged directory is TEST PLUMBING (the stand-in for an already-
+        # existing Pub/Sub-like queue), not part of any streaming
+        # operator's cost — without this the first streaming entry's
+        # number silently includes two fixture-copy write jobs.
+        from dataengineer_job_scraper_etl_spark.queries.streaming_queries import (
+            _stage_stream_dir,
+        )
+
+        _stage_stream_dir(spark, sf_dir)
     except Exception:
         pass
     try:  # streaming engine warm-up: 1-row AvailableNow drain
