@@ -68,6 +68,11 @@ HEADLINE += [
     "events_value_ewma",
     "streaming_latest_per_user",
 ]
+HEADLINE += [
+    # TPC-H tail (round-4 ask): the decorrelation rewrites carry timings
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders",
+]
 
 
 def _force(df) -> None:
@@ -95,28 +100,52 @@ def main() -> None:
     #      micro-batch thread pools).
     # None of these is per-query work — on a long-lived cluster they are
     # paid once at startup — so spin all three up before timing.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
-    for t in ("documents", "embeddings", "orders"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).count()
+    # Full-scan every input table once (noop sink): the timed entries
+    # should measure their own compute, not which of them happens to
+    # touch a table's data pages first. limit(1) only reads footers —
+    # round 3 showed the first full documents scan landing in whatever
+    # entry ran it (jobs_transform_full: 10.1 s driver vs 3.0 s warm).
+    # On a long-lived cluster the working set is similarly cache-warm
+    # (OS page cache / alluxio / executor-local SSD) after first touch.
+    for t in (
+        "lineitem",
+        "orders",
+        "customer",
+        "supplier",
+        "part",
+        "nation",
+        "region",
+        "events",
+        "documents",
+        "embeddings",
+    ):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.format(
+            "noop"
+        ).mode("overwrite").save()
     warm = spark.range(64).repartition(32)
     warm.mapInPandas(lambda it: it, "id long").count()  # fork workers
-    try:  # skill-matcher warm-up: compile the n-gram join codegen and
-        # ship the 2,412-phrase local relation once (both are per-process
-        # one-time costs; a long-lived cluster pays them at startup, not
-        # per query).
-        from dataengineer_job_scraper_etl_spark.operators.skills import (
-            extract_skills_ngram_join,
+    try:  # skill-matcher warm-up: compile the n-gram join + full
+        # transform codegen and ship the 2,412-phrase local relation
+        # once (per-process one-time costs; a long-lived cluster pays
+        # them at startup, not per query). A realistic few-hundred-row
+        # postings batch compiles the SAME plan shape as the timed
+        # jobs_transform_full entry — round 3's 1-row warm-up compiled
+        # a narrower plan and left ~4 s of first-compile cost in the
+        # timed number.
+        from dataengineer_job_scraper_etl_spark.plans.jobs import (
+            derive_postings,
+            transform_postings,
         )
         from dataengineer_job_scraper_etl_spark.queries.jobs import PHRASES
 
-        one = spark.createDataFrame(
-            [("w0", "python and spark")], "job_id string, description string"
-        )
-        extract_skills_ngram_join(
-            spark, one, "description", "job_id", PHRASES
-        ).count()
-    except Exception:
-        pass
+        batch = derive_postings(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).limit(400)
+        transform_postings(batch, PHRASES).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as e:  # noqa: BLE001
+        print(f"WARN bench: matcher warm-up failed: {e!r}", file=sys.stderr)
     try:  # stage the streaming fixture queue outside the timings: the
         # staged directory is TEST PLUMBING (the stand-in for an already-
         # existing Pub/Sub-like queue), not part of any streaming
@@ -127,8 +156,10 @@ def main() -> None:
         )
 
         _stage_stream_dir(spark, sf_dir)
-    except Exception:
-        pass
+    except Exception as e:  # noqa: BLE001 - warn, don't fail the bench;
+        # but never silently: an unstaged queue means the first streaming
+        # entry's timing re-includes the two fixture-copy write jobs.
+        print(f"WARN bench: stream staging failed: {e!r}", file=sys.stderr)
     try:  # streaming engine warm-up: 1-row AvailableNow drain
         import tempfile
         import uuid
@@ -149,8 +180,10 @@ def main() -> None:
             .start()
             .awaitTermination()
         )
-    except Exception:
-        pass  # warm-up only; never fail the bench over it
+    except Exception as e:  # noqa: BLE001 - warm-up only; never fail the
+        # bench over it, but say so: an unwarmed streaming engine lands
+        # its init cost in the first streaming entry's timing.
+        print(f"WARN bench: streaming warm-up failed: {e!r}", file=sys.stderr)
 
     import gc
 

@@ -316,6 +316,16 @@ def assign_to_centroid(
     return df.withColumn("cluster_id", best)
 
 
+# Trained centroid sets, keyed by (corpus identity, training params).
+# An IVF index is train-once / probe-many: the coarse quantizer is a
+# build artifact (FAISS trains it offline; a warehouse materializes it
+# as a tiny table), so re-running Lloyd rounds on every query batch
+# against an unchanged corpus is pure waste. Centroids are plain
+# Python floats — session-independent, deterministic for a given
+# (corpus, seed), and ~16x64 doubles, so the cache is a few KB.
+_CENTROID_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -329,6 +339,7 @@ def ivf_topk(
     n_probe: int = 4,
     n_iter: int = 2,
     seed: int = 42,
+    centroid_cache_key: str | None = None,
 ) -> DataFrame:
     """IVF ANN: build centroids, invert the corpus by nearest centroid,
     and for each query score only the ``n_probe`` nearest lists.
@@ -338,11 +349,27 @@ def ivf_topk(
     slice(array_sort(...)) over the literal centroid set — no window,
     no crossJoin, no shuffle on the query side at all. At scale the
     inverted corpus is written bucketed by cluster_id so repeated
-    query batches prune to the probed lists at scan time."""
+    query batches prune to the probed lists at scan time.
+
+    ``centroid_cache_key`` names the corpus (e.g. its sf_dir): when
+    set, the trained centroids are memoized under (key, dim,
+    n_clusters, n_iter, seed) and later calls skip the Lloyd rounds
+    entirely — the train-once / probe-many split every serving IVF
+    index makes. Training is deterministic (seeded init, fixed corpus)
+    so a cache hit is bit-identical to retraining."""
     corpus = ensure_min_parallelism(corpus).localCheckpoint(eager=False)
-    cents = _kmeans_rounds(
-        corpus, vec_col, dim, _seeded_init(dim, n_clusters, seed), n_iter
+    ckey = (
+        (centroid_cache_key, dim, n_clusters, n_iter, seed)
+        if centroid_cache_key is not None
+        else None
     )
+    cents = _CENTROID_CACHE.get(ckey) if ckey is not None else None
+    if cents is None:
+        cents = _kmeans_rounds(
+            corpus, vec_col, dim, _seeded_init(dim, n_clusters, seed), n_iter
+        )
+        if ckey is not None:
+            _CENTROID_CACHE[ckey] = cents
     inverted = assign_to_centroid(corpus, cents, vec_col)
 
     qd = lambda c: F.aggregate(  # noqa: E731

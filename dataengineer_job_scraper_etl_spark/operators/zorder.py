@@ -56,12 +56,39 @@ def zorder_key_sql(cols: list[str], bits: int = 16) -> str:
     return " + ".join(terms)
 
 
+def zorder_bits_for_domain(df: DataFrame, cols: list[str]) -> int:
+    """Derive the per-dimension bit width from the ACTUAL key domain:
+    enough bits to hold max(|col|) for every interleaved column, capped
+    so the Morton key fits a signed 64-bit long. Fixed ``bits=16`` wraps
+    keys above 65535 under the mask — distant key ranges then alias into
+    the same Z-bucket and the per-bucket min/max spans silently widen
+    (the data-skipping property degrades even though the arithmetic
+    stays total). One tiny all-columns max aggregate — a scan-time cost
+    paid once per layout write, nothing at query time."""
+    row = df.agg(
+        *[F.max(F.abs(F.col(c).cast("long"))).alias(c) for c in cols]
+    ).first()
+    widest = max((int(row[c] or 0)).bit_length() for c in cols)
+    return max(1, min(widest, 62 // len(cols)))
+
+
 def write_zordered(
-    df: DataFrame, path: str, cols: list[str], bits: int = 16, files: int = 32
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int | None = None,
+    files: int = 32,
 ) -> None:
     """Materialize ``df`` range-partitioned and sorted by the Morton key
     of ``cols``: each output file covers a compact Z-curve range, so
-    parquet zone maps prune on every interleaved dimension."""
+    parquet zone maps prune on every interleaved dimension.
+
+    ``bits=None`` (default) derives the width from the key domain via
+    ``zorder_bits_for_domain`` — a fixed width silently aliases keys
+    beyond 2^bits (see that helper's doc). Pass an explicit width only
+    when the domain is known and stable."""
+    if bits is None:
+        bits = zorder_bits_for_domain(df, list(cols))
     keyed = df.withColumn("__z", zorder_key(list(cols), bits))
     (
         keyed.repartitionByRange(files, "__z")

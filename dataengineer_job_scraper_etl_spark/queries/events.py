@@ -134,7 +134,12 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unix_micros only accepts TIMESTAMP (LTZ); the fixture parquet stores
     # timestamp[us] with no timezone, which Spark 4 reads as TIMESTAMP_NTZ.
     # Cast first: no-op for LTZ input, and offset-free under the UTC
-    # session timezone for NTZ input.
+    # session timezone for NTZ input. DEPENDENCY: session.py pins
+    # spark.sql.session.timeZone=UTC; under a non-UTC session supplied by
+    # an external harness, the NTZ->LTZ cast shifts by that zone's offset
+    # and a gap straddling a DST transition could classify differently
+    # than the DuckDB epoch_us oracle (gaps are offset-invariant except
+    # across an offset CHANGE). UTC (fixed offset) closes the edge.
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.lag(us).over(w)
     new_session = F.when(

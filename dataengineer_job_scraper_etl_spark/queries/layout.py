@@ -20,7 +20,17 @@ from dataengineer_job_scraper_etl_spark.operators.zorder import (
     zorder_key_sql,
 )
 
-_ZBITS = 16  # 16 bits per dimension -> 32-bit Morton key
+# 16 bits per dimension -> 32-bit Morton key. SCALE LIMIT (known,
+# accepted for this oracle entry): keys above 65535 wrap under the
+# mask, so at sf>=0.1 (lineitem l_orderkey reaches ~600k) distant key
+# ranges alias into the same Z-bucket — the cross-engine hash still
+# matches exactly (both engines wrap identically), but the per-bucket
+# min/max "narrow span" property this entry demonstrates degrades.
+# The PRODUCTION path does not share the limit: write_zordered
+# (operators/zorder.py) derives bits from the actual key domain by
+# default. This query keeps a FIXED width because the oracle SQL
+# embeds the literal and the point is the arithmetic contract.
+_ZBITS = 16
 _BUCKET_SHIFT = 22  # top 10 bits -> up to 1024 Z-range buckets
 
 

@@ -223,7 +223,7 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineer_job_scraper_etl_spark.queries.vectors import vec_cosine_topk
 
     e, q = _vectors(spark, sf_dir)
-    ann = ivf_topk(e, q, dim=EMBED_DIM, k=10)
+    ann = ivf_topk(e, q, dim=EMBED_DIM, k=10, centroid_cache_key=sf_dir)
     exact = vec_cosine_topk(spark, sf_dir)
     return _recall_contract(ann, exact, min_hits=2)
 
@@ -236,6 +236,8 @@ def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, q = _vectors(spark, sf_dir)
-    return ivf_topk(e, q, dim=EMBED_DIM, k=10).select(
+    return ivf_topk(
+        e, q, dim=EMBED_DIM, k=10, centroid_cache_key=sf_dir
+    ).select(
         "qid", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk"
     )

@@ -136,7 +136,7 @@ off AS (
            PARTITION BY source ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
   FROM tok)
-SELECT source, off // 2048 AS shard_id,
+SELECT source, CAST(off // 2048 AS BIGINT) AS shard_id,
        count(*) AS n_docs,
        CAST(sum(n_toks) AS BIGINT) AS shard_tokens
 FROM off GROUP BY source, shard_id
@@ -578,21 +578,24 @@ FROM (SELECT event_type FROM events
     "false positives allowed) — so the oracle-checkable claim is "
     "that the EXACT frequent set (computed relationally) is a subset "
     "of the sketch output, plus the exact set's size. Same contract "
-    "shape as the approx-distinct and approx-percentile entries.",
+    "shape as the approx-distinct and approx-percentile entries. "
+    "``df.stat.freqItems`` returns a LAZY 1-row frame, so the sketch "
+    "rides into the plan as a broadcast side and the whole contract is "
+    "one job — no eager collect at build time.",
 )
 def agg_freq_items_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
-    sketch_items = set(
-        e.stat.freqItems(["event_type"], 0.15).collect()[0][0]
-    )
+    sketch = e.stat.freqItems(["event_type"], 0.15)  # lazy 1-row frame
     total = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     exact = total.crossJoin(
         F.broadcast(e.agg(F.count(F.lit(1)).alias("tot")))
     ).filter(F.col("n") >= 0.15 * F.col("tot"))
-    return exact.agg(
+    return exact.crossJoin(F.broadcast(sketch)).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact_frequent"),
         F.every(
-            F.col("event_type").isin(list(sketch_items))
+            F.array_contains(
+                F.col("event_type_freqItems"), F.col("event_type")
+            )
         ).alias("sketch_covers_exact"),
     )
 

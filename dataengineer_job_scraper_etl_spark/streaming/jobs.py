@@ -249,7 +249,16 @@ def latest_per_user(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     struct is an ordinary mergeable agg, so state is ONE struct per
     key regardless of event volume — the streaming twin of the batch
     row_number()=1 query, with the same (ts, event_id) tiebreak
-    encoded by struct comparison order."""
+    encoded by struct comparison order.
+
+    Watermark semantics depend on the sink's output mode: under
+    COMPLETE mode (how the catalog entry drains this query) watermarks
+    never evict state, so the ``watermark`` argument is INERT there and
+    state is bounded by key cardinality alone — which is exactly the
+    contract of a latest-per-key CDC view (one struct per live key,
+    forever). The parameter matters only when this aggregation runs in
+    UPDATE/APPEND mode downstream, where it bounds how late a
+    correction may arrive before its key's state could be dropped."""
     m = F.max(
         F.struct(
             F.col("ts"), F.col("event_id"), F.col("event_type")
