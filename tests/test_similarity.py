@@ -81,6 +81,40 @@ def test_ivf_recall_on_clusters(spark):
     assert sum(recalls) / len(recalls) >= 0.6
 
 
+def test_ivf_centroid_cache_hit_is_identical(spark):
+    """Train-once/probe-many: a cache-keyed second call must skip the
+    Lloyd rounds AND return bit-identical results (training is seeded-
+    deterministic, so serving from cached centroids cannot change any
+    answer)."""
+    from dataengineer_job_scraper_etl_spark.operators import similarity
+
+    vecs = _clustered_vectors()
+    corpus, queries = _frames(spark, vecs)
+    key = "test-cache://corpus-a"
+    similarity._CENTROID_CACHE.clear()
+    cold = ivf_topk(
+        corpus, queries, dim=DIM, k=5, n_clusters=4, n_probe=2,
+        centroid_cache_key=key,
+    ).collect()
+    assert len(similarity._CENTROID_CACHE) == 1
+    cached = next(iter(similarity._CENTROID_CACHE.values()))
+    # poison-pill the trainer: a cache hit must never retrain
+    orig = similarity._kmeans_rounds
+    similarity._kmeans_rounds = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("cache hit retrained")
+    )
+    try:
+        warm = ivf_topk(
+            corpus, queries, dim=DIM, k=5, n_clusters=4, n_probe=2,
+            centroid_cache_key=key,
+        ).collect()
+    finally:
+        similarity._kmeans_rounds = orig
+        similarity._CENTROID_CACHE.clear()
+    assert sorted(map(str, warm)) == sorted(map(str, cold))
+    assert cached  # trained centroids were actually stored
+
+
 def test_kmeans_lite_deterministic(spark):
     vecs = _clustered_vectors()
     corpus, _ = _frames(spark, vecs)

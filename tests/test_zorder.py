@@ -50,6 +50,27 @@ def test_zorder_key_sql_agrees_with_expression(spark):
     assert both.filter(F.col("a") != F.col("b")).count() == 0
 
 
+def test_zorder_bits_derived_from_domain(spark):
+    """Fixed bits=16 wraps keys above 65535 (distant ranges alias into
+    one Z-bucket); the default derivation must size the width to the
+    actual key domain instead, capped to fit a signed 64-bit long."""
+    from dataengineer_job_scraper_etl_spark.operators.zorder import (
+        zorder_bits_for_domain,
+    )
+
+    small = spark.createDataFrame([(5, 9), (63, 2)], "x long, y long")
+    assert zorder_bits_for_domain(small, ["x", "y"]) == 6  # 63 -> 6 bits
+    big = spark.createDataFrame(
+        [(600_000, 70_000), (1, 2)], "x long, y long"
+    )
+    bits = zorder_bits_for_domain(big, ["x", "y"])
+    assert (1 << bits) > 600_000  # no wrap at the observed domain
+    wide = spark.createDataFrame(
+        [(1 << 62, 1, 1), (0, 0, 0)], "x long, y long, z long"
+    )
+    assert zorder_bits_for_domain(wide, ["x", "y", "z"]) == 62 // 3  # cap
+
+
 def test_write_zordered_gives_two_dimensional_locality(spark, tmp_path):
     n, side = 4096, 64  # uniform 64x64 grid
     df = spark.createDataFrame(
