@@ -579,13 +579,17 @@ FROM (SELECT event_type FROM events
     "that the EXACT frequent set (computed relationally) is a subset "
     "of the sketch output, plus the exact set's size. Same contract "
     "shape as the approx-distinct and approx-percentile entries. "
-    "``df.stat.freqItems`` returns a LAZY 1-row frame, so the sketch "
-    "rides into the plan as a broadcast side and the whole contract is "
-    "one job — no eager collect at build time.",
+    "ONE lazy plan: Spark 4's df.stat.freqItems compiles to the "
+    "collect_frequent_items aggregate expression (lazy — no job at "
+    "build time, unlike the eager RDD-aggregate implementation of "
+    "Spark 3), and the 1-row sketch result rides into the contract as "
+    "a broadcast side. Nothing is collected to Python; the whole "
+    "entry is a single job (pinned by test_pipeline_ops).",
 )
 def agg_freq_items_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
-    sketch = e.stat.freqItems(["event_type"], 0.15)  # lazy 1-row frame
+    # lazy: compiles to a collect_frequent_items aggregate in the plan
+    sketch = e.stat.freqItems(["event_type"], 0.15)
     total = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     exact = total.crossJoin(
         F.broadcast(e.agg(F.count(F.lit(1)).alias("tot")))

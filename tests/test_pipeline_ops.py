@@ -27,6 +27,30 @@ def test_bpe_pieces_at_least_words(spark, sf_dir):
         assert r["total_pieces"] >= r["n_docs"]
 
 
+def test_freq_items_contract_builds_lazily(spark, sf_dir):
+    # catalog contract: spark_fn is lazy until the driver acts. The
+    # freqItems sketch used to be collected eagerly at plan-build time;
+    # Spark 4 compiles df.stat.freqItems to the lazy
+    # collect_frequent_items aggregate, so building now costs at most
+    # the parquet-footer/schema job every spark.read.parquet pays —
+    # the sketch aggregation itself must NOT run at build time.
+    from dataengineer_job_scraper_etl_spark.queries.pipeline_ops import (
+        agg_freq_items_contract,
+    )
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = agg_freq_items_contract(spark, sf_dir)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before <= 1, "builder ran more than the footer read"
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the sketch is an in-plan aggregate, not a pre-materialized result
+    assert "collect_frequent_items" in plan
+    row = df.first()  # and the contract itself still holds
+    assert row["sketch_covers_exact"] is True
+    assert row["n_exact_frequent"] >= 1
+
+
 def test_pretrain_filter_verdicts_partition_the_corpus(spark, sf_dir):
     out = docs_pretrain_filter(spark, sf_dir)
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
