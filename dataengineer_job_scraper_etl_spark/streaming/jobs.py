@@ -25,11 +25,24 @@ from dataengineer_job_scraper_etl_spark.schemas import EVENTS
 
 
 def stream_events(
-    spark: SparkSession, path: str, schema: T.StructType = EVENTS
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = EVENTS,
+    max_files_per_trigger: int | None = 1,
 ) -> DataFrame:
     """File-queue event stream: each new parquet dropped in ``path`` is
-    one micro-batch of events (the engine's Pub/Sub stand-in)."""
-    return spark.readStream.schema(schema).parquet(path)
+    one micro-batch of events (the engine's Pub/Sub stand-in).
+
+    ``max_files_per_trigger=1`` makes that sentence TRUE under
+    Trigger.AvailableNow too: without it the trigger drains every
+    already-queued file in a single batch (verified: 1 offset commit
+    for the 2-file fixture queue), and no cross-batch state handoff
+    would actually execute. Pass None for the drain-everything-at-once
+    behavior when batch-count semantics don't matter."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def tumbling_counts(
