@@ -59,6 +59,53 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, part_dir):
     assert joined.count() == 300  # days 0,1,2
 
 
+def test_catalog_docstring_plan_claims_hold(spark, sf_dir):
+    """PLANS.md / query docstrings make concrete physical-plan claims
+    (exchange counts, window reuse, no non-broadcast joins). Pin the
+    load-bearing ones mechanically so a Spark upgrade or query edit
+    that silently changes the plan shape fails here, not in a 100 TB
+    run. Bounds are the DOCUMENTED ones: exchanges may come in under
+    (AQE coalescing) but never over; windows are exact (they encode
+    the single-partitioning-reuse design); SortMergeJoin/
+    ShuffledHashJoin must not appear where the docs promise broadcast
+    or join-free plans."""
+    import re
+
+    from dataengineer_job_scraper_etl_spark.catalog import all_queries
+
+    # entry -> (max exchanges, exact windows or None, max shuffle joins)
+    claims = {
+        "docs_pretrain_filter": (0, 0, 0),       # "ZERO exchanges"
+        "events_sessionization": (1, 2, 0),      # one user_id shuffle
+        "events_asof_purchase_view": (1, 1, 0),  # union+window, no join
+        "events_funnel_conversion": (2, 3, 0),   # 3 windows, one key
+        "events_user_zscore": (1, 1, 0),
+        "docs_pack_sequences": (2, 1, 0),        # window + agg shuffle
+        "events_hourly_daily_rollup": (2, 0, 0),
+        "tpch_q21_waiting_suppliers": (None, 2, 0),  # 2 windows, BHJs
+    }
+    qs = all_queries()
+    bad = []
+    for name, (max_ex, n_win, max_j) in claims.items():
+        plan = (
+            qs[name]
+            .spark_fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        ex = len(re.findall(r"\bExchange (hash|range|single)", plan))
+        win = len(re.findall(r"\bWindow\b|\bRunningWindowFunction\b", plan))
+        j = len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan))
+        if max_ex is not None and ex > max_ex:
+            bad.append(f"{name}: {ex} exchanges > {max_ex}")
+        if n_win is not None and win != n_win:
+            bad.append(f"{name}: {win} windows != {n_win}")
+        if j > max_j:
+            bad.append(f"{name}: {j} non-broadcast joins > {max_j}")
+    assert not bad, bad
+
+
 def test_aqe_splits_skewed_join_partitions(spark, tmp_path_factory):
     """One hot key dominating a sort-merge join must be split by AQE's
     skew handling (OptimizeSkewedJoin) instead of serializing on one
