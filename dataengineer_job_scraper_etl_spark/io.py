@@ -26,6 +26,7 @@ import json
 from collections.abc import Iterable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TABLE_NAMES = (
@@ -172,6 +173,34 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Binary-file scan — the ingestion edge for multimodal columns:
+    each matched file becomes one row (path, modificationTime, length,
+    content binary), which is exactly the (payload, typed metadata)
+    shape operators/multimodal.py processes. Built-in ``binaryFile``
+    format: distributed listing, partitioned reads, and pushdown on
+    the LENGTH column (``glob`` prunes at listing time; a length
+    filter prunes before any payload is read — both matter when the
+    corpus is 100 TB of media files).
+
+    ``max_bytes`` guards executor memory: each row holds a whole file,
+    so unbounded payloads OOM an executor long before 100 TB — the
+    filter is pushed to the reader, oversized files are never
+    materialized."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
 
 
 def compact_parquet(

@@ -155,6 +155,38 @@ def test_compact_parquet_non_default_scheme(spark, tmp_path):
         hconf.unset(key)
 
 
+def test_read_binary_files_feeds_multimodal_stage(spark, tmp_path):
+    """binaryFile is the ingestion edge for multimodal columns: files
+    -> (path, length, content binary) rows. Pin that the glob prunes
+    at listing, the max_bytes guard is PUSHED to the reader (explain
+    shows the length filter in PushedFilters — oversized payloads are
+    never materialized), and the rows feed the multimodal feature
+    stage unchanged."""
+    from dataengineer_job_scraper_etl_spark.io import read_binary_files
+    from dataengineer_job_scraper_etl_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.img").write_bytes(b"\x89fakepng" * 4)
+    (d / "b.img").write_bytes(b"\x89other" * 200)  # over the cap
+    (d / "ignore.txt").write_text("not media")
+    df = read_binary_files(spark, str(d), glob="*.img", max_bytes=100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LessThanOrEqual(length,100)" in plan  # pushed, not post-hoc
+    rows = df.collect()
+    assert [r["path"].rsplit("/", 1)[-1] for r in rows] == ["a.img"]
+    assets = df.select(
+        F.monotonically_increasing_id().alias("asset_id"),
+        F.lit("image").alias("modality"),
+        F.col("content").alias("payload"),
+    )
+    feats = extract_features(assets).collect()
+    assert len(feats) == 1 and feats[0]["decode_ok"]
+    assert feats[0]["feat_dim"] == 8
+
+
 def test_partition_pruning_reaches_scan(spark, tmp_path):
     path = str(tmp_path / "pp")
     df = _postings(spark)
