@@ -34,7 +34,12 @@ import hashlib
 import os
 import time
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from dataengineer_job_scraper_etl_spark.sources.scrape import (
     DETAIL_URL_TEMPLATE,
@@ -129,6 +134,50 @@ class JobPostingsReader(DataSourceReader):
             yield (card["jobid"], card["title"], desc, partition.job_type)
 
 
+class JobPostingsStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format('job_postings')`` — the reference's
+    scheduled nightly re-scrape (main.yml:36-37, Cloud Scheduler ->
+    Pub/Sub -> function) as a STREAMING source: every micro-batch is
+    one poll round over all titles, the offset is the round counter,
+    and exactly-once bookkeeping (which rounds landed in which batch)
+    is the engine's checkpoint, not cron-and-hope.
+
+    A posting surfacing in consecutive polls is the same posting, so
+    the natural downstream is keyed dedup
+    (``dropDuplicatesWithinWatermark`` on jobid — tested). Round
+    bookkeeping lives in the OFFSET (the engine's checkpoint), not in
+    the rows: the stream shares the batch schema exactly.
+    ``readBetweenOffsets`` replays rounds for recovery: at-least-once
+    against a live site (content may differ by replay time),
+    exactly-once in fixture mode (deterministic files)."""
+
+    def __init__(self, options: dict) -> None:
+        self._batch = JobPostingsReader(options)
+
+    def initialOffset(self) -> dict:
+        return {"round": 0}
+
+    def _scrape_round(self) -> list[tuple]:
+        # materialized list, not a generator: the engine's simple-reader
+        # wrapper prefetches on the driver and PICKLES the row cache for
+        # the workers — a generator cannot be copied or pickled.
+        return [
+            row
+            for p in self._batch.partitions()
+            for row in self._batch.read(p)
+        ]
+
+    def read(self, start: dict):
+        rnd = start["round"]
+        return self._scrape_round(), {"round": rnd + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows: list[tuple] = []
+        for _ in range(start["round"], end["round"]):
+            rows.extend(self._scrape_round())
+        return rows
+
+
 class JobPostingsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -139,6 +188,9 @@ class JobPostingsDataSource(DataSource):
 
     def reader(self, schema) -> JobPostingsReader:  # noqa: ANN001
         return JobPostingsReader(self.options)
+
+    def simpleStreamReader(self, schema):  # noqa: ANN001
+        return JobPostingsStreamReader(self.options)
 
 
 def register(spark) -> None:  # noqa: ANN001

@@ -100,6 +100,57 @@ def test_datasource_missing_list_skips_title(spark, tmp_path):
     assert df.count() == 2
 
 
+def test_datasource_streaming_polls_and_dedups(spark, tmp_path):
+    """readStream.format('job_postings'): each micro-batch is one poll
+    round over all titles (offset = round counter in the checkpoint).
+    Two batches re-deliver the same postings; keyed streaming dedup
+    collapses them — the productionized shape of the reference's
+    scheduled nightly re-scrape (main.yml:36-37)."""
+    import os
+    import uuid
+
+    d = str(tmp_path / "fxs")
+    _stage_title(d, "Data Engineer", 3)
+    spark.dataSource.register(JobPostingsDataSource)
+    stream = (
+        spark.readStream.format("job_postings")
+        .option("job_titles", "Data Engineer")
+        .option("fixture_dir", d)
+        .load()
+        .dropDuplicates(["jobid"])
+    )
+    name = "ds_stream_" + uuid.uuid4().hex[:8]
+    # append mode: the sink receives only first-seen jobids, so the
+    # second poll round contributes zero rows — dedup visible in the
+    # output size itself.
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option(
+            "checkpointLocation", os.path.join(str(tmp_path), "cp", name)
+        )
+        .start()
+    )
+    try:
+        # wait until at least 2 poll rounds (micro-batches) committed
+        import time
+
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            progress = q.lastProgress
+            if progress and progress["batchId"] >= 2:
+                break
+            time.sleep(0.5)
+        assert progress and progress["batchId"] >= 2, "no second poll"
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    # 3 postings per poll, re-delivered every round, deduped to 3
+    assert sorted(r["jobid"] for r in rows) == ["0", "1", "2"]
+    assert all(r["description"] for r in rows)
+
+
 def test_datasource_composes_with_downstream_transform(spark, tmp_path):
     """The point of the DataSource form: the scrape is a normal source
     under the full transform (EP1 shape) with no special plumbing."""
