@@ -106,6 +106,51 @@ def test_catalog_docstring_plan_claims_hold(spark, sf_dir):
     assert not bad, bad
 
 
+def test_python_stays_out_of_the_hot_path_catalog_wide(spark, sf_dir):
+    """'UDFs are the slow path' enforced mechanically over the WHOLE
+    catalog: Python execution nodes may appear only in the four entries
+    that exist precisely to exercise (and hash-check) a Python path —
+    the trie pandas-UDF skills matcher, the multimodal mapInPandas
+    stage, the chunking UDTF, and the grouped-map z-score twin.
+    Everything else must compile to pure JVM plans; a convenience UDF
+    sneaking into any other entry fails here."""
+    import re
+
+    from dataengineer_job_scraper_etl_spark.catalog import all_queries
+
+    markers = (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+        "PythonUDTF",
+        "PythonDataSource",
+    )
+    allowed = {
+        "jobs_skills_trie_udf",       # U3: Arrow trie matcher
+        "multimodal_features",        # codec seam, mapInPandas
+        "docs_chunk_sliding_udtf",    # lateral Python UDTF
+        "events_user_zscore_grouped_udf",  # grouped-map twin
+    }
+    offenders = []
+    for name, q in all_queries().items():
+        if name.startswith("streaming_"):
+            continue  # building these executes a stream; covered in
+            # tests/test_streaming.py, and their plans are JVM-only
+        plan = (
+            q.spark_fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        found = [m for m in markers if m in plan]
+        if found and name not in allowed:
+            offenders.append(f"{name}: {found}")
+        if not found and name in allowed:
+            offenders.append(f"{name}: expected a Python node, found none")
+    assert not offenders, offenders
+
+
 def test_aqe_splits_skewed_join_partitions(spark, tmp_path_factory):
     """One hot key dominating a sort-merge join must be split by AQE's
     skew handling (OptimizeSkewedJoin) instead of serializing on one
