@@ -165,6 +165,34 @@ def running_user_totals(
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark: SparkSession) -> str | None:
+    """Switch new streaming checkpoints to the RocksDB state store and
+    return the previous provider setting (None = default HDFS-backed).
+
+    The 100 TB posture for streaming state: the default provider keeps
+    every key of every state partition in executor HEAP — fine for the
+    fixture queues here, an OOM at production key cardinality. RocksDB
+    spills to local SSD, bounds memory via block cache, and checkpoints
+    incrementally (changelog + periodic snapshot upload, visible in the
+    rocksdb* custom metrics). Results are provider-independent (pinned
+    by tests/test_streaming.py); the provider is fixed per CHECKPOINT at
+    first use, so flip it before a query's first start, never mid-
+    stream."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:  # unset -> engine default
+        prev = None
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    return prev
+
+
 def run_available_now(
     out: DataFrame, query_name: str, checkpoint: str, output_mode: str = "append"
 ) -> Any:

@@ -218,3 +218,46 @@ def test_stage_dir_refreshes_on_fixture_change(spark, tmp_path):
     refreshed = _stage_stream_dir(spark, str(sf_copy))
     assert refreshed != first
     assert os.path.isdir(refreshed)
+
+
+def test_rocksdb_state_store_agrees_with_default_provider(spark, tmp_path):
+    """The 100 TB state posture: the default provider holds all state
+    in executor heap; RocksDB spills to local disk with bounded block
+    cache. Run the state-heavy latest-per-key aggregation under BOTH
+    providers on the same queue and pin (a) identical results and
+    (b) that RocksDB really served the query (rocksdb* custom metrics
+    in the state operator's progress)."""
+    from dataengineer_job_scraper_etl_spark.streaming.jobs import (
+        latest_per_user,
+        use_rocksdb_state_store,
+    )
+
+    stream, batch = _fixture(spark, tmp_path, "ev_rocks")
+    out = latest_per_user(stream)
+
+    run_available_now(
+        out, "t_latest_heap", str(tmp_path / "cp_heap"),
+        output_mode="complete",
+    )
+    heap_rows = _canon(spark.table("t_latest_heap").collect())
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = use_rocksdb_state_store(spark)
+    try:
+        stream2, _ = _fixture(spark, tmp_path, "ev_rocks")  # same dir
+        q = run_available_now(
+            latest_per_user(stream2),
+            "t_latest_rocks",
+            str(tmp_path / "cp_rocks"),
+            output_mode="complete",
+        )
+        rocks_rows = _canon(spark.table("t_latest_rocks").collect())
+        lp = q.lastProgress
+        metrics = lp["stateOperators"][0].get("customMetrics", {})
+        assert any(k.startswith("rocksdb") for k in metrics), metrics
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert rocks_rows == heap_rows and len(rocks_rows) == 2
