@@ -165,6 +165,60 @@ def running_user_totals(
     )
 
 
+def running_user_totals_tws(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """The same running per-user totals through ``transformWithState
+    InPandas`` — Spark 4's successor to applyInPandasWithState: typed
+    state variables (value/list/map) with optional TTL, named timers,
+    and a processor lifecycle, instead of one opaque tuple + a single
+    timeout. This is the extension point new stateful operators should
+    target; the applyInPandasWithState twin stays as the legacy-API
+    evidence. REQUIRES (a) the RocksDB state store provider
+    (use_rocksdb_state_store) — the engine rejects the heap provider —
+    and (b) the ``protobuf`` package: the Python<->JVM state server
+    speaks protobuf, and without it the driver worker crashes at plan
+    time with ImportError from StateMessage_pb2 (absent from THIS
+    image — the test is gated on the import, same convention as the
+    spaCy and codec seams; the operator itself is complete)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                [{"user_id": key[0], "n_events": n, "total_value": total}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=_RUNNING_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state."
     "RocksDBStateStoreProvider"

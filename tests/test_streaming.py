@@ -261,3 +261,50 @@ def test_rocksdb_state_store_agrees_with_default_provider(spark, tmp_path):
         else:
             spark.conf.set(key, prev)
     assert rocks_rows == heap_rows and len(rocks_rows) == 2
+
+
+def test_transform_with_state_matches_legacy_and_batch(spark, tmp_path):
+    """running_user_totals via Spark 4's transformWithStateInPandas
+    (typed ValueState, RocksDB-only) must agree with the
+    applyInPandasWithState twin and the batch aggregate — same
+    final-state-per-user contract as the legacy test.
+
+    Environment gate: the transformWithState Python<->JVM state server
+    speaks protobuf; without the package the driver worker crashes at
+    plan time (verified: ImportError from StateMessage_pb2). Skipped
+    where protobuf is absent — same convention as the spaCy/codec
+    seams."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from dataengineer_job_scraper_etl_spark.streaming.jobs import (
+        running_user_totals_tws,
+        use_rocksdb_state_store,
+    )
+
+    stream, batch = _fixture(spark, tmp_path, "ev_tws")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = use_rocksdb_state_store(spark)  # required by the API
+    try:
+        out = running_user_totals_tws(stream)
+        run_available_now(
+            out, "t_tws", str(tmp_path / "cp_tws"), output_mode="update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = spark.table("t_tws").collect()
+    last = {}
+    for r in got:
+        cur = last.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            last[r["user_id"]] = (r["n_events"], r["total_value"])
+    expected = {
+        r["user_id"]: (r["n"], r["total"])
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert last == expected
