@@ -1,0 +1,54 @@
+"""Compare BENCH_r*.json rounds: per-query deltas, new/retired entries.
+
+Usage: python tools/bench_compare.py [old.json new.json]
+Defaults to the two most recent BENCH_r*.json in the repo root.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    if len(sys.argv) == 3:
+        paths = [sys.argv[1], sys.argv[2]]
+    else:
+        paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))[-2:]
+    if len(paths) < 2:
+        print("need two bench files")
+        return 1
+    runs = []
+    for p in paths:
+        with open(p, encoding="utf-8") as f:
+            d = json.load(f)
+        # driver rounds wrap bench.py's JSON line under 'parsed'
+        runs.append(d.get("parsed", d))
+    old, new = runs
+    oq, nq = old["queries"], new["queries"]
+    print(f"{os.path.basename(paths[0])} -> {os.path.basename(paths[1])}")
+    print(f"headline: {old['value']:.2f}s -> {new['value']:.2f}s "
+          f"({len(oq)} -> {len(nq)} queries)")
+    shared = sorted(set(oq) & set(nq), key=lambda k: oq[k] - nq[k])
+    tot_o = sum(oq[k] for k in shared)
+    tot_n = sum(nq[k] for k in shared)
+    print(f"like-for-like ({len(shared)} shared): "
+          f"{tot_o:.2f}s -> {tot_n:.2f}s "
+          f"({100 * (tot_n - tot_o) / tot_o:+.1f}%)\n")
+    for k in shared:
+        d = nq[k] - oq[k]
+        if abs(d) >= 0.3:
+            print(f"  {k:45s} {oq[k]:6.2f} -> {nq[k]:6.2f}  ({d:+.2f})")
+    for k in sorted(set(nq) - set(oq)):
+        print(f"  {k:45s}    new -> {nq[k]:6.2f}")
+    for k in sorted(set(oq) - set(nq)):
+        print(f"  {k:45s} {oq[k]:6.2f} -> retired")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
