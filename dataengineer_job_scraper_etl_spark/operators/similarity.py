@@ -316,6 +316,160 @@ def assign_to_centroid(
     return df.withColumn("cluster_id", best)
 
 
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 2,
+    seed: int = 42,
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks: split the vector into ``m``
+    subspaces of dim/m and train an independent ``k``-centroid
+    quantizer per subspace (seeded, deterministic — same Lloyd
+    machinery as IVF). Returns m codebooks of (code, sub_centroid).
+
+    PQ is the memory tier below int8: dim=64 float32 (256 B) becomes
+    m=8 one-byte codes (8 B, 32x), and distances are computed against
+    codes via lookup tables without ever decoding. Training is a
+    build-time artifact like IVF centroids — train once, encode and
+    serve many times."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d_sub = dim // m
+    corpus = ensure_min_parallelism(corpus).localCheckpoint(eager=False)
+    books: list[list[tuple[int, list[float]]]] = []
+    for j in range(m):
+        sub = corpus.select(
+            F.slice(_as_double(F.col(vec_col)), j * d_sub + 1, d_sub).alias(
+                "__sub"
+            )
+        )
+        books.append(
+            _kmeans_rounds(
+                sub,
+                "__sub",
+                d_sub,
+                _seeded_init(d_sub, k, seed + 7919 * j),
+                n_iter,
+            )
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors as ``pq_codes`` (array<int>, one code per
+    subspace): per-row argmin against each subspace's literal codebook
+    — the same constant-folded scored-struct trick as
+    assign_to_centroid, no join, no shuffle."""
+    d_sub = len(codebooks[0][0][1])
+
+    def _argmin_code(sub: Column, book) -> Column:
+        # NB: capture `sub` via this factory, NOT a two-arg lambda with
+        # a default — PySpark reads a second lambda parameter as the
+        # (element, index) transform form and binds the INDEX to it.
+        cents = F.expr(_centroids_sql(book))
+        scored = F.transform(
+            cents,
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        s.getField("centroid"),
+                        lambda x, c: (x - c) * (x - c),
+                    ),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                ).alias("d2"),
+                s.getField("cluster_id").alias("cluster_id"),
+            ),
+        )
+        return F.array_sort(scored)[0].getField("cluster_id")
+
+    code_cols = [
+        _argmin_code(
+            F.slice(_as_double(F.col(vec_col)), j * d_sub + 1, d_sub), book
+        )
+        for j, book in enumerate(codebooks)
+    ]
+    return df.withColumn("pq_codes", F.array(*code_cols))
+
+
+def pq_topk_adc(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qe",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes, fully relational:
+
+    1. distance tables: queries x (subspace, code, sub_centroid) —
+       the codebooks join in as a broadcast table (n_q x m x k rows,
+       e.g. 5 x 8 x 16 = 640), squared distance per cell; no driver
+       collect of query vectors.
+    2. scoring: corpus codes posexplode to (id, subspace, code), join
+       the broadcast tables on (subspace, code), sum per (qid, id) —
+       approximate distance = sum of per-subspace cell distances.
+    3. two-stage grouped top-k on ascending distance.
+
+    At 100 TB the corpus side carries only 1-byte codes through the
+    explode, the tables stay broadcast-sized, and the sum is a partial
+    aggregate — the classic IVF-PQ serving plan's ADC half.
+
+    Contract (pinned by tests/test_similarity.py): PQ is a COARSE
+    ranker — same-cluster vectors collapse to near-identical codes, so
+    ADC top-k lands in the right cluster but does not resolve
+    within-cluster order. Serve as shortlist (k ~ a few x final k)
+    followed by exact rerank of the shortlist against the raw vectors
+    (brute_force_topk over the candidate join)."""
+    spark = corpus_codes.sparkSession
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0][1])
+    book_rows = [
+        (j, int(code), sub)
+        for j, book in enumerate(codebooks)
+        for code, sub in book
+    ]
+    books_df = spark.createDataFrame(
+        book_rows, "j int, code int, sub array<double>"
+    )
+    qsub = F.slice(
+        _as_double(F.col(qvec_col)), F.col("j") * d_sub + 1, d_sub
+    )
+    tables = (
+        queries.crossJoin(F.broadcast(books_df))
+        .select(
+            qid_col,
+            "j",
+            "code",
+            F.aggregate(
+                F.zip_with(qsub, F.col("sub"), lambda x, c: (x - c) * (x - c)),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ).alias("d2"),
+        )
+    )
+    exploded = corpus_codes.select(
+        id_col, F.posexplode("pq_codes").alias("j", "code")
+    )
+    scored = (
+        exploded.join(F.broadcast(tables), ["j", "code"])
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    return grouped_topk(
+        scored, [qid_col], [F.asc("adc_d2"), F.asc(id_col)], k
+    )
+
+
 # Trained centroid sets, keyed by (corpus identity, training params).
 # An IVF index is train-once / probe-many: the coarse quantizer is a
 # build artifact (FAISS trains it offline; a warehouse materializes it

@@ -6,6 +6,7 @@ rank > k; kmeans-lite is deterministic.
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from dataengineer_job_scraper_etl_spark.operators.similarity import (
     brute_force_topk,
@@ -121,3 +122,75 @@ def test_kmeans_lite_deterministic(spark):
     a = kmeans_lite(corpus, "embedding", DIM, n_clusters=4, n_iter=2).collect()
     b = kmeans_lite(corpus, "embedding", DIM, n_clusters=4, n_iter=2).collect()
     assert sorted(map(str, a)) == sorted(map(str, b))
+
+
+def test_pq_encode_and_adc_topk(spark):
+    """Product quantization: codebooks train deterministically, codes
+    are valid, the relational ADC distance equals the NumPy lookup-table
+    sum computed from the SAME codebooks and codes, and ADC top-k
+    recovers most of the exact top-5 on clustered data."""
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_adc,
+        pq_train,
+    )
+
+    vecs = _clustered_vectors()
+    corpus, queries = _frames(spark, vecs)
+    books = pq_train(corpus, "embedding", DIM, m=4, k=8, n_iter=2)
+    books2 = pq_train(corpus, "embedding", DIM, m=4, k=8, n_iter=2)
+    assert books == books2  # seeded training is deterministic
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+
+    coded = pq_encode(corpus, books)
+    rows = {r["vec_id"]: list(r["pq_codes"]) for r in coded.collect()}
+    assert all(
+        len(c) == 4 and all(0 <= x < 8 for x in c) for c in rows.values()
+    )
+
+    got = pq_topk_adc(coded, queries, books, k=5).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+
+    # exact ADC recomputation from the same artifacts, in NumPy
+    d_sub = DIM // 4
+    book_arr = {
+        (j, code): np.array(sub)
+        for j, book in enumerate(books)
+        for code, sub in book
+    }
+    mat = {i: np.array(v) for i, v in vecs}
+    for qid, qrows in by_q.items():
+        q = mat[qid]
+        for r in qrows:
+            expect = sum(
+                float(
+                    np.sum(
+                        (
+                            q[j * d_sub:(j + 1) * d_sub]
+                            - book_arr[(j, rows[r["vec_id"]][j])]
+                        )
+                        ** 2
+                    )
+                )
+                for j in range(4)
+            )
+            assert r["adc_d2"] == pytest.approx(expect, rel=1e-9)
+
+    # PQ is a COARSE quantizer: same-cluster vectors collapse to nearly
+    # identical codes, so the contract is (a) ADC top-k stays inside
+    # the query's true cluster, and (b) the real serving pattern —
+    # ADC shortlist then exact rerank — recovers the exact top-5.
+    for qid, qrows in by_q.items():
+        assert all(r["vec_id"] % 4 == qid % 4 for r in qrows), qrows
+
+    shortlist = pq_topk_adc(coded, queries, books, k=30).collect()
+    short_ids: dict = {}
+    for r in shortlist:
+        short_ids.setdefault(r["qid"], set()).add(r["vec_id"])
+    exact = {qn: set(_numpy_topk(vecs, qn, 5)) for qn in range(3)}
+    recalls = [
+        len(short_ids.get(qn, set()) & exact[qn]) / 5 for qn in range(3)
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8
