@@ -470,6 +470,121 @@ def pq_topk_adc(
     )
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qe",
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 2,
+    shortlist: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ serving plan (the FAISS IndexIVFPQ shape), composed from
+    the pieces above and fully relational:
+
+    1. coarse: corpus inverted by nearest IVF centroid; each query
+       probes its ``n_probe`` nearest lists (constant-folded literal
+       centroids — no shuffle on the query side).
+    2. fine: probed candidates are scored by PQ ADC — 1-byte codes
+       join broadcast distance tables; the corpus's raw vectors never
+       enter the candidate join.
+    3. rerank: the per-query ADC ``shortlist`` joins BACK to the raw
+       vectors for exact cosine, and the final top-k is exact over
+       that shortlist (PQ's coarse-ranker contract — see pq_topk_adc).
+
+    At 100 TB: lists bucket-prune the scan, candidates travel as
+    (id, m bytes), only ``shortlist`` rows per query ever touch raw
+    vectors again. Everything shuffles at most once per stage on its
+    natural key."""
+    corpus = ensure_min_parallelism(corpus).localCheckpoint(eager=False)
+    cents = _kmeans_rounds(
+        corpus, vec_col, dim, _seeded_init(dim, n_clusters, seed), n_iter
+    )
+    books = pq_train(
+        corpus, vec_col, dim, m=m, k=k_codes, n_iter=n_iter, seed=seed
+    )
+    coded = pq_encode(assign_to_centroid(corpus, cents, vec_col), books,
+                      vec_col=vec_col)
+
+    qd = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(
+            _as_double(F.col(qvec_col)), c, lambda x, cc: (x - cc) * (x - cc)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored_cents = F.transform(
+        F.expr(_centroids_sql(cents)),
+        lambda s: F.struct(
+            qd(s.getField("centroid")).alias("qd"),
+            s.getField("cluster_id").alias("cluster_id"),
+        ),
+    )
+    probed = F.transform(
+        F.slice(F.array_sort(scored_cents), 1, n_probe),
+        lambda s: s.getField("cluster_id"),
+    )
+    probes = queries.select(
+        qid_col, qvec_col, F.explode(probed).alias("cluster_id")
+    )
+    cand = coded.select(id_col, "cluster_id", "pq_codes").join(
+        F.broadcast(probes.select(qid_col, "cluster_id")), "cluster_id"
+    )
+
+    d_sub = dim // m
+    book_rows = [
+        (j, int(code), sub)
+        for j, book in enumerate(books)
+        for code, sub in book
+    ]
+    books_df = corpus.sparkSession.createDataFrame(
+        book_rows, "j int, code int, sub array<double>"
+    )
+    qsub = F.slice(_as_double(F.col(qvec_col)), F.col("j") * d_sub + 1, d_sub)
+    tables = queries.crossJoin(F.broadcast(books_df)).select(
+        qid_col,
+        "j",
+        "code",
+        F.aggregate(
+            F.zip_with(qsub, F.col("sub"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("d2"),
+    )
+    adc = (
+        cand.select(qid_col, id_col, F.posexplode("pq_codes").alias("j", "code"))
+        .join(F.broadcast(tables), [qid_col, "j", "code"])
+        .groupBy(qid_col, id_col)
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    short = grouped_topk(
+        adc, [qid_col], [F.asc("adc_d2"), F.asc(id_col)], shortlist
+    ).select(qid_col, id_col)
+
+    rerank = (
+        short.join(corpus.select(id_col, vec_col), id_col)
+        .join(F.broadcast(queries), qid_col)
+        .select(
+            qid_col,
+            id_col,
+            cosine(
+                _as_double(F.col(qvec_col)), _as_double(F.col(vec_col))
+            ).alias("cos_sim"),
+        )
+    )
+    return grouped_topk(
+        rerank, [qid_col], [F.desc("cos_sim"), F.asc(id_col)], k
+    )
+
+
 # Trained centroid sets, keyed by (corpus identity, training params).
 # An IVF index is train-once / probe-many: the coarse quantizer is a
 # build artifact (FAISS trains it offline; a warehouse materializes it

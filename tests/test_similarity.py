@@ -194,3 +194,27 @@ def test_pq_encode_and_adc_topk(spark):
         len(short_ids.get(qn, set()) & exact[qn]) / 5 for qn in range(3)
     ]
     assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_ivfpq_topk_recall_after_rerank(spark):
+    """The composed IVF-PQ serving plan (probe lists -> ADC shortlist
+    -> exact rerank): recall vs exact cosine top-5 must match the
+    plain-IVF floor — the PQ compression layer must not cost recall
+    once the shortlist is reranked exactly."""
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    vecs = _clustered_vectors()
+    corpus, queries = _frames(spark, vecs)
+    got = ivfpq_topk(
+        corpus, queries, dim=DIM, k=5,
+        n_clusters=4, n_probe=2, m=4, k_codes=8, shortlist=25,
+    ).collect()
+    assert all(r["rnk"] <= 5 for r in got)
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["qid"], set()).add(r["vec_id"])
+    exact = {qn: set(_numpy_topk(vecs, qn, 5)) for qn in range(3)}
+    recalls = [len(by_q.get(qn, set()) & exact[qn]) / 5 for qn in range(3)]
+    assert sum(recalls) / len(recalls) >= 0.6
