@@ -43,6 +43,50 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def mixture_rates(
+    counts: dict[str, int], weights: dict[str, float]
+) -> dict[str, float]:
+    """Per-source keep rates that realize a target mixture: scale the
+    total corpus to the largest T with weight_s * T <= count_s for
+    every weighted source (the scarcest source is kept whole, the
+    abundant ones are downsampled). Driver-side arithmetic over one
+    row per source — the bounded 'dimension' of a mixture job."""
+    limiting = [
+        counts.get(s, 0) / w for s, w in weights.items() if w > 0
+    ]
+    if not limiting or min(limiting) == 0:
+        raise ValueError("a weighted source has no rows")
+    total = min(limiting)
+    return {
+        s: min(1.0, w * total / counts[s])
+        for s, w in weights.items()
+        if w > 0
+    }
+
+
+def deterministic_source_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Training-mixture sampler: keep a row iff its md5 bucket (16 bits
+    from hex digits 1-4 of md5(key)) falls below its source's rate
+    threshold. Stateless per-row predicate — no shuffle, no RNG state,
+    rerun- and engine-stable — and THRESHOLD sampling, so samples are
+    NESTED: raising a source's rate only ADDS rows, never swaps them
+    (the property that keeps ablation runs comparable). Sources
+    without a rate are dropped (weight 0)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    expr = None
+    for s, r in sorted(rates.items()):
+        cond = (F.col(source_col) == s) & (bucket < int(round(r * 65536)))
+        expr = cond if expr is None else expr | cond
+    return df.filter(expr)
+
+
 @register(
     "docs_train_val_test_split",
     """

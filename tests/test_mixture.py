@@ -1,0 +1,81 @@
+"""Training-mixture construction: deterministic source-weighted
+sampling (queries/sampling.py). Pins the three properties that matter
+for reproducible data mixtures: realized proportions track the target,
+runs are bit-deterministic, and threshold samples are NESTED (raising
+a rate adds rows, never swaps them — ablations stay comparable)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.queries.sampling import (
+    deterministic_source_sample,
+    mixture_rates,
+)
+
+
+def _corpus(spark):
+    rows = (
+        [(i, "web") for i in range(1000)]
+        + [(10_000 + i, "books") for i in range(500)]
+        + [(20_000 + i, "code") for i in range(100)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_mixture_rates_scarcest_source_limits_total():
+    rates = mixture_rates(
+        {"web": 1000, "books": 500, "code": 100},
+        {"web": 0.5, "books": 0.3, "code": 0.2},
+    )
+    # code is scarcest: 100/0.2 = 500 total -> code kept whole
+    assert rates["code"] == 1.0
+    assert rates["web"] == pytest.approx(0.25)
+    assert rates["books"] == pytest.approx(0.3)
+    with pytest.raises(ValueError):
+        mixture_rates({"web": 10}, {"web": 0.5, "missing": 0.5})
+
+
+def test_mixture_sample_proportions_and_determinism(spark):
+    df = _corpus(spark)
+    weights = {"web": 0.5, "books": 0.3, "code": 0.2}
+    counts = {
+        r["source"]: r["n"]
+        for r in df.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    rates = mixture_rates(counts, weights)
+    sampled = deterministic_source_sample(df, rates)
+    got = {
+        r["source"]: r["n"]
+        for r in sampled.groupBy("source").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert got["code"] == 100  # scarcest source kept whole
+    # realized proportions track the target (hash sampling is
+    # approximate; 10% relative slack on a 500-row target)
+    total = sum(got.values())
+    for s, w in weights.items():
+        assert got[s] / total == pytest.approx(w, rel=0.15)
+    # bit-determinism: same input -> same membership
+    again = {
+        r["doc_id"] for r in deterministic_source_sample(df, rates).collect()
+    }
+    assert again == {r["doc_id"] for r in sampled.collect()}
+
+
+def test_mixture_samples_are_nested(spark):
+    """Threshold sampling: a lower-rate sample is a SUBSET of any
+    higher-rate sample of the same source — rerunning with a bigger
+    budget only adds rows."""
+    df = _corpus(spark).filter(F.col("source") == "web")
+    small = {
+        r["doc_id"]
+        for r in deterministic_source_sample(df, {"web": 0.2}).collect()
+    }
+    big = {
+        r["doc_id"]
+        for r in deterministic_source_sample(df, {"web": 0.6}).collect()
+    }
+    assert small < big  # strict subset: nested and actually larger
