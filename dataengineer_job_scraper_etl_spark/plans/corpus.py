@@ -1,0 +1,140 @@
+"""The end-to-end pre-training corpus pipeline — the composition proof
+that the catalog's LLM-data operators assemble into the actual job a
+100 TB training-data build runs, as ONE lazy DataFrame program:
+
+    quality gate -> exact dedup -> near-dup clustering -> canonical
+    survivor -> training-mixture sampling -> train/val/test split
+    -> sequence packing into shards
+
+Every stage is the SAME operator the oracle-checked catalog entries
+exercise (operators/dedup.py, operators/components.py,
+queries/sampling.py), composed here with the stage wiring a real
+pipeline needs. Nothing executes until the caller acts: the return
+value is a plain DataFrame, so the whole pipeline optimizes as one
+Catalyst plan per action and writes straight to a partitioned sink.
+
+Scale shape: the gate and pack stages are narrow; dedup shuffles
+16-byte digests; the near-dup stage shuffles (band, hash) keys only;
+mixture/split are stateless predicates. The one iterative piece
+(connected components over near-dup pairs) runs on the PAIR set —
+corpus-sized only in the pathological everything-is-a-dup case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.operators.components import (
+    connected_components,
+)
+from dataengineer_job_scraper_etl_spark.operators.dedup import (
+    dedup_exact_by_digest,
+    minhash_lsh_pairs,
+)
+from dataengineer_job_scraper_etl_spark.queries.sampling import (
+    deterministic_source_sample,
+    hash_split,
+    mixture_rates,
+)
+
+_WS = r"\s+"
+
+
+def _toks(col):
+    return F.split(F.trim(F.regexp_replace(F.lower(col), _WS, " ")), " ")
+
+
+def build_pretraining_corpus(
+    docs: DataFrame,
+    mixture_weights: dict[str, float] | None = None,
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    min_diversity_ppm: int = 400_000,
+    neardup_threshold: float = 0.5,
+    context_tokens: int = 2048,
+) -> DataFrame:
+    """docs(doc_id, source, text, ...) -> one row per SURVIVING doc:
+    (doc_id, source, split, shard_id, n_toks). Survivors passed the
+    quality gate, are exact- and near-dup cluster canonicals, and were
+    kept by the mixture sampler; shard_id packs each (source, split)
+    stream into context_tokens-budget shards in doc_id order.
+
+    ``mixture_weights=None`` skips mixture sampling (keep everything
+    that survives dedup)."""
+    base = docs.select("doc_id", "source", "text")
+
+    # 1. quality gate (same rules as docs_pretrain_filter)
+    toks = _toks(F.col("text"))
+    sig = base.withColumn("n_toks", F.size(toks)).withColumn(
+        "d_toks", F.size(F.array_distinct(toks))
+    )
+    gated = sig.filter(
+        (F.col("n_toks") >= min_tokens)
+        & (F.col("n_toks") <= max_tokens)
+        & (
+            F.expr("d_toks * 1000000 div n_toks") >= min_diversity_ppm
+        )
+    ).drop("d_toks")
+
+    # 2. exact dedup on the text digest (16-byte shuffle, not bodies)
+    exact = dedup_exact_by_digest(gated, text_col="text", id_col="doc_id")
+
+    # 3. near-dup clusters -> keep one canonical per cluster (longest
+    #    text, doc_id tiebreak — same decision as docs_dedup_canonical)
+    pairs = minhash_lsh_pairs(exact, "doc_id", "text").filter(
+        F.col("est_jaccard") >= neardup_threshold
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    clustered = exact.join(
+        cc, exact["doc_id"] == cc["node"], "left"
+    ).select(
+        "doc_id",
+        "source",
+        "n_toks",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster"),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_toks"), F.asc("doc_id")
+    )
+    canonical = (
+        clustered.withColumn("__keep", F.first("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep", "cluster")
+    )
+
+    # 4. training mixture (optional): scarcest source bounds the total
+    if mixture_weights is not None:
+        counts = {
+            r["source"]: r["n"]
+            for r in canonical.groupBy("source")
+            .agg(F.count("*").alias("n"))
+            .collect()  # bounded: one row per source (the mixture dim)
+        }
+        rates = mixture_rates(counts, mixture_weights)
+        canonical = deterministic_source_sample(canonical, rates)
+
+    # 5. leakage-free split + 6. pack per (source, split) stream
+    split = hash_split(canonical, "doc_id")
+    pack_w = (
+        Window.partitionBy("source", "split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_toks").over(pack_w), F.lit(0))
+    return split.withColumn(
+        "shard_id", (off / context_tokens).cast("bigint")
+    ).select("doc_id", "source", "split", "shard_id", "n_toks")
+
+
+def write_pretraining_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    path: str,
+    **kwargs,
+) -> int:
+    """Materialize the pipeline partitioned by (split, source) — the
+    layout shard consumers scan — and return the surviving doc count."""
+    out = build_pretraining_corpus(docs, **kwargs)
+    out.write.mode("overwrite").partitionBy("split", "source").parquet(path)
+    return spark.read.parquet(path).count()

@@ -1,0 +1,80 @@
+"""End-to-end pre-training corpus pipeline (plans/corpus.py): the
+catalog's LLM-data operators composed into one lazy plan. Pins the
+stage semantics on a corpus with planted quality failures, exact dups,
+and near-dups, plus the partitioned materialization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.plans.corpus import (
+    build_pretraining_corpus,
+    write_pretraining_corpus,
+)
+
+def _doc_text(i: int) -> str:
+    # 25 tokens, all unique to doc i: distinct docs share NO shingles,
+    # so only the PLANTED duplicates cluster in the near-dup stage.
+    return " ".join(f"t{i}w{j}" for j in range(25))
+
+
+def _corpus(spark):
+    rows = []
+    for i in range(40):  # clean web docs
+        rows.append((i, "web", _doc_text(i)))
+    for i in range(100, 110):  # clean book docs
+        rows.append((i, "books", _doc_text(i)))
+    # exact duplicate of doc 0 (higher id -> must be dropped)
+    rows.append((500, "web", _doc_text(0)))
+    # near-duplicate of doc 1: first word changed, one token appended
+    # (longer text -> the canonical rule must prefer IT over doc 1)
+    rows.append((501, "web", "XX " + _doc_text(1)[len("t1w0 "):] + " tail"))
+    # too short -> gated
+    rows.append((502, "web", "tiny doc"))
+    # low diversity -> gated ('spam' * 30)
+    rows.append((503, "web", " ".join(["spam"] * 30)))
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_pipeline_stages_compose(spark):
+    out = build_pretraining_corpus(_corpus(spark)).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 502 not in ids and 503 not in ids  # quality gate
+    assert 500 not in ids and 0 in ids        # exact dedup keeps min id
+    # near-dup cluster {1, 501}: doc 501 is LONGER (appended token), so
+    # the canonical rule (longest text, doc_id tiebreak) keeps 501
+    assert 501 in ids and 1 not in ids
+    assert len(ids) == 50                     # 40 + 10 planted clean
+    # split labels present and shards start at 0 per (source, split)
+    rows = {(r["source"], r["split"]) for r in out}
+    assert all(r["split"] in {"train", "val", "test"} for r in out)
+    first_shards = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        key = (r["source"], r["split"])
+        first_shards.setdefault(key, r["shard_id"])
+    assert all(s == 0 for s in first_shards.values()), first_shards
+    assert rows  # non-empty
+
+
+def test_pipeline_mixture_bounds_sources(spark):
+    out = build_pretraining_corpus(
+        _corpus(spark), mixture_weights={"web": 0.5, "books": 0.5}
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    # books (10 survivors) is the scarcest source -> kept whole, web
+    # downsampled toward it
+    assert by_src["books"] == 10
+    assert by_src["web"] <= 16  # ~10 expected; threshold-hash slack
+
+
+def test_pipeline_writes_partitioned_layout(spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    n = write_pretraining_corpus(spark, _corpus(spark), path)
+    assert n == 50
+    back = spark.read.parquet(path)
+    assert set(back.columns) == {
+        "doc_id", "source", "split", "shard_id", "n_toks",
+    }
+    assert (tmp_path / "corpus" / "split=train" / "source=web").exists()
