@@ -53,6 +53,7 @@ def build_pretraining_corpus(
     min_diversity_ppm: int = 400_000,
     neardup_threshold: float = 0.5,
     context_tokens: int = 2048,
+    clean: bool = False,
 ) -> DataFrame:
     """docs(doc_id, source, text, ...) -> one row per SURVIVING doc:
     (doc_id, source, split, shard_id, n_toks). Survivors passed the
@@ -60,9 +61,18 @@ def build_pretraining_corpus(
     kept by the mixture sampler; shard_id packs each (source, split)
     stream into context_tokens-budget shards in doc_id order.
 
-    ``mixture_weights=None`` skips mixture sampling (keep everything
-    that survives dedup)."""
+    ``clean=True`` prepends the stage-0 normalization for web-derived
+    text (functions/textclean.clean_text: markup/entities, boilerplate
+    lines, control chars, whitespace) so the gate, digests, and
+    shingles all see the cleaned text. ``mixture_weights=None`` skips
+    mixture sampling (keep everything that survives dedup)."""
     base = docs.select("doc_id", "source", "text")
+    if clean:
+        from dataengineer_job_scraper_etl_spark.functions.textclean import (
+            clean_text,
+        )
+
+        base = base.withColumn("text", clean_text(F.col("text")))
 
     # 1. quality gate (same rules as docs_pretrain_filter)
     toks = _toks(F.col("text"))

@@ -78,3 +78,18 @@ def test_pipeline_writes_partitioned_layout(spark, tmp_path):
         "doc_id", "source", "split", "shard_id", "n_toks",
     }
     assert (tmp_path / "corpus" / "split=train" / "source=web").exists()
+
+
+def test_pipeline_clean_stage_unifies_markup_variants(spark):
+    """clean=True: two docs whose texts differ only by markup/entity
+    noise become EXACT duplicates after stage-0 cleaning, so dedup
+    collapses them — the reason cleaning must run before digests."""
+    # per-token tags: every shingle differs from the clean twin, so
+    # neither exact NOR near-dup can unify them without cleaning
+    marked = " ".join(f"<b>{t}</b>" for t in _doc_text(1).split(" "))
+    rows = [(1, "web", _doc_text(1)), (2, "web", marked)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = build_pretraining_corpus(df, clean=True).collect()
+    assert [r["doc_id"] for r in out] == [1]  # exact dedup keeps min id
+    dirty = build_pretraining_corpus(df, clean=False).collect()
+    assert len(dirty) == 2  # without cleaning they do NOT collapse
