@@ -504,10 +504,10 @@ spine AS (SELECT u.user_id, days.day
           FROM (SELECT DISTINCT user_id FROM ev) u, days)
 SELECT s.user_id, s.day,
        CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
-       last_value(d.day_cents IGNORE NULLS) OVER (
+       CAST(last_value(d.day_cents IGNORE NULLS) OVER (
          PARTITION BY s.user_id ORDER BY s.day
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS locf_day_cents
+         AS BIGINT) AS locf_day_cents
 FROM spine s
 LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
 """,

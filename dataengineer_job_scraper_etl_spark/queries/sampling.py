@@ -71,14 +71,23 @@ def deterministic_source_sample(
     key_col: str = "doc_id",
 ) -> DataFrame:
     """Training-mixture sampler: keep a row iff its md5 bucket (16 bits
-    from hex digits 1-4 of md5(key)) falls below its source's rate
+    from hex digits 5-8 of md5(key)) falls below its source's rate
     threshold. Stateless per-row predicate — no shuffle, no RNG state,
     rerun- and engine-stable — and THRESHOLD sampling, so samples are
     NESTED: raising a source's rate only ADDS rows, never swaps them
     (the property that keeps ablation runs comparable). Sources
-    without a rate are dropped (weight 0)."""
+    without a rate are dropped (weight 0).
+
+    Digits 5-8 (not 1-4) are deliberate: ``hash_split`` derives the
+    train/val/test label from hex digit 1 of the SAME md5(key), and a
+    sampler bucket that includes that digit correlates the two — any
+    source sampled at rate <= 0.75 would land entirely in 'train'
+    (bucket < r*65536 constrains the top nibble). Disjoint digit
+    ranges of one md5 are independent for splitting purposes, so a
+    downsampled source still spreads 12/2/2 across splits
+    (tests/test_mixture.py::test_downsampled_source_fills_all_splits)."""
     bucket = F.conv(
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+        F.substring(F.md5(F.col(key_col).cast("string")), 5, 4), 16, 10
     ).cast("long")
     expr = None
     for s, r in sorted(rates.items()):

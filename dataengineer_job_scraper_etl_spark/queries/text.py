@@ -792,3 +792,74 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(redacted).alias("red_fp"),
         )
     )
+
+
+# --- BM25 ranking (operators/ranking.py) -----------------------------
+# Query terms are part of the entry's contract: real corpus-selection
+# queries are bounded term lists; these three appear throughout the
+# synthetic documents so every sf produces a well-populated ranking.
+BM25_QUERY_TERMS = ["spark", "hash", "window"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle_sql(terms: list[str], k1: float, b: float) -> str:
+    """DuckDB twin of operators/ranking.bm25_scores: same single
+    tokenize projection, array-side tf via list_filter, 1-row stats,
+    identical arithmetic. Scores leave as ppm BIGINTs (catalog dtype
+    contract)."""
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = "\n           + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN"
+        f" ln(1 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * ({k1} + 1))"
+        f" / (tf{i} + {k1} * (1 - {b} + {b} * dl / avgdl))"
+        f" ELSE 0 END)"
+        for i in range(len(terms))
+    )
+    matched = " OR ".join(f"tf{i} > 0" for i in range(len(terms)))
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+  FROM (SELECT doc_id,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+        FROM documents)),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl,
+         {df_cols}
+  FROM per_doc)
+SELECT doc_id,
+       CAST(round(({score}) * 1e6) AS BIGINT) AS bm25_ppm
+FROM per_doc, stats
+WHERE {matched}
+"""
+
+
+@register(
+    "text_bm25_ranking",
+    _bm25_oracle_sql(BM25_QUERY_TERMS, _BM25_K1, _BM25_B),
+    doc="Okapi BM25 ranking of documents for a bounded query-term list "
+    "(operators/ranking.py): ONE tokenize scan emits the compact "
+    "per-doc index (dl + array-side tf per term, no explode), "
+    "localCheckpoint'ed so corpus stats and scoring share it; the only "
+    "broadcast is the 1-row stats frame. Scores ppm-rounded to BIGINT "
+    "for the driver's pandas hash.",
+)
+def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.ranking import (
+        bm25_scores,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    scored = bm25_scores(d, BM25_QUERY_TERMS, k1=_BM25_K1, b=_BM25_B)
+    return scored.select(
+        "doc_id",
+        F.round(F.col("bm25") * 1e6, 0).cast("bigint").alias("bm25_ppm"),
+    )

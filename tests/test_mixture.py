@@ -65,6 +65,23 @@ def test_mixture_sample_proportions_and_determinism(spark):
     assert again == {r["doc_id"] for r in sampled.collect()}
 
 
+def test_downsampled_source_fills_all_splits(spark):
+    """Regression for the correlated-hash bug: the sampler bucket must
+    be independent of hash_split's digit, so a source downsampled at
+    rate <= 0.75 still lands in train AND val AND test (with digits
+    1-4 as the bucket, bucket < 0.5*65536 forced hex digit 1 < '8'
+    and val/test came out EMPTY)."""
+    from dataengineer_job_scraper_etl_spark.queries.sampling import hash_split
+
+    df = _corpus(spark).filter(F.col("source") == "web")
+    sampled = deterministic_source_sample(df, {"web": 0.5})
+    got = {
+        r["split"]
+        for r in hash_split(sampled, "doc_id").select("split").collect()
+    }
+    assert got == {"train", "val", "test"}
+
+
 def test_mixture_samples_are_nested(spark):
     """Threshold sampling: a lower-rate sample is a SUBSET of any
     higher-rate sample of the same source — rerunning with a bigger

@@ -65,6 +65,28 @@ def test_bm25_plan_is_jvm_only_and_corpus_not_broadcast(spark):
     df = bm25_scores(docs, ["spark", "python"])
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "PythonUDF" not in plan and "MapInPandas" not in plan
-    # our hints broadcast only the term stats / corpus stats; the
-    # doc-lengths side carries no broadcast hint from us
-    assert plan.count("strategy=broadcast") == 2
+    # the ONLY broadcast is the 1-row stats frame; the corpus side
+    # carries no broadcast hint from us
+    assert plan.count("strategy=broadcast") == 1
+
+
+def test_bm25_tokenizes_corpus_once(spark, tmp_path):
+    """The 100 TB contract: ONE scan+tokenize of the text column per
+    scoring run. The serve plan must read the materialized per-doc
+    index (LogicalRDD), with zero tokenize expressions and zero file
+    scans left in it — round 4's lazy branches re-tokenized the corpus
+    for lengths, tf, and stats separately."""
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(DOCS, "doc_id long, text string").write.parquet(path)
+    df = bm25_scores(spark.read.parquet(path), ["spark", "python"])
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "regexp_replace" not in optimized  # tokenize not in serve plan
+    assert "Relation" not in optimized or "parquet" not in optimized
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in executed  # text read only at index build
+    assert executed.count("ExistingRDD") >= 1
+    # and the result is still right end-to-end from the parquet source
+    got = {r["doc_id"]: r["bm25"] for r in df.collect()}
+    expected = _ref_bm25(["spark", "python"])
+    for i in expected:
+        assert got[i] == pytest.approx(expected[i], rel=1e-9)
