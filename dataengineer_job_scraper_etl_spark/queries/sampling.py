@@ -193,3 +193,87 @@ def events_sampleby_fraction_contract(
             ((frac >= 0.12) & (frac <= 0.28)).alias("frac_ok"),
         )
     )
+
+
+# Thresholds for the mixture contract entry: int(round(rate * 65536)),
+# full rate and half rate per covered source. Part of the entry's
+# contract (the oracle carries the same literals).
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
+
+_MIX_ORACLE = """
+WITH nib AS (
+  SELECT doc_id, source,
+         (position(substring(md5(CAST(doc_id AS VARCHAR)), 5, 1) in '0123456789abcdef') - 1) * 4096
+       + (position(substring(md5(CAST(doc_id AS VARCHAR)), 6, 1) in '0123456789abcdef') - 1) * 256
+       + (position(substring(md5(CAST(doc_id AS VARCHAR)), 7, 1) in '0123456789abcdef') - 1) * 16
+       + (position(substring(md5(CAST(doc_id AS VARCHAR)), 8, 1) in '0123456789abcdef') - 1) AS bucket
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+thr AS (SELECT * FROM (VALUES
+  ('src0', 65536, 32768), ('src1', 32768, 16384),
+  ('src2', 16384, 8192), ('src3', 8192, 4096)) t(source, t_full, t_half))
+SELECT nib.source AS source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN bucket < t_full THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN bucket < t_half THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_half,
+       CAST(sum(CASE WHEN bucket < t_full THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum,
+       CAST(sum(CASE WHEN bucket < t_half AND bucket >= t_full THEN 1 ELSE 0 END) AS BIGINT) = 0 AS nested_ok
+FROM nib JOIN thr USING (source)
+GROUP BY nib.source
+"""
+
+
+@register(
+    "docs_mixture_sample_contract",
+    _MIX_ORACLE,
+    doc="Training-mixture sampler contract, oracle-checked end to end: "
+    "four sources sampled at rates 1/0.5/0.25/0.125 AND at half those "
+    "rates. id_checksum pins EXACT kept-set membership per source (the "
+    "md5-threshold predicate is engine-portable), and nested_ok is "
+    "computed on the Spark side as a REAL anti-join of the half-rate "
+    "sample against the full-rate sample — proving threshold samples "
+    "nest (ablation comparability), not just that counts line up. "
+    "Buckets come from md5 hex digits 5-8, decorrelated from "
+    "hash_split's digit 1 (see deterministic_source_sample).",
+)
+def docs_mixture_sample_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    half = {s: r / 2 for s, r in _MIX_RATES.items()}
+    kept = deterministic_source_sample(d, _MIX_RATES)
+    kept_half = deterministic_source_sample(d, half)
+    totals = (
+        d.filter(F.col("source").isin(list(_MIX_RATES)))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    k = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+    kh = kept_half.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept_half")
+    )
+    escaped = (
+        kept_half.join(kept.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("__n_escaped"))
+    )
+    return (
+        totals.join(k, "source", "left")
+        .join(kh, "source", "left")
+        .join(escaped, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("n_kept_half"), F.lit(0))
+            .cast("bigint")
+            .alias("n_kept_half"),
+            F.coalesce(F.col("id_checksum"), F.lit(0))
+            .cast("bigint")
+            .alias("id_checksum"),
+            (F.coalesce(F.col("__n_escaped"), F.lit(0)) == 0).alias("nested_ok"),
+        )
+    )

@@ -863,3 +863,93 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(F.col("bm25") * 1e6, 0).cast("bigint").alias("bm25_ppm"),
     )
+
+
+# --- corpus text cleaning (functions/textclean.py) -------------------
+# The raw documents are clean, so markup/entity/boilerplate noise is
+# SEEDED deterministically from doc_id (same device as
+# text_pii_redaction): script/style blocks, per-doc entity tails, and
+# classic boilerplate lines, identically constructed on both engines.
+_CLEAN_ORACLE = """
+WITH seeded AS (
+  SELECT doc_id,
+    '<div id="main"> '
+    || CASE WHEN doc_id % 3 = 0 THEN '<script a="b">var x = 1 && y < 2; <fake></script> ' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN '<style>p { color: red }</style> ' ELSE '' END
+    || text
+    || ' &amp; tail &lt;esc&gt; &quot;q&quot; &#39;s&#39; one&nbsp;two'
+    || chr(10) || 'Copyright 2026 Example Corp. All rights reserved' || chr(10)
+    || CASE WHEN doc_id % 5 = 0 THEN 'We use cookies to improve your experience' || chr(10) ELSE '' END
+    || 'last <b>real</b> line</div>' AS s
+  FROM documents),
+stripped AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(s, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<[^>]+>', ' ', 'g'),
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      '&#39;', chr(39)), '&amp;', '&') AS s
+  FROM seeded),
+unboiled AS (
+  SELECT doc_id,
+    array_to_string(list_filter(string_split(s, chr(10)),
+      l -> NOT regexp_matches(l, '(?i)^\\s*(©|\\(c\\)\\s|copyright\\b|all rights reserved|accept (all )?cookies|we use cookies|cookie (policy|settings)|subscribe to our newsletter|sign in to continue|terms (of (use|service))?\\s*\\|\\s*privacy).*$')),
+      chr(10)) AS s
+  FROM stripped)
+SELECT doc_id,
+  md5(trim(regexp_replace(regexp_replace(s, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g'))) AS clean_fp,
+  CAST(length(trim(regexp_replace(regexp_replace(s, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g'))) AS BIGINT) AS clean_len
+FROM unboiled
+"""
+
+
+@register(
+    "text_clean_markup",
+    _CLEAN_ORACLE,
+    doc="Stage-0 corpus cleaning (functions/textclean.clean_text) over "
+    "documents with seeded markup noise: script/style blocks dropped "
+    "wholesale, remaining tags stripped, HTML entities unescaped "
+    "(order-sensitive: &amp; last), boilerplate lines removed "
+    "line-wise BEFORE whitespace collapse, control chars and runs "
+    "normalized. md5 + length of the cleaned text pin every byte on "
+    "both engines. All JVM regex chains — one projection, no Python. "
+    "Oracle note: Spark's block regex uses a backreference ((script|"
+    "style)...</\\1>) which RE2 lacks, so the DuckDB twin strips "
+    "script and style in two passes — equivalent on non-interleaved "
+    "blocks, which the seeding guarantees.",
+)
+def text_clean_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.functions.textclean import (
+        clean_text,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    blank = F.lit("")
+    seeded = F.concat(
+        F.lit('<div id="main"> '),
+        F.when(
+            did % 3 == 0,
+            F.lit('<script a="b">var x = 1 && y < 2; <fake></script> '),
+        ).otherwise(blank),
+        F.when(
+            did % 4 == 0, F.lit("<style>p { color: red }</style> ")
+        ).otherwise(blank),
+        F.col("text"),
+        F.lit(" &amp; tail &lt;esc&gt; &quot;q&quot; &#39;s&#39; one&nbsp;two"),
+        F.lit("\nCopyright 2026 Example Corp. All rights reserved\n"),
+        F.when(
+            did % 5 == 0,
+            F.lit("We use cookies to improve your experience\n"),
+        ).otherwise(blank),
+        F.lit("last <b>real</b> line</div>"),
+    )
+    cleaned = clean_text(seeded)
+    return d.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_fp"),
+        F.length(cleaned).cast("bigint").alias("clean_len"),
+    )
