@@ -324,6 +324,7 @@ def pq_train(
     k: int = 16,
     n_iter: int = 2,
     seed: int = 42,
+    cache_key: str | None = None,
 ) -> list[list[tuple[int, list[float]]]]:
     """Product-quantization codebooks: split the vector into ``m``
     subspaces of dim/m and train an independent ``k``-centroid
@@ -334,9 +335,19 @@ def pq_train(
     m=8 one-byte codes (8 B, 32x), and distances are computed against
     codes via lookup tables without ever decoding. Training is a
     build-time artifact like IVF centroids — train once, encode and
-    serve many times."""
+    serve many times: ``cache_key`` names the corpus and memoizes the
+    codebooks under (key, dim, m, k, n_iter, seed), exactly like
+    ``ivf_topk``'s ``centroid_cache_key`` (a hit is bit-identical to
+    retraining; see the staleness contract at _CENTROID_CACHE)."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
+    ckey = (
+        (cache_key, dim, m, k, n_iter, seed)
+        if cache_key is not None
+        else None
+    )
+    if ckey is not None and ckey in _CODEBOOK_CACHE:
+        return _CODEBOOK_CACHE[ckey]
     d_sub = dim // m
     corpus = ensure_min_parallelism(corpus).localCheckpoint(eager=False)
     books: list[list[tuple[int, list[float]]]] = []
@@ -355,6 +366,8 @@ def pq_train(
                 n_iter,
             )
         )
+    if ckey is not None:
+        _CODEBOOK_CACHE[ckey] = books
     return books
 
 
@@ -486,6 +499,7 @@ def ivfpq_topk(
     n_iter: int = 2,
     shortlist: int = 50,
     seed: int = 42,
+    centroid_cache_key: str | None = None,
 ) -> DataFrame:
     """IVF-PQ serving plan (the FAISS IndexIVFPQ shape), composed from
     the pieces above and fully relational:
@@ -503,13 +517,29 @@ def ivfpq_topk(
     At 100 TB: lists bucket-prune the scan, candidates travel as
     (id, m bytes), only ``shortlist`` rows per query ever touch raw
     vectors again. Everything shuffles at most once per stage on its
-    natural key."""
+    natural key.
+
+    ``centroid_cache_key`` makes this train-once/probe-many like
+    ``ivf_topk``: the coarse centroids memoize under the SAME cache
+    tuple as plain IVF (one warm-up trains both serving paths) and
+    the PQ codebooks under their own — a keyed second call runs ZERO
+    Lloyd rounds (pinned by tests/test_similarity.py's poison-pill)."""
     corpus = ensure_min_parallelism(corpus).localCheckpoint(eager=False)
-    cents = _kmeans_rounds(
-        corpus, vec_col, dim, _seeded_init(dim, n_clusters, seed), n_iter
+    ivf_key = (
+        (centroid_cache_key, dim, n_clusters, n_iter, seed)
+        if centroid_cache_key is not None
+        else None
     )
+    cents = _CENTROID_CACHE.get(ivf_key) if ivf_key is not None else None
+    if cents is None:
+        cents = _kmeans_rounds(
+            corpus, vec_col, dim, _seeded_init(dim, n_clusters, seed), n_iter
+        )
+        if ivf_key is not None:
+            _CENTROID_CACHE[ivf_key] = cents
     books = pq_train(
-        corpus, vec_col, dim, m=m, k=k_codes, n_iter=n_iter, seed=seed
+        corpus, vec_col, dim, m=m, k=k_codes, n_iter=n_iter, seed=seed,
+        cache_key=centroid_cache_key,
     )
     coded = pq_encode(assign_to_centroid(corpus, cents, vec_col), books,
                       vec_col=vec_col)
@@ -585,14 +615,35 @@ def ivfpq_topk(
     )
 
 
-# Trained centroid sets, keyed by (corpus identity, training params).
-# An IVF index is train-once / probe-many: the coarse quantizer is a
-# build artifact (FAISS trains it offline; a warehouse materializes it
-# as a tiny table), so re-running Lloyd rounds on every query batch
-# against an unchanged corpus is pure waste. Centroids are plain
-# Python floats — session-independent, deterministic for a given
-# (corpus, seed), and ~16x64 doubles, so the cache is a few KB.
+# Trained index artifacts, keyed by (corpus identity, training params).
+# An IVF index is train-once / probe-many: the coarse quantizer (and
+# for IVF-PQ, the per-subspace codebooks) is a build artifact (FAISS
+# trains it offline; a warehouse materializes it as a tiny table), so
+# re-running Lloyd rounds on every query batch against an unchanged
+# corpus is pure waste. Artifacts are plain Python floats —
+# session-independent, deterministic for a given (corpus, seed), and
+# a few KB per entry.
+#
+# Staleness contract: the caller-supplied key NAMES a corpus snapshot
+# (e.g. its sf_dir). The cache performs NO invalidation of its own —
+# if the data under a key mutates in-process, the caller must either
+# use a new key (include a snapshot version / row count in the name)
+# or call clear_trained_indexes(). Serving stale centroids degrades
+# recall silently; it never affects exact results.
 _CENTROID_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
+_CODEBOOK_CACHE: dict[tuple, list[list[tuple[int, list[float]]]]] = {}
+
+
+def clear_trained_indexes(cache_key: str | None = None) -> None:
+    """Drop memoized IVF centroids / PQ codebooks — all of them, or
+    only entries trained under ``cache_key`` (any params). Call when
+    the corpus a key names has changed in this process."""
+    for cache in (_CENTROID_CACHE, _CODEBOOK_CACHE):
+        if cache_key is None:
+            cache.clear()
+        else:
+            for k in [k for k in cache if k[0] == cache_key]:
+                del cache[k]
 
 
 def ivf_topk(

@@ -246,3 +246,52 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "qid", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk"
     )
+
+
+@register(
+    "ann_recall_ivfpq",
+    _RECALL_ORACLE,
+    doc="Hard recall floor for the IVF-PQ serving path (coarse probe "
+    "-> PQ ADC shortlist -> exact rerank): per query vector, >=2 of "
+    "the exact cosine top-10 must survive — the same floor as plain "
+    "IVF, because the exact rerank restores within-shortlist order "
+    "(operators/similarity.py:ivfpq_topk; deterministic seeded "
+    "centroids AND codebooks, train-once cached per sf_dir).",
+)
+def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+    from dataengineer_job_scraper_etl_spark.queries.vectors import vec_cosine_topk
+
+    e, q = _vectors(spark, sf_dir)
+    ann = ivfpq_topk(
+        e, q, dim=EMBED_DIM, k=10, centroid_cache_key=sf_dir
+    )
+    exact = vec_cosine_topk(spark, sf_dir)
+    return _recall_contract(ann, exact, min_hits=2)
+
+
+@register(
+    "ann_ivfpq_topk",
+    None,
+    doc="IVF-PQ ANN top-10 (the FAISS IndexIVFPQ shape): probe 4 of "
+    "16 lists, ADC over 1-byte codes against broadcast distance "
+    "tables, exact cosine rerank of the 50-candidate shortlist. "
+    "Train-once/probe-many: coarse centroids share ivf_topk's cache "
+    "tuple and codebooks memoize per (sf_dir, params), so repeated "
+    "executions measure the SERVE path only. Rows-only by design "
+    "(engine-specific quantization); the oracle-checked contract is "
+    "ann_recall_ivfpq.",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    e, q = _vectors(spark, sf_dir)
+    return ivfpq_topk(
+        e, q, dim=EMBED_DIM, k=10, centroid_cache_key=sf_dir
+    ).select(
+        "qid", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk"
+    )

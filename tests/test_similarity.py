@@ -218,3 +218,61 @@ def test_ivfpq_topk_recall_after_rerank(spark):
     exact = {qn: set(_numpy_topk(vecs, qn, 5)) for qn in range(3)}
     recalls = [len(by_q.get(qn, set()) & exact[qn]) / 5 for qn in range(3)]
     assert sum(recalls) / len(recalls) >= 0.6
+
+
+def test_ivfpq_cache_hit_runs_zero_lloyd_rounds(spark):
+    """Train-once/probe-many for IVF-PQ (round-4 gap: ivfpq_topk
+    retrained coarse centroids + m codebooks per call): a cache-keyed
+    second call must consult both caches and never invoke the trainer
+    — and return bit-identical results (seeded determinism)."""
+    from dataengineer_job_scraper_etl_spark.operators import similarity
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    vecs = _clustered_vectors()
+    corpus, queries = _frames(spark, vecs)
+    key = "test-cache://ivfpq-corpus"
+    similarity.clear_trained_indexes()
+    kw = dict(
+        dim=DIM, k=5, n_clusters=4, n_probe=2, m=4, k_codes=8,
+        shortlist=10, centroid_cache_key=key,
+    )
+    cold = ivfpq_topk(corpus, queries, **kw).collect()
+    assert len(similarity._CENTROID_CACHE) == 1
+    assert len(similarity._CODEBOOK_CACHE) == 1
+    orig = similarity._kmeans_rounds
+    similarity._kmeans_rounds = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("cache hit retrained")
+    )
+    try:
+        warm = ivfpq_topk(corpus, queries, **kw).collect()
+    finally:
+        similarity._kmeans_rounds = orig
+    assert sorted(map(str, warm)) == sorted(map(str, cold))
+    # coarse centroids share plain IVF's cache tuple: a warmed IVF-PQ
+    # index also serves ivf_topk without retraining
+    similarity._kmeans_rounds = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("ivf probe after ivfpq warm-up retrained")
+    )
+    try:
+        ivf_topk(
+            corpus, queries, dim=DIM, k=5, n_clusters=4, n_probe=2,
+            centroid_cache_key=key,
+        ).collect()
+    finally:
+        similarity._kmeans_rounds = orig
+        similarity.clear_trained_indexes()
+
+
+def test_clear_trained_indexes_scopes_by_key(spark):
+    from dataengineer_job_scraper_etl_spark.operators import similarity
+
+    similarity._CENTROID_CACHE[("a", 1)] = [(0, [0.0])]
+    similarity._CENTROID_CACHE[("b", 1)] = [(0, [0.0])]
+    similarity._CODEBOOK_CACHE[("a", 2)] = [[(0, [0.0])]]
+    similarity.clear_trained_indexes("a")
+    assert list(similarity._CENTROID_CACHE) == [("b", 1)]
+    assert not similarity._CODEBOOK_CACHE
+    similarity.clear_trained_indexes()
+    assert not similarity._CENTROID_CACHE
