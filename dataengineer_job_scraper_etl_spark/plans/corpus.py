@@ -22,6 +22,8 @@ corpus-sized only in the pathological everything-is-a-dup case.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -54,6 +56,7 @@ def build_pretraining_corpus(
     neardup_threshold: float = 0.5,
     context_tokens: int = 2048,
     clean: bool = False,
+    pair_fn: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """docs(doc_id, source, text, ...) -> one row per SURVIVING doc:
     (doc_id, source, split, shard_id, n_toks). Survivors passed the
@@ -65,7 +68,14 @@ def build_pretraining_corpus(
     text (functions/textclean.clean_text: markup/entities, boilerplate
     lines, control chars, whitespace) so the gate, digests, and
     shingles all see the cleaned text. ``mixture_weights=None`` skips
-    mixture sampling (keep everything that survives dedup)."""
+    mixture sampling (keep everything that survives dedup).
+
+    ``pair_fn`` swaps the near-dup candidate generator: given the
+    post-exact-dedup frame (doc_id, source, text, n_toks), return
+    near-dup pairs as (id_a, id_b). Default is MinHash+LSH at
+    ``neardup_threshold`` (the 100 TB path); the oracle-checked
+    catalog entry injects the exact n-gram Jaccard generator so the
+    WHOLE composition is SQL-checkable (queries/corpusq.py)."""
     base = docs.select("doc_id", "source", "text")
     if clean:
         from dataengineer_job_scraper_etl_spark.functions.textclean import (
@@ -92,9 +102,12 @@ def build_pretraining_corpus(
 
     # 3. near-dup clusters -> keep one canonical per cluster (longest
     #    text, doc_id tiebreak — same decision as docs_dedup_canonical)
-    pairs = minhash_lsh_pairs(exact, "doc_id", "text").filter(
-        F.col("est_jaccard") >= neardup_threshold
-    )
+    if pair_fn is not None:
+        pairs = pair_fn(exact)
+    else:
+        pairs = minhash_lsh_pairs(exact, "doc_id", "text").filter(
+            F.col("est_jaccard") >= neardup_threshold
+        )
     cc = connected_components(pairs, src="id_a", dst="id_b")
     clustered = exact.join(
         cc, exact["doc_id"] == cc["node"], "left"

@@ -1,0 +1,235 @@
+"""Catalog entries for the composed pre-training corpus pipeline
+(plans/corpus.py) — the proof that gate -> exact dedup -> near-dup
+clusters -> canonical -> mixture -> split -> pack assemble correctly
+as ONE plan, not just as individually-checked stages.
+
+Two renderings:
+- ``corpus_pipeline_survivors``: oracle-checked end state. The
+  near-dup stage runs with the EXACT n-gram Jaccard pair generator
+  (injected via ``pair_fn``) so every stage is SQL-expressible; the
+  DuckDB twin is one CTE chain composing the already-proven oracle
+  formulations (gate from docs_pretrain_filter, dedup from
+  docs_exact_dedup, pairs/components from docs_dedup_clusters,
+  canonical from docs_dedup_canonical, mixture from
+  docs_mixture_sample_contract, split from docs_train_val_test_split,
+  pack from docs_pack_sequences). doc_id < 500 bounds the recursive
+  oracle; context_tokens=128 makes shard boundaries actually advance
+  at that size.
+- ``corpus_pipeline_full``: the production rendering over the whole
+  documents table with the default MinHash+LSH pair generator —
+  rows-only by design (engine-specific hashing); it exists so the
+  bench can time the composition end-to-end at sf0.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+
+# NB: plans.corpus imports queries.sampling, whose parent package
+# imports this module — import it lazily inside the entries to break
+# the cycle.
+
+# Same contract as queries/text.py's Jaccard battery: distinct-token
+# 1-gram Jaccard, document-frequency-pruned posting lists (no hot join
+# key), threshold 0.8.
+_PAIR_MAX_DF = 100
+_PAIR_THRESHOLD = 0.8
+
+# Unequal on purpose: equal weights over equal-sized sources would
+# make the mixture stage a no-op. With ~11-15 canonicals per source at
+# doc_id < 500 / sf0.01, src1 binds (rate ~1.0) and the others
+# downsample per their weight ratios.
+_PIPE_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+_PIPE_CONTEXT = 128
+
+
+def exact_jaccard_pair_fn(df: DataFrame) -> DataFrame:
+    """(id_a, id_b) near-dup pairs by exact distinct-token Jaccard —
+    the SQL-expressible pair generator the oracle entry injects. Same
+    inverted-index + df-pruning shape as queries/text._jaccard_pairs,
+    over an arbitrary (doc_id, text) frame."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    posting = df.select(
+        "doc_id", F.explode(F.array_distinct(toks)).alias("term")
+    )
+    tdf = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = posting.join(
+        tdf.filter(F.col("df") <= _PAIR_MAX_DF).select("term"),
+        "term",
+        "left_semi",
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    jac = F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .filter(jac >= _PAIR_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+
+
+_NIB5_8 = (
+    "(position(substring(md5(CAST(doc_id AS VARCHAR)), 5, 1) in '0123456789abcdef') - 1) * 4096"
+    " + (position(substring(md5(CAST(doc_id AS VARCHAR)), 6, 1) in '0123456789abcdef') - 1) * 256"
+    " + (position(substring(md5(CAST(doc_id AS VARCHAR)), 7, 1) in '0123456789abcdef') - 1) * 16"
+    " + (position(substring(md5(CAST(doc_id AS VARCHAR)), 8, 1) in '0123456789abcdef') - 1)"
+)
+
+_PIPE_ORACLE = f"""
+WITH RECURSIVE
+sig AS (
+  SELECT doc_id, source, len(toks) AS n_toks,
+         len(list_distinct(toks)) AS d_toks,
+         md5(norm) AS fp, list_distinct(toks) AS dtoks
+  FROM (SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        FROM documents WHERE doc_id < 500)),
+gated AS (
+  SELECT * FROM sig
+  WHERE n_toks >= 20 AND n_toks <= 90
+    AND (d_toks * 1000000) // n_toks >= 400000),
+keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY fp),
+exact AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+posting AS (SELECT doc_id, unnest(dtoks) AS term FROM exact),
+tdf AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+kept AS (SELECT p.doc_id, p.term FROM posting p
+         JOIN tdf USING (term) WHERE tdf.df <= {_PAIR_MAX_DF}),
+pair_inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM kept a JOIN kept b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT id_a, id_b FROM pair_inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {_PAIR_THRESHOLD}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+clustered AS (
+  SELECT e.doc_id, e.source, e.n_toks,
+         coalesce(c.component, e.doc_id) AS cluster
+  FROM exact e LEFT JOIN comp c ON e.doc_id = c.node),
+canonical AS (
+  SELECT doc_id, source, n_toks FROM (
+    SELECT *, first_value(doc_id) OVER (
+        PARTITION BY cluster ORDER BY n_toks DESC, doc_id ASC) AS keep_doc
+    FROM clustered)
+  WHERE doc_id = keep_doc),
+counts AS (SELECT source, count(*) AS n FROM canonical GROUP BY source),
+wts AS (SELECT * FROM (VALUES
+  ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)) w(source, w)),
+tot AS (SELECT min(n / w) AS total FROM counts JOIN wts USING (source)),
+rates AS (
+  SELECT source, least(1.0, w * (SELECT total FROM tot) / n) AS r
+  FROM counts JOIN wts USING (source)),
+sampled AS (
+  SELECT c.doc_id, c.source, c.n_toks
+  FROM canonical c JOIN rates USING (source)
+  WHERE {_NIB5_8} < CAST(round(r * 65536) AS BIGINT)),
+labeled AS (
+  SELECT doc_id, source, n_toks,
+         CASE WHEN b < 12 THEN 'train' WHEN b < 14 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT *,
+               position(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        in '0123456789abcdef') - 1 AS b
+        FROM sampled))
+SELECT doc_id, source, split,
+       CAST(floor(coalesce(sum(n_toks) OVER (
+           PARTITION BY source, split ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         / {_PIPE_CONTEXT}.0) AS BIGINT) AS shard_id,
+       CAST(n_toks AS BIGINT) AS n_toks
+FROM labeled
+"""
+
+
+@register(
+    "corpus_pipeline_survivors",
+    _PIPE_ORACLE,
+    doc="The COMPOSED pre-training corpus pipeline's end state "
+    "(plans/corpus.py:build_pretraining_corpus): quality gate -> "
+    "exact dedup -> near-dup clusters -> canonical survivor -> "
+    "training mixture (unequal weights, rates derived from survivor "
+    "counts) -> leakage-free split -> sequence packing, as one lazy "
+    "plan. Near-dup pairs via the injected exact-Jaccard generator "
+    "so the DuckDB twin (recursive CTE chain) checks every stage "
+    "composition, not just each stage alone. The production MinHash "
+    "path is corpus_pipeline_full + the planted-recall entries.",
+)
+def corpus_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.plans.corpus import (
+        build_pretraining_corpus,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "source", "text")
+    )
+    out = build_pretraining_corpus(
+        docs,
+        mixture_weights=_PIPE_WEIGHTS,
+        context_tokens=_PIPE_CONTEXT,
+        pair_fn=exact_jaccard_pair_fn,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "split",
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+    )
+
+
+@register(
+    "corpus_pipeline_full",
+    None,
+    doc="The same composed pipeline over the ENTIRE documents table "
+    "with the production MinHash+LSH near-dup path and an "
+    "all-sources mixture — the end-to-end timing entry (bench). "
+    "Rows-only by design: the LSH hash family is engine-specific; "
+    "the composition's correctness contract is "
+    "corpus_pipeline_survivors and the stage entries.",
+)
+def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.plans.corpus import (
+        build_pretraining_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    weights = {f"src{i}": 0.05 for i in range(20)}
+    out = build_pretraining_corpus(docs, mixture_weights=weights)
+    return out.select(
+        "doc_id",
+        "source",
+        "split",
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+    )
