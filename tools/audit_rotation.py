@@ -1,15 +1,21 @@
-"""Suggest the next round's AUDIT_PRIORITY (catalog.py).
+"""Generate the next round's AUDIT_SCHEDULE (catalog.py).
 
-The external driver hash-audits the FIRST 50 entries of all_queries()
-per round. This tool reads every CORRECTNESS_r*.json in the repo root,
-ranks catalog entries by audit staleness (never-audited first, then
-oldest last-audit round, registration order as tiebreak), and prints a
-ready-to-paste priority list of 50 — so each round rotates the hard
-signal onto the entries that have gone longest without it.
+The external driver hash-audits the FIRST 50 entries of
+__spark_entry__.queries() per round; the adapter orders them by
+catalog.AUDIT_SCHEDULE (the public all_queries() stays in stable
+registration order). This tool reads every CORRECTNESS_r*.json in the
+repo root and prints a ready-to-paste 50-entry schedule:
 
-Any entry that FAILED its most recent audit is pinned to the very
-front regardless of staleness (a fix must be re-proven before anything
-else gets the slot).
+1. entries that FAILED their most recent audit (a fix must be
+   re-proven before anything else gets a slot),
+2. entries never hash-audited, registration order,
+3. everything else by last-audit round, oldest first.
+
+Entries registered with ``oracle=None`` are EXCLUDED: the driver can
+only record ``err: no_oracle`` for them — which reads as a failure to
+any harness counting err — and their real contracts are oracle-checked
+twin entries (planted-recall / recall-floor / contract queries), so a
+window slot on them is wasted.
 
 Usage: python tools/audit_rotation.py
 """
@@ -30,10 +36,9 @@ WINDOW = 50
 def main() -> int:
     from dataengineer_job_scraper_etl_spark import catalog
 
-    # registration order WITHOUT the current priority reordering
-    names = list(catalog._REGISTRY) or list(catalog.all_queries())
-    if not names:
-        names = list(catalog.all_queries())
+    qs = catalog.all_queries()  # registration order
+    names = [n for n, q in qs.items() if q.oracle is not None]
+    skipped = [n for n, q in qs.items() if q.oracle is None]
 
     last_round: dict[str, int] = {}
     failed_latest: set[str] = set()
@@ -54,7 +59,7 @@ def main() -> int:
                 failed_latest.discard(name)  # later round went green
 
     order = sorted(
-        (n for n in names),
+        names,
         key=lambda n: (
             0 if n in failed_latest else 1,
             last_round.get(n, -1),  # never audited -> -1 -> earliest
@@ -62,8 +67,11 @@ def main() -> int:
         ),
     )
     pick = order[:WINDOW]
-    print(f"# next AUDIT_PRIORITY ({len(pick)} of {len(names)} entries; "
-          f"source rounds: {[os.path.basename(p) for p in rounds]})")
+    print(
+        f"# next AUDIT_SCHEDULE ({len(pick)} of {len(names)} oracle-bearing "
+        f"entries; {len(skipped)} no-oracle entries excluded: {skipped};\n"
+        f"# source rounds: {[os.path.basename(p) for p in rounds]})"
+    )
     for n in pick:
         tag = (
             "FAILED-LAST-AUDIT" if n in failed_latest
