@@ -73,6 +73,23 @@ HEADLINE += [
     "tpch_q17_small_quantity_revenue",
     "tpch_q18_large_orders",
 ]
+HEADLINE += [
+    # round-5 asks: IVF-PQ serve path (train-once cached), single-scan
+    # BM25, and the composed corpus pipeline end to end
+    "ann_ivfpq_topk",
+    "text_bm25_ranking",
+    "corpus_pipeline_full",
+]
+
+# Bumped whenever the warm-up methodology changes (what is excluded
+# from the timed region), so bench_compare can distinguish
+# methodology-shift rounds from genuine per-query speedups:
+#   v1 (r1-r3): JVM/codegen + worker-pool + streaming warm-up only.
+#   v2 (r4): + full-scan table warm-up, matcher-plan compile, IVF
+#        centroid-cache pre-train, stream-fixture staging.
+#   v3 (r5): + IVF-PQ coarse+codebook pre-train (same train-once
+#        rationale as IVF: bench times the SERVE path).
+WARMUP_VERSION = 3
 
 
 def _force(df) -> None:
@@ -167,6 +184,19 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     except Exception as e:  # noqa: BLE001
         print(f"WARN bench: IVF index build failed: {e!r}", file=sys.stderr)
+    try:  # IVF-PQ index build: same train-once/probe-many split — the
+        # coarse quantizer shares the IVF cache tuple (already trained
+        # above); this trains the m per-subspace PQ codebooks so the
+        # timed ann_ivfpq_topk entry measures probe + ADC + rerank.
+        from dataengineer_job_scraper_etl_spark.operators.similarity import (
+            ivfpq_topk,
+        )
+
+        ivfpq_topk(
+            e, q, dim=EMBED_DIM, k=10, centroid_cache_key=sf_dir
+        ).write.format("noop").mode("overwrite").save()
+    except Exception as e:  # noqa: BLE001
+        print(f"WARN bench: IVF-PQ index build failed: {e!r}", file=sys.stderr)
     try:  # stage the streaming fixture queue outside the timings: the
         # staged directory is TEST PLUMBING (the stand-in for an already-
         # existing Pub/Sub-like queue), not part of any streaming
@@ -230,6 +260,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "warmup_version": WARMUP_VERSION,
             }
         )
     )

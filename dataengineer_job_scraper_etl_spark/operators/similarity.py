@@ -520,10 +520,13 @@ def ivfpq_topk(
     natural key.
 
     ``centroid_cache_key`` makes this train-once/probe-many like
-    ``ivf_topk``: the coarse centroids memoize under the SAME cache
-    tuple as plain IVF (one warm-up trains both serving paths) and
-    the PQ codebooks under their own — a keyed second call runs ZERO
-    Lloyd rounds (pinned by tests/test_similarity.py's poison-pill)."""
+    ``ivf_topk``, covering the WHOLE index build: coarse centroids
+    memoize under the SAME cache tuple as plain IVF (one warm-up
+    trains both serving paths), PQ codebooks under their own, and the
+    ENCODED corpus — (id, cluster_id, pq_codes), FAISS's add() output
+    — as a checkpointed frame, so a keyed second call runs zero Lloyd
+    rounds AND zero per-row encodes: probe + ADC + rerank only
+    (pinned by tests/test_similarity.py's poison-pill)."""
     corpus = ensure_min_parallelism(corpus).localCheckpoint(eager=False)
     ivf_key = (
         (centroid_cache_key, dim, n_clusters, n_iter, seed)
@@ -541,8 +544,23 @@ def ivfpq_topk(
         corpus, vec_col, dim, m=m, k=k_codes, n_iter=n_iter, seed=seed,
         cache_key=centroid_cache_key,
     )
-    coded = pq_encode(assign_to_centroid(corpus, cents, vec_col), books,
-                      vec_col=vec_col)
+    coded_key = (
+        (centroid_cache_key, "coded", dim, id_col, vec_col, n_clusters,
+         m, k_codes, n_iter, seed)
+        if centroid_cache_key is not None
+        else None
+    )
+    coded = (
+        _CODED_CORPUS_CACHE.get(coded_key) if coded_key is not None else None
+    )
+    if coded is None:
+        coded = pq_encode(
+            assign_to_centroid(corpus, cents, vec_col), books,
+            vec_col=vec_col,
+        ).select(id_col, "cluster_id", "pq_codes", vec_col)
+        coded = coded.localCheckpoint(eager=False)
+        if coded_key is not None:
+            _CODED_CORPUS_CACHE[coded_key] = coded
 
     qd = lambda c: F.aggregate(  # noqa: E731
         F.zip_with(
@@ -599,8 +617,10 @@ def ivfpq_topk(
         adc, [qid_col], [F.asc("adc_d2"), F.asc(id_col)], shortlist
     ).select(qid_col, id_col)
 
+    # exact rerank reads raw vectors from the resident index frame —
+    # the source table is not rescanned at serve time
     rerank = (
-        short.join(corpus.select(id_col, vec_col), id_col)
+        short.join(coded.select(id_col, vec_col), id_col)
         .join(F.broadcast(queries), qid_col)
         .select(
             qid_col,
@@ -632,13 +652,21 @@ def ivfpq_topk(
 # recall silently; it never affects exact results.
 _CENTROID_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
 _CODEBOOK_CACHE: dict[tuple, list[list[tuple[int, list[float]]]]] = {}
+# The ENCODED corpus (id, cluster_id, pq_codes) is an index artifact
+# too — FAISS's add() populates it offline and search() never touches
+# raw vectors for it. Cached as a checkpointed DataFrame: its RDD
+# blocks persist in the block manager, so a hit skips the per-row
+# centroid-assign + m-subspace argmin encode entirely. Session-scoped:
+# entries die with the SparkSession that built them.
+_CODED_CORPUS_CACHE: dict[tuple, DataFrame] = {}
 
 
 def clear_trained_indexes(cache_key: str | None = None) -> None:
-    """Drop memoized IVF centroids / PQ codebooks — all of them, or
-    only entries trained under ``cache_key`` (any params). Call when
-    the corpus a key names has changed in this process."""
-    for cache in (_CENTROID_CACHE, _CODEBOOK_CACHE):
+    """Drop memoized IVF centroids / PQ codebooks / encoded corpora —
+    all of them, or only entries trained under ``cache_key`` (any
+    params). Call when the corpus a key names has changed in this
+    process."""
+    for cache in (_CENTROID_CACHE, _CODEBOOK_CACHE, _CODED_CORPUS_CACHE):
         if cache_key is None:
             cache.clear()
         else:

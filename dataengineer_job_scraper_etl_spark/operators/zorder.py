@@ -58,17 +58,39 @@ def zorder_key_sql(cols: list[str], bits: int = 16) -> str:
 
 def zorder_bits_for_domain(df: DataFrame, cols: list[str]) -> int:
     """Derive the per-dimension bit width from the ACTUAL key domain:
-    enough bits to hold max(|col|) for every interleaved column, capped
+    enough bits to hold max(col) for every interleaved column, capped
     so the Morton key fits a signed 64-bit long. Fixed ``bits=16`` wraps
     keys above 65535 under the mask — distant key ranges then alias into
     the same Z-bucket and the per-bucket min/max spans silently widen
     (the data-skipping property degrades even though the arithmetic
-    stays total). One tiny all-columns max aggregate — a scan-time cost
-    paid once per layout write, nothing at query time."""
+    stays total). One tiny all-columns min/max aggregate — a scan-time
+    cost paid once per layout write, nothing at query time.
+
+    NON-NEGATIVE domains only: ``zorder_key`` masks the raw
+    two's-complement long, so a negative value wraps to a LARGE
+    masked value and aliases with small positives no matter how wide
+    the mask (-3 and 1 collide at 2 bits) — a width can't fix that.
+    Raises ValueError on a negative minimum; bias such columns to
+    >= 0 first (e.g. ``col - min``) and note the bias is part of the
+    layout key, so query-time predicates must apply the same shift."""
     row = df.agg(
-        *[F.max(F.abs(F.col(c).cast("long"))).alias(c) for c in cols]
+        *[
+            c
+            for col in cols
+            for c in (
+                F.min(F.col(col).cast("long")).alias(f"__min_{col}"),
+                F.max(F.col(col).cast("long")).alias(f"__max_{col}"),
+            )
+        ]
     ).first()
-    widest = max((int(row[c] or 0)).bit_length() for c in cols)
+    negative = [c for c in cols if int(row[f"__min_{c}"] or 0) < 0]
+    if negative:
+        raise ValueError(
+            f"zorder_bits_for_domain: negative key domain in {negative}; "
+            "the Morton mask wraps negatives into aliasing positives — "
+            "bias these columns to >= 0 before layout"
+        )
+    widest = max((int(row[f"__max_{c}"] or 0)).bit_length() for c in cols)
     return max(1, min(widest, 62 // len(cols)))
 
 

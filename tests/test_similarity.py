@@ -241,14 +241,22 @@ def test_ivfpq_cache_hit_runs_zero_lloyd_rounds(spark):
     cold = ivfpq_topk(corpus, queries, **kw).collect()
     assert len(similarity._CENTROID_CACHE) == 1
     assert len(similarity._CODEBOOK_CACHE) == 1
+    assert len(similarity._CODED_CORPUS_CACHE) == 1
     orig = similarity._kmeans_rounds
+    orig_encode = similarity.pq_encode
     similarity._kmeans_rounds = lambda *a, **k: (_ for _ in ()).throw(
         AssertionError("cache hit retrained")
+    )
+    # the encoded corpus is an index artifact too (FAISS add()): a
+    # warm call must not re-encode either
+    similarity.pq_encode = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("cache hit re-encoded the corpus")
     )
     try:
         warm = ivfpq_topk(corpus, queries, **kw).collect()
     finally:
         similarity._kmeans_rounds = orig
+        similarity.pq_encode = orig_encode
     assert sorted(map(str, warm)) == sorted(map(str, cold))
     # coarse centroids share plain IVF's cache tuple: a warmed IVF-PQ
     # index also serves ivf_topk without retraining

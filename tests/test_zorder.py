@@ -92,3 +92,23 @@ def test_write_zordered_gives_two_dimensional_locality(spark, tmp_path):
     # wide on one axis).
     narrow = [s for s in spans if s[0] <= side // 2 and s[1] <= side // 2]
     assert len(narrow) >= len(spans) // 2, spans
+
+
+def test_bits_for_domain_rejects_negative_keys(spark):
+    """The mask wraps negatives into large positives that alias with
+    small keys at ANY width, so width derivation must refuse instead
+    of silently degrading the layout (round-4 advisory)."""
+    import pytest
+    from dataengineer_job_scraper_etl_spark.operators.zorder import (
+        zorder_bits_for_domain,
+    )
+
+    df = spark.createDataFrame([(-3, 1), (1, 2)], "a long, b long")
+    with pytest.raises(ValueError, match="negative key domain"):
+        zorder_bits_for_domain(df, ["a", "b"])
+    # biased to >= 0, the derivation works
+    from pyspark.sql import functions as F
+
+    assert zorder_bits_for_domain(
+        df.select((F.col("a") + 3).alias("a"), "b"), ["a", "b"]
+    ) >= 2
