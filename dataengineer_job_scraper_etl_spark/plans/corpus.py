@@ -96,6 +96,15 @@ def build_pretraining_corpus(
             F.expr("d_toks * 1000000 div n_toks") >= min_diversity_ppm
         )
     ).drop("d_toks")
+    # Stage the gate's output once: downstream the gated frame fans out
+    # into >=3 consumers that each re-execute their subtree (the digest
+    # agg, the dedup semi-join, the near-dup sketch, the cluster
+    # join-back) — without this the SOURCE TEXT is re-scanned and
+    # re-cleaned per branch, 3-4 full corpus scans at 100 TB. The lazy
+    # checkpoint is the bronze->silver staging a production pipeline
+    # materializes between macro-stages; each stage's internal plan
+    # still optimizes end-to-end.
+    gated = gated.localCheckpoint(eager=False)
 
     # 2. exact dedup on the text digest (16-byte shuffle, not bodies)
     exact = dedup_exact_by_digest(gated, text_col="text", id_col="doc_id")

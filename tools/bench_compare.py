@@ -31,6 +31,15 @@ def main() -> int:
     old, new = runs
     oq, nq = old["queries"], new["queries"]
     print(f"{os.path.basename(paths[0])} -> {os.path.basename(paths[1])}")
+    wo = old.get("warmup_version", 1)
+    wn = new.get("warmup_version", 1)
+    if wo != wn:
+        print(
+            f"NOTE: warm-up methodology changed (v{wo} -> v{wn}; see "
+            "bench.py WARMUP_VERSION) — per-query deltas conflate "
+            "methodology with genuine plan changes for entries whose "
+            "one-time costs moved in/out of the timed region."
+        )
     print(f"headline: {old['value']:.2f}s -> {new['value']:.2f}s "
           f"({len(oq)} -> {len(nq)} queries)")
     shared = sorted(set(oq) & set(nq), key=lambda k: oq[k] - nq[k])
