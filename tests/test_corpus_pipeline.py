@@ -93,3 +93,18 @@ def test_pipeline_clean_stage_unifies_markup_variants(spark):
     assert [r["doc_id"] for r in out] == [1]  # exact dedup keeps min id
     dirty = build_pretraining_corpus(df, clean=False).collect()
     assert len(dirty) == 2  # without cleaning they do NOT collapse
+
+
+def test_pipeline_downsampled_sources_fill_all_splits(spark):
+    """End-to-end rendering of the round-4 HIGH advisory: a mixture
+    that downsamples sources must still produce train AND val AND
+    test (the correlated-hash bug emptied val/test for any source
+    sampled at rate <= 0.75)."""
+    rows = [(i, "web" if i % 2 else "books", _doc_text(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = build_pretraining_corpus(
+        df, mixture_weights={"web": 0.7, "books": 0.3}
+    ).collect()
+    for src in ("web", "books"):
+        got = {r["split"] for r in out if r["source"] == src}
+        assert got == {"train", "val", "test"}, (src, got)
