@@ -359,3 +359,88 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------- incremental
+
+
+def incremental_ingest_status(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pair_fn=None,
+    neardup_threshold: float = 0.5,
+) -> DataFrame:
+    """Classify each NEW document against an existing corpus without
+    reprocessing the corpus — the nightly-ingest rendering of dedup
+    (a 100 TB corpus is built incrementally; re-running global dedup
+    per batch is a non-starter):
+
+        exact_dup  — normalized-text digest already present in the index
+        near_dup   — near-duplicate candidate pair with an index doc
+        new        — neither
+
+    Returns (id, status) for every batch row. Exact matching is an
+    equi-join on 16-byte digests (the index side ships digests only —
+    at scale a materialized digest table / bloom filter, never bodies).
+    Near-dup candidates come from ``pair_fn(batch, index) ->
+    (id_a=batch id, id_b=index id)``; the default is MinHash+LSH over
+    the two-sided union filtered to CROSS-side pairs, so candidates
+    share (band, hash) buckets — the same banding economics as
+    ``minhash_lsh_pairs``, never batch x index. The oracle entry
+    (queries/corpusq.py:docs_incremental_ingest) injects the exact
+    n-gram Jaccard generator instead, making every branch
+    SQL-checkable. Precedence exact > near mirrors the pipeline's
+    stage order (digests are authoritative; sketches are candidates).
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    b_fp = batch.select(F.col(id_col), F.md5(norm).alias("__fp"))
+    i_fp = index.select(F.md5(norm).alias("__fp")).distinct()
+    exact = (
+        b_fp.join(i_fp, "__fp", "left_semi")
+        .select(id_col)
+        .withColumn("__exact", F.lit(True))
+    )
+
+    if pair_fn is not None:
+        pairs = pair_fn(batch, index)
+    else:
+        both = batch.select(id_col, text_col).unionByName(
+            index.select(id_col, text_col)
+        )
+        cand = minhash_lsh_pairs(both, id_col, text_col).filter(
+            F.col("est_jaccard") >= neardup_threshold
+        )
+        b_ids = batch.select(F.col(id_col).alias("__bid"))
+        i_ids = index.select(F.col(id_col).alias("__iid"))
+        # keep only cross-side pairs, normalized to (batch, index)
+        ab = cand.join(
+            b_ids, cand["id_a"] == b_ids["__bid"], "left_semi"
+        ).join(i_ids, cand["id_b"] == i_ids["__iid"], "left_semi")
+        ba = cand.join(
+            i_ids, cand["id_a"] == i_ids["__iid"], "left_semi"
+        ).join(b_ids, cand["id_b"] == b_ids["__bid"], "left_semi")
+        pairs = ab.select(
+            F.col("id_a"), F.col("id_b")
+        ).unionByName(
+            ba.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+    near = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+
+    return (
+        batch.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__exact"), "exact_dup")
+            .when(F.col("__near"), "near_dup")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )

@@ -3,7 +3,9 @@
 clusters -> canonical -> mixture -> split -> pack assemble correctly
 as ONE plan, not just as individually-checked stages.
 
-Two renderings:
+Also hosts the incremental-ingestion entry (docs_incremental_ingest).
+
+Two pipeline renderings:
 - ``corpus_pipeline_survivors``: oracle-checked end state. The
   near-dup stage runs with the EXACT n-gram Jaccard pair generator
   (injected via ``pair_fn``) so every stage is SQL-expressible; the
@@ -232,4 +234,135 @@ def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         F.col("shard_id").cast("bigint").alias("shard_id"),
         F.col("n_toks").cast("bigint").alias("n_toks"),
+    )
+
+
+def exact_jaccard_cross_pairs(batch: DataFrame, index: DataFrame) -> DataFrame:
+    """(id_a = batch doc, id_b = index doc) pairs with exact
+    distinct-token Jaccard >= 0.8 — the SQL-expressible cross-side
+    pair generator for incremental ingest. Posting lists and document
+    frequencies are computed over the two-sided union (so pruning is
+    identical to what a combined corpus would see); only cross-side
+    pairs are scored."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    tagged = (
+        batch.select("doc_id", "text").withColumn("__side", F.lit("b"))
+        .unionByName(
+            index.select("doc_id", "text").withColumn("__side", F.lit("i"))
+        )
+    )
+    posting = tagged.select(
+        "doc_id", "__side", F.explode(F.array_distinct(toks)).alias("term")
+    )
+    tdf = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = posting.join(
+        tdf.filter(F.col("df") <= _PAIR_MAX_DF).select("term"),
+        "term",
+        "left_semi",
+    )
+    a = kept.filter(F.col("__side") == "b").alias("a")
+    b = kept.filter(F.col("__side") == "i").alias("b")
+    inter = (
+        a.join(b, F.col("a.term") == F.col("b.term"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    jac = F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter"))
+    return (
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.doc_id"))
+        .filter(jac >= _PAIR_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+
+
+_INGEST_ORACLE = f"""
+WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 400 AND doc_id < 500
+  UNION ALL
+  SELECT doc_id + 10000, text FROM idx WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 20000,
+         'XX ' || array_to_string(string_split(text, ' ')[2:], ' ')
+  FROM idx WHERE doc_id % 9 = 0),
+ifp AS (SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM idx),
+exact AS (
+  SELECT b.doc_id FROM batch b
+  JOIN ifp ON md5(trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g'))) = ifp.fp),
+tagged AS (
+  SELECT doc_id, text, 'b' AS side FROM batch
+  UNION ALL SELECT doc_id, text, 'i' FROM idx),
+posting AS (
+  SELECT doc_id, side, unnest(list_distinct(
+    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS term
+  FROM tagged),
+tdf AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+kept AS (SELECT p.doc_id, p.side, p.term FROM posting p
+         JOIN tdf USING (term) WHERE tdf.df <= {_PAIR_MAX_DF}),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+  FROM kept a JOIN kept b ON a.term = b.term
+  WHERE a.side = 'b' AND b.side = 'i'
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+near AS (
+  SELECT DISTINCT id_a AS doc_id FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= {_PAIR_THRESHOLD})
+SELECT b.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS status
+FROM batch b
+LEFT JOIN (SELECT DISTINCT doc_id FROM exact) e USING (doc_id)
+LEFT JOIN near nr USING (doc_id)
+"""
+
+
+@register(
+    "docs_incremental_ingest",
+    _INGEST_ORACLE,
+    doc="Incremental corpus ingestion "
+    "(operators/dedup.py:incremental_ingest_status): a new batch "
+    "(docs 400-499 + planted exact copies of index docs %7 and "
+    "planted near-copies %9) classified against the existing index "
+    "(docs < 400) WITHOUT reprocessing it — exact_dup via 16-byte "
+    "digest semi-join, near_dup via cross-side candidate pairs, else "
+    "new. The entry injects the exact-Jaccard cross generator so all "
+    "three branches are SQL-checkable; production uses the default "
+    "MinHash+LSH cross-pair path (same banding economics, pytest-"
+    "pinned). Precedence exact > near mirrors the pipeline stage "
+    "order.",
+)
+def docs_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.dedup import (
+        incremental_ingest_status,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = d.filter(F.col("doc_id") < 400)
+    natural = d.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 500))
+    planted_exact = idx.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    rest = F.array_join(
+        F.slice(F.split(F.col("text"), " "), 2, 1_000_000), " "
+    )
+    planted_near = idx.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.lit("XX "), rest).alias("text"),
+    )
+    batch = natural.unionByName(planted_exact).unionByName(planted_near)
+    return incremental_ingest_status(
+        batch, idx, pair_fn=exact_jaccard_cross_pairs
     )

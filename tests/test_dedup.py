@@ -127,3 +127,33 @@ def test_simhash_neardup_finds_exact_dup(spark):
     assert all(
         r["hamming"] <= 3 for r in simhash_neardup_pairs(df, "doc_id", "text").collect()
     )
+
+
+def test_incremental_ingest_status_minhash_path(spark):
+    """Production incremental-ingest path (default MinHash+LSH cross
+    pairs): planted exact copy -> exact_dup, planted one-word-change
+    near copy -> near_dup, fresh doc -> new; and the exact digest
+    check takes precedence over the sketch."""
+    from dataengineer_job_scraper_etl_spark.operators.dedup import (
+        incremental_ingest_status,
+    )
+
+    def text(i):
+        return " ".join(f"t{i}w{j}" for j in range(25))
+
+    index = spark.createDataFrame(
+        [(i, text(i)) for i in range(20)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, text(3)),                                  # exact copy
+            (101, "XX " + text(5)[len("t5w0 "):]),           # near copy
+            (102, " ".join(f"fresh{j}" for j in range(25))),  # new
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in incremental_ingest_status(batch, index).collect()
+    }
+    assert got == {100: "exact_dup", 101: "near_dup", 102: "new"}
