@@ -11,7 +11,7 @@ tolerance CONTRACT instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataengineer_job_scraper_etl_spark.catalog import register
@@ -277,3 +277,105 @@ def docs_mixture_sample_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("__n_escaped"), F.lit(0)) == 0).alias("nested_ok"),
         )
     )
+
+
+def select_by_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    quality_col: str = "quality_millionths",
+    tok_col: str = "n_toks",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware data selection under a per-source token budget —
+    the curation step real pipelines run where the mixture sampler is
+    hash-random: rank each source's docs by (quality desc, id asc) and
+    keep the prefix whose PRECEDING selected tokens are still under
+    budget (the doc that crosses the line is kept, so budgets are met,
+    not undershot; deterministic because the order key is total).
+
+    One window per source: the per-source sort is the semantics (a
+    budget is a global property of the source's ranking). At 100 TB
+    per-source groups are the unit of parallelism; if one source
+    dwarfs the rest, pre-aggregate a quality histogram to find the
+    cutoff score and turn the window into a filter."""
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.desc(quality_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum(tok_col).over(w), F.lit(0))
+    return (
+        df.withColumn("__off", off)
+        .filter(F.col("__off") < budget_tokens)
+        .drop("__off")
+    )
+
+
+_BUDGET_TOKENS = 1000
+
+
+def _budget_oracle() -> str:
+    from dataengineer_job_scraper_etl_spark.queries.text import _QUALITY_SQL
+
+    return f"""
+WITH q AS ({_QUALITY_SQL}),
+base AS (
+  SELECT d.doc_id, d.source,
+         len(string_split(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' ')) AS n_toks,
+         q.quality_millionths
+  FROM documents d JOIN q USING (doc_id)),
+sel AS (
+  SELECT * FROM (
+    SELECT *, coalesce(sum(n_toks) OVER (
+        PARTITION BY source
+        ORDER BY quality_millionths DESC, doc_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM base)
+  WHERE off < {_BUDGET_TOKENS})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(n_toks) AS BIGINT) AS tokens_selected,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM sel GROUP BY source
+"""
+
+
+@register(
+    "docs_quality_budget_selection",
+    None,  # oracle assigned below: needs the lazy _QUALITY_SQL import
+    doc="Quality-aware budget selection (select_by_token_budget): per "
+    "source, rank docs by the integer-exact quality score "
+    "(text_quality_score's formulation) and keep the best prefix "
+    "whose cumulative tokens reach a 1000-token budget. id_checksum "
+    "pins EXACT membership — the greedy order, tie-breaks, and "
+    "boundary-crossing rule all hash-checked per source.",
+)
+def docs_quality_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.queries.text import (
+        _tokens,
+        text_quality_score,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    q = text_quality_score(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_toks"),
+    ).join(q, "doc_id")
+    sel = select_by_token_budget(base, _BUDGET_TOKENS)
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_toks").cast("bigint").alias("tokens_selected"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+# Late-bound oracle: _QUALITY_SQL lives in queries.text, imported
+# lazily to keep module load order cycle-free.
+from dataengineer_job_scraper_etl_spark import catalog as _catalog  # noqa: E402
+
+_catalog._REGISTRY["docs_quality_budget_selection"].oracle = _budget_oracle()

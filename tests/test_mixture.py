@@ -96,3 +96,30 @@ def test_mixture_samples_are_nested(spark):
         for r in deterministic_source_sample(df, {"web": 0.6}).collect()
     }
     assert small < big  # strict subset: nested and actually larger
+
+
+def test_select_by_token_budget_greedy_semantics(spark):
+    """Budget selection: quality-descending prefix per source, ties by
+    id, and the doc that CROSSES the budget line is kept (budgets met,
+    not undershot)."""
+    from dataengineer_job_scraper_etl_spark.queries.sampling import (
+        select_by_token_budget,
+    )
+
+    rows = [
+        # (doc_id, source, n_toks, quality_millionths)
+        (1, "a", 40, 900), (2, "a", 50, 800), (3, "a", 30, 700),
+        (4, "a", 10, 600),
+        (5, "b", 100, 100), (6, "b", 100, 100),  # tie -> id order
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_toks long, quality_millionths long"
+    )
+    got = {
+        r["doc_id"]
+        for r in select_by_token_budget(df, 100).collect()
+    }
+    # source a: 40 (off 0) + 50 (off 40) + 30 (off 90 < 100, crosses)
+    # -> 1,2,3 kept, 4 dropped (off 120). source b: 5 (off 0), 6 (off
+    # 100, NOT < 100) -> only 5.
+    assert got == {1, 2, 3, 5}
