@@ -366,3 +366,81 @@ def docs_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_ingest_status(
         batch, idx, pair_fn=exact_jaccard_cross_pairs
     )
+
+
+_CARD_ORACLE = """
+WITH sig AS (
+  SELECT source,
+         len(toks) AS n_toks,
+         md5(norm) AS fp,
+         (500 * (8 * len(toks) * least(len(toks), 100)
+                 + 75 * least(length(array_to_string(toks, '')), 8 * len(toks))
+                 + 600 * len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to')))))
+           // len(toks) AS q
+  FROM (SELECT source,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        FROM documents))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS distinct_texts,
+       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST(min(n_toks) AS BIGINT) AS min_tokens,
+       CAST(max(n_toks) AS BIGINT) AS max_tokens,
+       CAST(sum(q) // count(*) AS BIGINT) AS avg_quality_millionths
+FROM sig GROUP BY source
+"""
+
+
+@register(
+    "corpus_dataset_card",
+    _CARD_ORACLE,
+    doc="Per-source dataset card — the governance summary a pipeline "
+    "publishes with every corpus snapshot: doc and distinct-text "
+    "counts (their gap = exact-dup volume), token totals and range, "
+    "and mean quality (text_quality_score's integer-exact formulation, "
+    "averaged with integer division so no doubles cross engines). ONE "
+    "scan of documents: tokens, digest, and quality computed in the "
+    "same projection, then a single partial-agg groupBy(source).",
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.queries.text import (
+        LANG_STOPWORDS,
+        _tokens,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    n = F.size(toks).cast("long")
+    l_chars = F.length(F.array_join(toks, "")).cast("long")
+    k = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS["en"]))
+    ).cast("long")
+    qnum = (
+        F.lit(500)
+        * (
+            F.lit(8) * n * F.least(n, F.lit(100))
+            + F.lit(75) * F.least(l_chars, F.lit(8) * n)
+            + F.lit(600) * k
+        )
+    ).cast("long")
+    sig = d.select(
+        "source",
+        n.alias("__n"),
+        F.md5(norm).alias("__fp"),
+        qnum.alias("__qnum"),
+    ).withColumn("__q", F.expr("__qnum div __n"))
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__fp").alias("distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("__fp"))
+        .cast("bigint")
+        .alias("dup_docs"),
+        F.sum("__n").cast("bigint").alias("total_tokens"),
+        F.min("__n").cast("bigint").alias("min_tokens"),
+        F.max("__n").cast("bigint").alias("max_tokens"),
+        F.expr("sum(__q) div count(1)").cast("bigint")
+        .alias("avg_quality_millionths"),
+    )
