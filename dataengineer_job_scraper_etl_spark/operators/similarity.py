@@ -754,3 +754,90 @@ def ivf_topk(
     return grouped_topk(
         scored, [qid_col], [F.desc("cos_sim"), F.asc(id_col)], k
     )
+
+
+def embedding_neardup_lsh_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS at corpus scale (the
+    SemDeDup-style semantic-dedup stage): candidates are vectors
+    sharing an RHP-LSH bucket in ANY of ``n_tables`` tables; only
+    candidates get the exact cosine, and pairs below ``threshold`` are
+    dropped. The exact all-pairs twin is queries/vectors.py::
+    vec_neardup_cosine_pairs — a corpus^2 scan this replaces with a
+    shuffle on (table, bucket) keys.
+
+    Recall shape: cos >= 0.95 pairs disagree on a given sign bit with
+    prob <= acos(0.95)/pi ~ 0.1, so P(collide in one 8-bit table)
+    ~ 0.9^8 ~ 0.43 and P(miss all 4 tables) ~ (1-0.43)^4 ~ 0.1; the
+    oracle-checked floor lives in vec_neardup_lsh_planted_recall,
+    where EXACTLY-parallel planted copies collide in EVERY table
+    (positive scaling preserves every sign bit) — recall 1.0 by
+    construction, not by luck."""
+    spark = corpus.sparkSession
+    corpus = ensure_min_parallelism(corpus)
+    planes_rows = [
+        (t, _hyperplanes(dim, n_bits, seed + 1000 * t))
+        for t in range(n_tables)
+    ]
+    planes_df = spark.createDataFrame(
+        planes_rows, "tab int, planes array<array<double>>"
+    )
+
+    def bucket_for(vec: Column) -> Column:
+        bits = F.transform(
+            F.col("planes"),
+            lambda p: F.when(
+                dot(vec, p) >= 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(
+            bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
+        )
+
+    hashed = (
+        corpus.crossJoin(F.broadcast(planes_df))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("tab"),
+            bucket_for(_as_double(F.col(vec_col))).alias("bucket"),
+        )
+        # materialized once: the self-join would recompute the
+        # hyperplane projections per side (same device as the minhash
+        # banding / simhash chunk joins)
+        .localCheckpoint(eager=False)
+    )
+    a, b = hashed.alias("a"), hashed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tab") == F.col("b.tab"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            cosine(_as_double(F.col("__va")), _as_double(F.col("__vb"))).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -295,3 +295,73 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "qid", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rnk"
     )
+
+
+@register(
+    "vec_neardup_lsh_pairs",
+    None,
+    doc="Embedding-cosine near-dup pairs (cos >= 0.95) via RHP-LSH "
+    "bucket candidates — the SemDeDup-style scale path replacing the "
+    "exact all-pairs twin vec_neardup_cosine_pairs with a (table, "
+    "bucket) shuffle. Planted parallel copies (vec_id % 10, scaled "
+    "1.5x at id+100000) guarantee true positives at every sf — the "
+    "fixture embeddings are random, so natural cos >= 0.95 pairs "
+    "need not exist. Rows-only by design (bucket membership is "
+    "engine-specific); the oracle-checked contract is "
+    "vec_neardup_lsh_planted_recall.",
+)
+def vec_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        embedding_neardup_lsh_pairs,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.5).alias("embedding"),
+    )
+    return embedding_neardup_lsh_pairs(
+        e.unionByName(copies), dim=EMBED_DIM, threshold=0.95
+    ).select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@register(
+    "vec_neardup_lsh_planted_recall",
+    """
+SELECT vec_id, TRUE AS found
+FROM embeddings WHERE vec_id % 10 = 0
+""",
+    doc="Hard per-vector contract on the embedding near-dup LSH path: "
+    "every planted parallel copy (1.5x-scaled, vec_id+100000) MUST "
+    "surface as a pair with cos_sim >= 0.99. Positive scaling "
+    "preserves the sign of every hyperplane projection, so the copy "
+    "collides with its source in EVERY hash table — recall 1.0 by "
+    "construction (not probabilistic), which makes the rows-only LSH "
+    "evidence an oracle-checked guarantee.",
+)
+def vec_neardup_lsh_planted_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        embedding_neardup_lsh_pairs,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = e.filter(F.col("vec_id") % 10 == 0)
+    copies = planted.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.5).alias("embedding"),
+    )
+    pairs = embedding_neardup_lsh_pairs(
+        e.unionByName(copies), dim=EMBED_DIM, threshold=0.99
+    )
+    found = pairs.filter(F.col("id_b") == F.col("id_a") + 100000).select(
+        F.col("id_a").alias("vec_id")
+    )
+    return planted.select("vec_id").join(found, "vec_id", "left_semi").select(
+        "vec_id", F.lit(True).alias("found")
+    )

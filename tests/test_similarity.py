@@ -284,3 +284,27 @@ def test_clear_trained_indexes_scopes_by_key(spark):
     assert not similarity._CODEBOOK_CACHE
     similarity.clear_trained_indexes()
     assert not similarity._CENTROID_CACHE
+
+
+def test_embedding_neardup_lsh_pairs_finds_parallel_copies(spark):
+    """SemDeDup-style embedding near-dup: a positively-scaled copy has
+    identical sign bits in every table (collision guaranteed, cosine
+    exactly ~1), random other vectors stay below threshold."""
+    import random as _r
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        embedding_neardup_lsh_pairs,
+    )
+
+    rng = _r.Random(7)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(DIM)]) for i in range(30)]
+    vecs += [(100 + i, [1.5 * x for x in vecs[i][1]]) for i in range(5)]
+    corpus = spark.createDataFrame(
+        vecs, f"vec_id long, embedding array<double>"
+    )
+    pairs = embedding_neardup_lsh_pairs(
+        corpus, dim=DIM, threshold=0.99
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(i, 100 + i) for i in range(5)} <= got
+    # nothing else at 0.99 among 30 random gaussians
+    assert all(a % 100 == b % 100 for a, b in got)
