@@ -16,6 +16,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     pipeline_ops,
     sampling,
     skewq,
+    spans,
     streaming_queries,
     text,
     tpch,

@@ -1,0 +1,168 @@
+"""Global repeated-span (boilerplate) removal — the C4/RefinedWeb
+"repeated line" rule re-expressed for a corpus without line structure
+(reference has no analogue; this is a north-star LLM-pipeline op,
+SURVEY §2.10): spans that appear across a large fraction of documents
+are boilerplate (headers, cookie banners, navigation chrome) and are
+stripped from every document, preserving the order of what remains.
+
+C4 removes any LINE occurring >= 3 times in the corpus; that absolute
+threshold is scale-dependent (at 100 TB every 3-word span repeats), so
+this operator uses DOCUMENT FREQUENCY: a span is boilerplate iff it
+occurs in >= 20% of documents. The fixture corpus has no newlines, so
+"span" = non-overlapping window of SPAN_TOKENS tokens — the same
+explode / global-count / strip / reassemble machinery as line dedup,
+with the span derivation swapped.
+
+Scale shape (the reason this survives 100 TB):
+- span arrays are derived ARRAY-SIDE (transform over sequence), so the
+  only wide stages are (1) the span document-frequency aggregate
+  (shuffles (span, doc_id) pairs — partial-aggregated map-side) and
+  (2) the per-doc reassembly groupBy.
+- the boilerplate set is provably SMALL: spans with DF >= p*N number
+  at most avg_spans_per_doc / p (sum of DFs is bounded by total
+  per-doc distinct spans), so it broadcasts — the strip is a
+  broadcast anti-join, never a shuffle of the corpus against itself.
+- no UDFs anywhere; everything is whole-stage-codegen built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+from dataengineer_job_scraper_etl_spark.queries.text import _docs, _tokens
+
+SPAN_TOKENS = 2
+# boilerplate iff document frequency * DF_DENOM >= n_docs * DF_NUM
+# (i.e. DF >= 20% of the corpus) — integer arithmetic, no float ratio.
+DF_NUM, DF_DENOM = 1, 5
+
+
+def span_array(toks):
+    """Non-overlapping SPAN_TOKENS-token spans of a token array, as an
+    array<string> in document order (last span may be shorter)."""
+    n_spans = F.ceil(F.size(toks) / F.lit(SPAN_TOKENS)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * SPAN_TOKENS + 1, SPAN_TOKENS), " "
+        ),
+    )
+
+
+def remove_boilerplate_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text) -> (id, n_spans, n_kept, cleaned): strip every span
+    whose document frequency reaches DF_NUM/DF_DENOM of the corpus and
+    reassemble the survivors in original order ('' if everything was
+    boilerplate). Two shuffles; boilerplate set broadcast."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
+    )
+    ex = base.select(
+        "doc_id", F.posexplode(span_array(F.col("t"))).alias("pos", "span")
+    )
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("long").alias("__n_docs")
+    )
+    # Pass 1 over the corpus: global span document frequencies. (Global
+    # dedup is irreducibly two-pass — nothing can be stripped before
+    # the counts exist; a production pipeline materializes this side.)
+    boiler = (
+        ex.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * DF_DENOM >= F.col("__n_docs") * DF_NUM)
+        .select("span")
+    )
+    # Pass 2: strip + reassemble. Per-doc span totals come from the
+    # token array directly (ceil(|t| / span)) — NOT a third explode.
+    kept = ex.join(F.broadcast(boiler), "span", "left_anti")
+    reasm = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("span")))
+                ),
+                lambda s: s.getField("span"),
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    totals = base.select(
+        "doc_id",
+        F.ceil(F.size(F.col("t")) / F.lit(SPAN_TOKENS))
+        .cast("long")
+        .alias("n_spans"),
+    )
+    return (
+        totals.join(reasm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        )
+    )
+
+
+_SPANS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+spans AS (
+  SELECT doc_id,
+         CAST(floor((i - 1) / {SPAN_TOKENS}) AS BIGINT) AS pos,
+         string_agg(w, ' ' ORDER BY i) AS span
+  FROM (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+        FROM tok)
+  GROUP BY doc_id, floor((i - 1) / {SPAN_TOKENS})),
+df AS (SELECT span, count(DISTINCT doc_id) AS df FROM spans GROUP BY span),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+boiler AS (SELECT span FROM df, nd WHERE df * {DF_DENOM} >= n_docs * {DF_NUM}),
+kept AS (SELECT * FROM spans WHERE span NOT IN (SELECT span FROM boiler)),
+reasm AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(span, ' ' ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id)
+SELECT t.doc_id AS doc_id,
+       CAST(t.n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(coalesce(r.cleaned, '')) AS cleaned_md5
+FROM tot t LEFT JOIN reasm r USING (doc_id)
+"""
+
+
+@register(
+    "docs_remove_boilerplate_spans",
+    _SPANS_ORACLE,
+    doc="C4-style global boilerplate removal over 2-token spans: strip "
+    "every span present in >= 20% of documents (document-frequency "
+    "threshold — the scale-invariant form of C4's 'line repeated >= 3 "
+    "times' rule) and reassemble each document in original span order. "
+    "cleaned_md5 pins the EXACT reassembled text per doc, so span "
+    "derivation, the DF threshold, the strip, and the ordering are all "
+    "hash-checked. Plan (measured): 3 hash exchanges (span-DF "
+    "two-phase distinct, per-doc reassembly), every join broadcast "
+    "(the boilerplate set is bounded by avg_spans_per_doc / 0.2), "
+    "zero shuffle joins, zero UDFs. A production run would stage the "
+    "exploded spans once between the count pass and the strip pass "
+    "(cf. plans/corpus.py) — global dedup is irreducibly two-pass.",
+)
+def docs_remove_boilerplate_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out = remove_boilerplate_spans(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_kept",
+        F.md5(F.col("cleaned")).alias("cleaned_md5"),
+    )
