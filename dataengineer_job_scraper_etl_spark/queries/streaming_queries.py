@@ -81,11 +81,128 @@ def _stage_stream_dir(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-def _drain(out: DataFrame, spark: SparkSession) -> DataFrame:
+def _drain(
+    out: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     name = "q" + uuid.uuid4().hex[:12]
     cp = os.path.join(tempfile.gettempdir(), "spark_graft_cp", name)
-    run_available_now(out, name, cp, output_mode="complete")
+    run_available_now(out, name, cp, output_mode=output_mode)
     return spark.table(name)
+
+
+def _stage_redelivery_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A 2-file stream queue WITH at-least-once redelivery: batch 1 is
+    the even-id events; batch 2 is the odd-id events PLUS a re-send of
+    every id%10==0 event with its timestamp jittered +1s (the payload a
+    retrying producer actually emits: same id, drifted ts). Same
+    fingerprint-keyed, rename-published staging as _stage_stream_dir."""
+    import hashlib
+    import shutil
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"redeliver:{src}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:12]
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_redeliver_{key}_{fp}"
+    )
+    if os.path.exists(root):
+        return root
+    tmp = tempfile.mkdtemp(prefix="spark_graft_stage_")
+    staged = os.path.join(tmp, "data")
+    e = _events(spark, sf_dir)
+    first = e.filter(F.col("event_id") % 2 == 0)
+    redelivered = first.filter(F.col("event_id") % 10 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")
+    )
+    second = e.filter(F.col("event_id") % 2 == 1).unionByName(redelivered)
+    first.coalesce(1).write.mode("append").parquet(staged)
+    second.coalesce(1).write.mode("append").parquet(staged)
+    try:
+        os.rename(staged, root)
+    except OSError:
+        pass  # concurrent stager won the race; its dir is complete
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return root
+
+
+@register(
+    "streaming_dedup_redelivery",
+    f"""
+{_EV_CTE}
+SELECT event_id, user_id, event_type, ts, round(value, 2) AS value
+FROM ev
+""",
+    doc="Exactly-once dedup over an at-least-once queue, executed "
+    "through the STREAMING path: batch 2 redelivers every id%10==0 "
+    "event with ts jittered +1s, and dropDuplicatesWithinWatermark "
+    "keyed on event_id ALONE drops the re-sends across the micro-batch "
+    "boundary (state from batch 1 survives to batch 2). The oracle is "
+    "the PLAIN events table — hash equality proves the FIRST delivery "
+    "won (original ts, not the jittered copy) and nothing else was "
+    "dropped. Watermark spans the fixture so the check isolates dedup "
+    "semantics from lateness eviction (production uses ~1 hour: state "
+    "per id is evicted once redelivery can no longer occur).",
+)
+def streaming_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.streaming.jobs import (
+        streaming_dedup,
+    )
+
+    d = _stage_redelivery_dir(spark, sf_dir)
+    out = streaming_dedup(
+        stream_events(spark, d), watermark="3650 days"
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.round("value", 2).alias("value"),
+    )
+    return _drain(out, spark, output_mode="append")
+
+
+@register(
+    "streaming_attribution_join",
+    f"""
+{_EV_CTE}
+SELECT p.event_id AS p_id, p.user_id AS p_user, p.ts AS p_ts,
+       v.event_id AS v_id, v.ts AS v_ts
+FROM ev p JOIN ev v
+  ON v.user_id = p.user_id
+ AND v.ts >= p.ts - INTERVAL 15 MINUTE AND v.ts <= p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+""",
+    doc="Stream-stream interval self-join through the STREAMING path: "
+    "purchases and views filtered from ONE file-queue stream, each "
+    "purchase joined to same-user views in its trailing 15 minutes. "
+    "Drained with AvailableNow over the 2-file queue, so pairs whose "
+    "two sides arrive in DIFFERENT micro-batches must match from "
+    "buffered join state — hash-checked against the batch interval-"
+    "join SQL (the equi key user_id bounds the pair space; the range "
+    "predicate prunes within key groups). Watermarks span the fixture "
+    "to isolate join semantics from state eviction; production uses "
+    "tight ones so buffered views age out once no future purchase can "
+    "reach back.",
+)
+def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.streaming.jobs import (
+        stream_stream_attribution,
+    )
+
+    d = _stage_stream_dir(spark, sf_dir)
+    ev = stream_events(spark, d)
+    out = stream_stream_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+        within="15 minutes",
+        p_watermark="3650 days",
+        v_watermark="3650 days",
+    )
+    return _drain(out, spark, output_mode="append")
 
 
 @register(

@@ -107,6 +107,22 @@ def test_streaming_dedup_by_event_id(spark, tmp_path):
     assert sorted(r["event_id"] for r in got) == [1, 2, 3]
 
 
+def test_streaming_dedup_first_delivery_wins(spark, tmp_path):
+    """Cross-batch redelivery: the SECOND copy arrives in a later
+    micro-batch with a drifted ts — the surviving row must carry the
+    FIRST delivery's timestamp (the property the oracle entry
+    streaming_dedup_redelivery hash-checks corpus-wide)."""
+    rows1 = [(1, 0, 1, "click", 1.0), (2, 5, 1, "click", 2.0)]
+    rows2 = [(2, 6, 1, "click", 2.0), (3, 9, 2, "view", 3.0)]
+    d = str(tmp_path / "ev_fdw")
+    _mk_events(spark, rows1).coalesce(1).write.mode("append").parquet(d)
+    _mk_events(spark, rows2).coalesce(1).write.mode("append").parquet(d)
+    out = streaming_dedup(stream_events(spark, d))
+    run_available_now(out, "t_fdw", str(tmp_path / "cp_fdw"))
+    got = {r["event_id"]: r["ts"] for r in spark.table("t_fdw").collect()}
+    assert got[2] == T0 + dt.timedelta(minutes=5)  # not the minute-6 copy
+
+
 def test_running_user_totals_final_state_matches_batch(spark, tmp_path):
     stream, batch = _fixture(spark, tmp_path, "ev4")
     # idle_timeout_ms=None: processing-time timeouts would keep the
