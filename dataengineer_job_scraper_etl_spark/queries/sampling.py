@@ -374,6 +374,203 @@ def docs_quality_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _hashed_uniform(key_col, offset: int = 9):
+    """Deterministic uniform in (0,1) from 8 md5 hex digits of the key
+    (digits ``offset``..offset+7 — 9-16 by default, decorrelated from
+    hash_split's digit 1 and the mixture sampler's digits 5-8). The
+    +0.5 keeps u strictly inside (0,1) so ln(u) and ln(-ln(u)) are
+    finite; (b+0.5)/2^32 is exact in a double, so both engines compute
+    bit-identical u."""
+    b = F.conv(
+        F.substring(F.md5(key_col.cast("string")), offset, 8), 16, 10
+    ).cast("double")
+    return (b + F.lit(0.5)) / F.lit(4294967296.0)
+
+
+def _uniform_sql(key: str, offset: int = 9) -> str:
+    """DuckDB twin of _hashed_uniform (nibble-position arithmetic —
+    DuckDB has no conv())."""
+    terms = " + ".join(
+        f"(position(substring(md5(CAST({key} AS VARCHAR)), {offset + i}, 1) "
+        f"in '0123456789abcdef') - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({terms}) + 0.5) / 4294967296.0"
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Efraimidis-Spirakis A-ES: each row draws key = ln(u)/w with a
+    DETERMINISTIC hashed uniform; the k largest keys are an exact
+    weighted sample without replacement (P(first pick = i) = w_i/Σw,
+    then renormalized — the classic distributed one-pass WOR). Global
+    top-k by key is TakeOrderedAndProject: per-partition heaps merged
+    on the driver, never a full sort. Rerun-stable, engine-portable
+    (ties broken by key_col; float ranking flips need two keys within
+    an ulp AT the rank-k boundary — probability ~1e-14)."""
+    u = _hashed_uniform(F.col(key_col))
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("__es_key", key)
+        .orderBy(F.desc("__es_key"), F.asc(key_col))
+        .limit(k)
+        .drop("__es_key")
+    )
+
+
+_ES_K = 100
+
+_ES_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS w_toks,
+         {_uniform_sql("doc_id")} AS u
+  FROM documents)
+SELECT doc_id, w_toks
+FROM w
+ORDER BY ln(u) / w_toks DESC, doc_id ASC
+LIMIT {_ES_K}
+"""
+
+
+@register(
+    "docs_weighted_sample_es",
+    _ES_ORACLE,
+    doc="Exact weighted sampling WITHOUT replacement (Efraimidis-"
+    "Spirakis): 100 docs drawn with probability proportional to token "
+    "count via key = ln(u)/w over a hashed uniform (md5 digits 9-16 — "
+    "decorrelated from the split and mixture hashes), top-k by key. "
+    "One pass, no RNG state, rerun- and engine-stable; the global "
+    "top-k is per-partition heaps + driver merge (TakeOrderedAnd"
+    "Project), never a full sort. Hash-checks EXACT membership of the "
+    "sample on both engines.",
+)
+def docs_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.queries.text import _tokens
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("long").alias("w_toks"),
+    )
+    return weighted_sample_without_replacement(
+        d, _ES_K, weight_col="w_toks"
+    ).select("doc_id", "w_toks")
+
+
+_DSIR_K = 100
+_DSIR_TARGET_SOURCE = "src0"
+
+
+def dsir_importance_topk(
+    docs: DataFrame,
+    target_filter,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al. 2023): importance weight
+    each document by how much more likely its tokens are under a
+    TARGET unigram LM (fit on the rows matching ``target_filter``)
+    than under the RAW corpus LM, then draw a top-k sample with the
+    Gumbel-top-k trick — key = score + Gumbel(hashed u), which samples
+    with probability proportional to exp(score) = the importance
+    weight, deterministically.
+
+    Both LMs are add-1-smoothed over the SHARED corpus vocabulary, so
+    target-OOV tokens are penalized, not crashed. Scale shape: the two
+    LMs are vocab-sized aggregates of one exploded pass (broadcastable
+    — AQE decides), scoring is explode -> broadcast join -> per-doc
+    sum, and the final top-k never global-sorts."""
+    from dataengineer_job_scraper_etl_spark.queries.text import _tokens
+
+    flat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_filter.alias("__is_tgt"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    lm = flat.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.col("__is_tgt").cast("long")).alias("c_tgt"),
+    )
+    totals = lm.agg(
+        F.sum("c_raw").cast("double").alias("__n_raw"),
+        F.sum("c_tgt").cast("double").alias("__n_tgt"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    log_ratio = F.log(
+        (F.col("c_tgt") + 1) / (F.col("__n_tgt") + F.col("__v"))
+    ) - F.log((F.col("c_raw") + 1) / (F.col("__n_raw") + F.col("__v")))
+    scored = (
+        flat.join(F.broadcast(lm), "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(F.sum(log_ratio).alias("imp_score"))
+    )
+    u = _hashed_uniform(F.col("doc_id"))
+    gumbel = -F.log(-F.log(u))
+    return (
+        scored.withColumn("__key", F.col("imp_score") + gumbel)
+        .orderBy(F.desc("__key"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", F.round("imp_score", 6).alias("imp_score"))
+    )
+
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source = '{_DSIR_TARGET_SOURCE}' AS is_tgt,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+flat AS (SELECT doc_id, is_tgt, unnest(t) AS tok FROM tok),
+lm AS (
+  SELECT tok, count(*) AS c_raw,
+         sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS c_tgt
+  FROM flat GROUP BY tok),
+tot AS (
+  SELECT CAST(sum(c_raw) AS DOUBLE) AS n_raw,
+         CAST(sum(c_tgt) AS DOUBLE) AS n_tgt,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM lm),
+scored AS (
+  SELECT f.doc_id,
+         sum(ln((lm.c_tgt + 1) / (tot.n_tgt + tot.v))
+           - ln((lm.c_raw + 1) / (tot.n_raw + tot.v))) AS imp_score
+  FROM flat f JOIN lm USING (tok) CROSS JOIN tot
+  GROUP BY f.doc_id),
+keyed AS (
+  SELECT doc_id, imp_score,
+         imp_score + (-ln(-ln({_uniform_sql("doc_id")}))) AS key
+  FROM scored)
+SELECT doc_id, round(imp_score, 6) AS imp_score
+FROM keyed
+ORDER BY key DESC, doc_id ASC
+LIMIT {_DSIR_K}
+"""
+
+
+@register(
+    "docs_dsir_importance_topk",
+    _DSIR_ORACLE,
+    doc="DSIR-shaped importance resampling toward a target domain: "
+    "fit add-1-smoothed unigram LMs on the target source (src0) and "
+    "the raw corpus from ONE exploded pass, score each doc by its "
+    "summed token log-likelihood ratio, and draw 100 docs via the "
+    "deterministic Gumbel-top-k trick (key = score + Gumbel(hashed "
+    "u)) — sampling with probability proportional to the importance "
+    "weight, no RNG state. Hash-checks exact sample membership AND "
+    "the rounded scores on both engines.",
+)
+def docs_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_importance_topk(
+        d, F.col("source") == _DSIR_TARGET_SOURCE, _DSIR_K
+    )
+
+
 # Late-bound oracle: _QUALITY_SQL lives in queries.text, imported
 # lazily to keep module load order cycle-free.
 from dataengineer_job_scraper_etl_spark import catalog as _catalog  # noqa: E402

@@ -123,3 +123,59 @@ def test_select_by_token_budget_greedy_semantics(spark):
     # -> 1,2,3 kept, 4 dropped (off 120). source b: 5 (off 0), 6 (off
     # 100, NOT < 100) -> only 5.
     assert got == {1, 2, 3, 5}
+
+
+def test_es_weighted_sample_semantics(spark):
+    from dataengineer_job_scraper_etl_spark.queries.sampling import (
+        weighted_sample_without_replacement,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(200)],
+        "doc_id long, w double",
+    )
+    # k >= n returns everything
+    assert (
+        weighted_sample_without_replacement(df, 500, "w").count() == 200
+    )
+    # bit-deterministic across runs
+    a = sorted(
+        r["doc_id"]
+        for r in weighted_sample_without_replacement(df, 40, "w").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in weighted_sample_without_replacement(df, 40, "w").collect()
+    )
+    assert a == b
+    # same hashed u (same key col value), higher weight must win:
+    # key = ln(u)/w is monotone increasing in w for ln(u) < 0
+    pair = spark.createDataFrame(
+        [(7, 1.0, "lo"), (7, 100.0, "hi")], "doc_id long, w double, tag string"
+    )
+    top = weighted_sample_without_replacement(pair, 1, "w").collect()[0]
+    assert top["tag"] == "hi"
+
+
+def test_dsir_scores_target_like_docs_higher(spark):
+    from dataengineer_job_scraper_etl_spark.queries.sampling import (
+        dsir_importance_topk,
+    )
+
+    # target (src0) speaks vocab A; the raw pool speaks vocab B; one
+    # pool doc (id 100) speaks vocab A and must out-score every B doc.
+    rows = [(i, "src0", "alpha beta gamma delta") for i in range(10)]
+    rows += [(100, "pool", "alpha beta gamma delta")]
+    rows += [
+        (200 + i, "pool", "omega sigma tau rho") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = dsir_importance_topk(
+        docs, F.col("source") == "src0", k=21
+    ).collect()
+    scores = {r["doc_id"]: r["imp_score"] for r in out}
+    assert len(scores) == 21
+    b_scores = [scores[200 + i] for i in range(10)]
+    assert all(scores[100] > s for s in b_scores)
+    # A-speakers (target and the planted pool doc) share one score
+    assert scores[100] == scores[0]
