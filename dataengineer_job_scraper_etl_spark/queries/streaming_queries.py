@@ -206,6 +206,44 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_static_enrich",
+    f"""
+{_EV_CTE}
+SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+       round(e.value, 2) AS value
+FROM ev e LEFT JOIN customer c ON c.c_custkey = e.user_id + 1
+""",
+    doc="Stream-static join through the STREAMING path: the event "
+    "stream enriched per micro-batch with a broadcast customer "
+    "dimension (keyed c_custkey = user_id + 1 — the fixture's id "
+    "spaces are offset by one). The static side is re-read every "
+    "micro-batch, which is the slowly-changing-dimension semantics "
+    "an always-on enrichment job wants; hash-checked against the "
+    "batch left-join oracle across the 2-file queue.",
+)
+def streaming_static_enrich_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.streaming.jobs import (
+        stream_static_enrich,
+    )
+
+    d = _stage_stream_dir(spark, sf_dir)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            (F.col("c_custkey") - 1).alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    out = stream_static_enrich(stream_events(spark, d), dim).select(
+        "event_id",
+        "user_id",
+        "segment",
+        F.round("value", 2).alias("value"),
+    )
+    return _drain(out, spark, output_mode="append")
+
+
+@register(
     "streaming_tumbling_hourly",
     f"""
 {_EV_CTE}

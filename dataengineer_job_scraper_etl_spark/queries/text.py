@@ -953,3 +953,69 @@ def text_clean_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(cleaned).alias("clean_fp"),
         F.length(cleaned).cast("bigint").alias("clean_len"),
     )
+
+
+_TERCILES_ORACLE = f"""
+WITH q AS ({_QUALITY_SQL}),
+tok AS (
+  SELECT doc_id, source,
+         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_toks
+  FROM documents),
+b AS (
+  SELECT t.source, t.doc_id, t.n_toks, q.quality_millionths,
+         ntile(3) OVER (PARTITION BY t.source
+                        ORDER BY q.quality_millionths DESC, t.doc_id ASC)
+           AS bucket
+  FROM tok t JOIN q USING (doc_id))
+SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS tokens,
+       CAST(min(quality_millionths) AS BIGINT) AS q_min,
+       CAST(max(quality_millionths) AS BIGINT) AS q_max,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM b GROUP BY source, bucket
+"""
+
+
+@register(
+    "docs_quality_terciles",
+    _TERCILES_ORACLE,
+    doc="CCNet-style head/middle/tail bucketing, per source: rank docs "
+    "by the integer-exact quality score (total order via the doc_id "
+    "tiebreak — no float-boundary ambiguity) and ntile(3) them into "
+    "terciles; per-bucket doc/token counts, score range, and "
+    "id_checksum pin EXACT bucket membership. The per-source window "
+    "is the CCNet unit (buckets are computed per language/snapshot); "
+    "at extreme per-source scale the window swaps for histogram-"
+    "derived score cutoffs + a filter, the same escape hatch "
+    "select_by_token_budget documents.",
+)
+def docs_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    q = text_quality_score(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_toks"),
+    ).join(q, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality_millionths"), F.asc("doc_id")
+    )
+    b = base.withColumn("bucket", F.ntile(3).over(w))
+    return b.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("tokens"),
+        F.min("quality_millionths").alias("q_min"),
+        F.max("quality_millionths").alias("q_max"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    ).select(
+        "source",
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_docs",
+        "tokens",
+        "q_min",
+        "q_max",
+        "id_checksum",
+    )
