@@ -166,3 +166,123 @@ def docs_remove_boilerplate_spans(
         "n_kept",
         F.md5(F.col("cleaned")).alias("cleaned_md5"),
     )
+
+
+# --- Cross-doc repeated-substring coverage (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): the
+# dedup signal there is "how much of this document lies inside a
+# substring that also occurs elsewhere in the corpus". Re-expressed
+# over token shingles: every SLIDING n-gram occurring >= MIN_COUNT
+# times corpus-wide marks its n token positions as covered; a doc's
+# coverage fraction is |covered positions| / |tokens|. High-coverage
+# docs are cut or trimmed before training.
+
+NGRAM = 4
+MIN_COUNT = 2
+
+
+def _sliding_shingles(toks):
+    """All sliding NGRAM-token shingles with their 0-based start
+    position, as array<string> (empty when the doc is shorter than
+    NGRAM — guarded because Spark's sequence(0, negative) DESCENDS
+    rather than returning empty)."""
+    n = F.size(toks)
+    return F.when(
+        n >= NGRAM,
+        F.transform(
+            F.sequence(F.lit(0), n - NGRAM),
+            lambda i: F.array_join(F.slice(toks, i + 1, NGRAM), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repeated_ngram_coverage(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, text) -> (doc_id, n_toks, covered_toks, coverage_ppm):
+    fraction of each doc's token positions lying inside an NGRAM-token
+    shingle that occurs >= MIN_COUNT times corpus-wide. Two corpus
+    passes (count shingles, then mark coverage) — the irreducible
+    global-dedup shape; the repeated-shingle set joins by shuffle (it
+    is corpus-sized in the worst case, NOT broadcast), position
+    expansion is array-side, and the distinct-position count is a
+    partial-aggregating groupBy."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
+    )
+    sh = base.select(
+        "doc_id",
+        F.posexplode(_sliding_shingles(F.col("t"))).alias("pos", "shingle"),
+    )
+    rep = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= MIN_COUNT)
+        .select("shingle")
+    )
+    covered = (
+        sh.join(rep, "shingle")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + NGRAM - 1)
+            ).alias("cp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("cp").alias("covered_toks"))
+    )
+    totals = base.select(
+        "doc_id", F.size(F.col("t")).cast("long").alias("n_toks")
+    )
+    return totals.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce(F.col("covered_toks"), F.lit(0))
+        .cast("long")
+        .alias("covered_toks"),
+        F.expr(
+            "CAST(coalesce(covered_toks, 0) * 1000000 DIV n_toks AS BIGINT)"
+        ).alias("coverage_ppm"),
+    )
+
+
+_COVERAGE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         array_to_string(list_slice(t, pos + 1, pos + {NGRAM}), ' ') AS shingle
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - {NGRAM} + 1)) AS pos
+        FROM tok)),
+rep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= {MIN_COUNT}),
+cov AS (
+  SELECT doc_id, count(DISTINCT cp) AS covered_toks
+  FROM (SELECT s.doc_id, unnest(range(s.pos, s.pos + {NGRAM})) AS cp
+        FROM sh s JOIN rep USING (shingle))
+  GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks FROM tok)
+SELECT t.doc_id, t.n_toks,
+       CAST(coalesce(c.covered_toks, 0) AS BIGINT) AS covered_toks,
+       CAST(coalesce(c.covered_toks, 0) * 1000000 // t.n_toks AS BIGINT)
+         AS coverage_ppm
+FROM tot t LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@register(
+    "docs_repeated_ngram_coverage",
+    _COVERAGE_ORACLE,
+    doc="Cross-doc repeated-substring coverage (the Lee et al. 2022 "
+    "dedup signal): mark every token position inside a sliding 4-gram "
+    "that occurs >= 2 times corpus-wide, and report per-doc covered "
+    "tokens + coverage in ppm (integer-exact). Two corpus passes "
+    "(global shingle counts, then coverage marking); the repeated set "
+    "joins by shuffle — corpus-sized worst case, never assumed "
+    "broadcastable; position expansion is array-side JVM.",
+)
+def docs_repeated_ngram_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return repeated_ngram_coverage(_docs(spark, sf_dir))

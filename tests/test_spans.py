@@ -61,3 +61,43 @@ def test_below_threshold_spans_survive(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r for r in remove_boilerplate_spans(docs).collect()}
     assert out[0]["cleaned"] == "rare pair w0 w1"
+
+
+def test_repeated_ngram_coverage_planted(spark):
+    from dataengineer_job_scraper_etl_spark.queries.spans import (
+        repeated_ngram_coverage,
+    )
+
+    # the 4-gram "dup a b c" occurs in docs 0 and 1 (covered); all
+    # other shingles are unique. doc 2 shares nothing. doc 3 is too
+    # short for any 4-gram.
+    rows = [
+        (0, "dup a b c x0 y0 z0 w0"),
+        (1, "p1 q1 dup a b c r1"),
+        (2, "m2 n2 o2 p2 q2"),
+        (3, "one two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repeated_ngram_coverage(docs).collect()}
+    # doc 0: positions 0-3 covered out of 8 tokens
+    assert out[0]["covered_toks"] == 4 and out[0]["n_toks"] == 8
+    assert out[0]["coverage_ppm"] == 500_000
+    # doc 1: positions 2-5 covered out of 7
+    assert out[1]["covered_toks"] == 4 and out[1]["n_toks"] == 7
+    assert out[2]["covered_toks"] == 0 and out[2]["coverage_ppm"] == 0
+    assert out[3]["covered_toks"] == 0 and out[3]["n_toks"] == 2
+
+
+def test_repeated_ngram_coverage_overlapping_shingles_union(spark):
+    from dataengineer_job_scraper_etl_spark.queries.spans import (
+        repeated_ngram_coverage,
+    )
+
+    # "a b c d e" appears twice -> shingles (a b c d) and (b c d e)
+    # both repeat; doc coverage is the UNION of their positions (5
+    # tokens), not the sum (8).
+    rows = [(0, "a b c d e x0"), (1, "y1 a b c d e")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repeated_ngram_coverage(docs).collect()}
+    assert out[0]["covered_toks"] == 5
+    assert out[1]["covered_toks"] == 5
