@@ -365,3 +365,54 @@ def vec_neardup_lsh_planted_recall(
     return planted.select("vec_id").join(found, "vec_id", "left_semi").select(
         "vec_id", F.lit(True).alias("found")
     )
+
+
+@register(
+    "neardup_minhash_precision_contract",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_planted, TRUE AS precision_ok
+FROM documents WHERE doc_id % 10 = 0
+""",
+    doc="False-positive bound on the MinHash+LSH path, the precision "
+    "twin of neardup_minhash_planted_recall: every candidate pair the "
+    "sketch reports at est_jaccard >= 0.5 is re-scored with the EXACT "
+    "3-gram Jaccard (bounded work — only reported candidates, never "
+    "the corpus cross-product), and precision_ok asserts the exact "
+    "value never falls below 0.35 (64 hashes -> est std ~0.06 at "
+    "j=0.5; a reported pair whose true overlap is far lower would "
+    "mean the estimator, not the threshold, is broken). The seeded "
+    "hash family makes the candidate set deterministic.",
+)
+def neardup_minhash_precision_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.dedup import shingles
+
+    d = _docs_with_planted_dups(spark, sf_dir)
+    pairs = neardup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    sh = d.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    exact = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("exact_j")
+        )
+    )
+    ok = exact.agg(
+        F.coalesce(F.min(F.col("exact_j") >= 0.35), F.lit(True)).alias(
+            "__ok"
+        )
+    )
+    planted = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 10 == 0)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_planted"))
+    )
+    return planted.crossJoin(F.broadcast(ok)).select(
+        "n_planted", F.col("__ok").alias("precision_ok")
+    )
