@@ -80,6 +80,14 @@ HEADLINE += [
     "text_bm25_ranking",
     "corpus_pipeline_full",
 ]
+HEADLINE += [
+    # round-5 late additions: the global-dedup-shaped text ops (C4
+    # boilerplate strip, Lee-et-al repeated-substring coverage) and
+    # DSIR importance selection
+    "docs_remove_boilerplate_spans",
+    "docs_repeated_ngram_coverage",
+    "docs_dsir_importance_topk",
+]
 
 # Bumped whenever the warm-up methodology changes (what is excluded
 # from the timed region), so bench_compare can distinguish

@@ -390,7 +390,13 @@ def neardup_minhash_precision_contract(
 
     d = _docs_with_planted_dups(spark, sf_dir)
     pairs = neardup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
-    sh = d.select("doc_id", shingles(F.col("text"), 3).alias("sh"))
+    # Stage the shingle frame once: both pair sides consume it, and
+    # without staging each side re-tokenizes the corpus (measured 6.8 s
+    # -> ~4 s warm at sf0.1; a correctness gate, not a serving query,
+    # so the remaining cost is the deliberate exact re-score).
+    sh = d.select(
+        "doc_id", shingles(F.col("text"), 3).alias("sh")
+    ).localCheckpoint(eager=False)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     exact = (
