@@ -56,6 +56,7 @@ def build_pretraining_corpus(
     neardup_threshold: float = 0.5,
     context_tokens: int = 2048,
     clean: bool = False,
+    strip_boilerplate: bool = False,
     pair_fn: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """docs(doc_id, source, text, ...) -> one row per SURVIVING doc:
@@ -67,8 +68,12 @@ def build_pretraining_corpus(
     ``clean=True`` prepends the stage-0 normalization for web-derived
     text (functions/textclean.clean_text: markup/entities, boilerplate
     lines, control chars, whitespace) so the gate, digests, and
-    shingles all see the cleaned text. ``mixture_weights=None`` skips
-    mixture sampling (keep everything that survives dedup).
+    shingles all see the cleaned text. ``strip_boilerplate=True`` adds
+    the corpus-wide C4-style span strip (queries/spans.py) after it —
+    boilerplate otherwise defeats both dedup layers, since two docs
+    identical except for nav chrome are neither exact nor near dups.
+    ``mixture_weights=None`` skips mixture sampling (keep everything
+    that survives dedup).
 
     ``pair_fn`` swaps the near-dup candidate generator: given the
     post-exact-dedup frame (doc_id, source, text, n_toks), return
@@ -83,6 +88,17 @@ def build_pretraining_corpus(
         )
 
         base = base.withColumn("text", clean_text(F.col("text")))
+    if strip_boilerplate:
+        # Stage 0.5: corpus-wide boilerplate-span strip (C4 rule).
+        # Boilerplate defeats BOTH dedup layers — two docs identical
+        # except for different nav chrome are neither exact nor near
+        # dups until the chrome is gone — so it runs before digests
+        # and shingles are taken. Adds one global span-DF pass.
+        from dataengineer_job_scraper_etl_spark.queries.spans import (
+            strip_boilerplate_text,
+        )
+
+        base = strip_boilerplate_text(base)
 
     # 1. quality gate (same rules as docs_pretrain_filter)
     toks = _toks(F.col("text"))

@@ -111,6 +111,26 @@ def remove_boilerplate_spans(
     )
 
 
+def strip_boilerplate_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Text-in/text-out form for pipeline composition: replace
+    ``text_col`` with the boilerplate-stripped reassembly (other
+    columns pass through; docs that were ALL boilerplate keep '').
+    NB the output text is the NORMALIZED reassembly (lowercased,
+    whitespace-collapsed) — exactly what the downstream gate/digest/
+    shingle stages would compute anyway, so dedup semantics are
+    unchanged while boilerplate no longer defeats them."""
+    cleaned = remove_boilerplate_spans(
+        docs, id_col=id_col, text_col=text_col
+    ).select(F.col("doc_id").alias(id_col), F.col("cleaned"))
+    return (
+        docs.drop(text_col)
+        .join(cleaned, id_col)
+        .withColumnRenamed("cleaned", text_col)
+    )
+
+
 _SPANS_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id,

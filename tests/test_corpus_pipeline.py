@@ -108,3 +108,39 @@ def test_pipeline_downsampled_sources_fill_all_splits(spark):
     for src in ("web", "books"):
         got = {r["split"] for r in out if r["source"] == src}
         assert got == {"train", "val", "test"}, (src, got)
+
+
+def test_pipeline_boilerplate_strip_unifies_chromed_duplicates(spark):
+    """Two docs with identical payload, one wrapped in nav chrome that
+    8/10 docs share (DF 80% >= 20%): WITHOUT the strip they survive
+    dedup as distinct docs; WITH strip_boilerplate=True the chrome is
+    gone before digests are taken and exact dedup collapses them."""
+    chrome = "cookie banner accept all terms apply privacy notice"  # 8 toks
+    payload = {
+        i: " ".join(f"b{i}w{j}" for j in range(24)) for i in range(18)
+    }
+    # chrome on 16/20 docs (DF 80% >= 20%); the payload shared by docs
+    # 15 and 16 sits at DF 2/20 = 10%, safely BELOW the boilerplate bar
+    rows = [(i, "web", f"{chrome} {payload[i]}") for i in range(16)]
+    rows.append((16, "web", payload[15]))  # doc 15's payload, chrome-free
+    rows.append((17, "web", payload[16]))  # unique, chrome-free
+    rows.append((18, "web", payload[17]))  # unique, chrome-free
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+    def no_pairs(df):
+        return spark.createDataFrame([], "id_a long, id_b long")
+
+    kept_plain = build_pretraining_corpus(docs, pair_fn=no_pairs)
+    assert kept_plain.count() == 19  # chrome defeats exact dedup
+
+    kept = build_pretraining_corpus(
+        docs, strip_boilerplate=True, pair_fn=no_pairs
+    )
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert len(ids) == 18  # docs 15 and 16 collapsed to one canonical
+    assert (15 in ids) != (16 in ids)
+    # survivors' token counts reflect the POST-strip text
+    toks = {r["doc_id"]: r["n_toks"] for r in kept.collect()}
+    assert all(v == 24 for v in toks.values())
