@@ -206,6 +206,40 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_append_finalized_windows",
+    f"""
+{_EV_CTE}
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM ev
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM ev)
+GROUP BY 1, 2
+""",
+    doc="APPEND-mode watermark finalization semantics, hash-checked: "
+    "tumbling hourly counts with a 30-minute watermark emit a window "
+    "exactly once, when the watermark passes its END (boundary probed "
+    "empirically: end == watermark still emits, so the oracle's "
+    "predicate is <=). The final table is therefore the batch "
+    "aggregation RESTRICTED to windows with end <= max(ts) - 30min — "
+    "the tail of in-flight windows is withheld, which is precisely "
+    "what an append-mode consumer (e.g. a downstream parquet sink) "
+    "must expect. Rows arriving late but before their window's "
+    "finalization batch still merge (probed: a window emits with its "
+    "full count, not the on-time subset); only post-eviction arrivals "
+    "would drop, which the 2-batch queue never produces.",
+)
+def streaming_append_finalized_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = _stage_stream_dir(spark, sf_dir)
+    out = tumbling_counts(
+        stream_events(spark, d), watermark="30 minutes"
+    )
+    return _drain(out, spark, output_mode="append")
+
+
+@register(
     "streaming_static_enrich",
     f"""
 {_EV_CTE}
