@@ -324,3 +324,29 @@ def test_transform_with_state_matches_legacy_and_batch(spark, tmp_path):
         .collect()
     }
     assert last == expected
+
+
+def test_append_mode_emits_window_at_exact_watermark_boundary(spark, tmp_path):
+    """The oracle for streaming_append_finalized_windows encodes the
+    emission predicate window_end <= watermark. Pin the boundary: with
+    max(ts) - delay == window end EXACTLY, the window must emit (a
+    Spark upgrade flipping this to strict < fails here, not in the
+    driver)."""
+    rows = [(1, 0, 1, "click", 1.0), (2, 90, 1, "click", 1.0)]
+    d = str(tmp_path / "ev_wb")
+    _mk_events(spark, rows).coalesce(1).write.mode("append").parquet(d)
+    out = tumbling_counts(stream_events(spark, d), watermark="30 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_wb")
+        .option("checkpointLocation", str(tmp_path / "cp_wb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_wb").collect()
+    # watermark = 01:30 - 30min = 01:00 == end of the 00:00 window
+    assert [(str(r["window_start"]), r["n"]) for r in got] == [
+        ("2026-01-01 00:00:00", 1)
+    ]
