@@ -83,6 +83,11 @@ def test_catalog_docstring_plan_claims_hold(spark, sf_dir):
         "docs_pack_sequences": (2, 1, 0),        # window + agg shuffle
         "events_hourly_daily_rollup": (2, 0, 0),
         "tpch_q21_waiting_suppliers": (None, 2, 0),  # 2 windows, BHJs
+        # round-5 late additions: docstrings claim broadcast-only joins
+        "docs_remove_boilerplate_spans": (3, 0, 0),  # span-DF + reasm
+        "docs_repeated_ngram_coverage": (None, 0, 2),  # shuffle join OK
+        "docs_weighted_sample_es": (0, 0, 0),  # top-k, no full sort
+        "docs_quality_terciles": (None, 1, 1),  # ONE per-source window
     }
     qs = all_queries()
     bad = []
