@@ -350,3 +350,44 @@ def test_append_mode_emits_window_at_exact_watermark_boundary(spark, tmp_path):
     assert [(str(r["window_start"]), r["n"]) for r in got] == [
         ("2026-01-01 00:00:00", 1)
     ]
+
+
+def test_checkpoint_resume_continues_state(spark, tmp_path):
+    """Exactly-once across RESTARTS: drain a queue with AvailableNow,
+    stop, drop a new file, start a NEW query from the SAME checkpoint —
+    the resumed run must (a) not reprocess committed batches and (b)
+    merge new data into restored state, ending equal to the batch
+    aggregation over everything."""
+    d = str(tmp_path / "ev_resume")
+    cp = str(tmp_path / "cp_resume")
+    rows1 = [(1, 0, 1, "click", 1.0), (2, 10, 1, "click", 2.0)]
+    rows2 = [(3, 20, 1, "click", 4.0), (4, 30, 2, "view", 8.0)]
+    _mk_events(spark, rows1).coalesce(1).write.mode("append").parquet(d)
+
+    def drain(name):
+        out = tumbling_counts(stream_events(spark, d))
+        q = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    q1 = drain("t_resume_a")
+    first_rows = sum(p["numInputRows"] for p in q1.recentProgress)
+    assert first_rows == 2
+    _mk_events(spark, rows2).coalesce(1).write.mode("append").parquet(d)
+    q2 = drain("t_resume_b")
+    # only the NEW file's rows were processed on resume
+    resumed_rows = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert resumed_rows == 2
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table("t_resume_b").collect()
+    }
+    assert got[("2026-01-01 00:00:00", "click")] == (3, 7.0)
+    assert got[("2026-01-01 00:00:00", "view")] == (1, 8.0)
