@@ -206,6 +206,57 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_session_dynamic_gap",
+    f"""
+{_EV_CTE}
+, g AS (
+  SELECT user_id, ts,
+         CASE WHEN event_type = 'click' THEN 600 ELSE 1800 END AS gap_s
+  FROM ev),
+m AS (
+  SELECT user_id, ts,
+         max(epoch_us(ts) + gap_s * 1000000) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_end
+  FROM g),
+s AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_max_end IS NULL
+                OR epoch_us(ts) >= prev_max_end THEN 1 ELSE 0 END AS new_s
+  FROM m),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM s)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+    doc="DYNAMIC-gap session windows through the STREAMING path: each "
+    "event proposes [ts, ts + gap(event_type)) — clicks 10 minutes, "
+    "everything else 30 — and overlapping intervals merge. The oracle "
+    "is variable-gap gaps-and-islands: a session breaks where ts "
+    "reaches the running MAX of preceding interval ends (the merge "
+    "rule; plain lag-gap is wrong under variable gaps because an "
+    "earlier event's long gap can bridge over a later event's short "
+    "one). Tie ordering is unobservable: same-ts events always merge, "
+    "and the grouped output depends only on membership.",
+)
+def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.streaming.jobs import session_windows
+
+    d = _stage_stream_dir(spark, sf_dir)
+    gap = F.when(
+        F.col("event_type") == "click", F.lit("10 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    out = session_windows(stream_events(spark, d), gap=gap)
+    return _drain(out, spark).select(
+        "user_id", F.col("session_start"), "n_events"
+    )
+
+
+@register(
     "streaming_append_finalized_windows",
     f"""
 {_EV_CTE}

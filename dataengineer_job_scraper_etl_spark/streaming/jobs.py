@@ -69,10 +69,13 @@ def tumbling_counts(
 
 
 def session_windows(
-    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+    events: DataFrame, gap="30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
-    """Native session windows (gap-based), the streaming counterpart of
-    the batch lag-gap sessionization query."""
+    """Native session windows, the streaming counterpart of the batch
+    lag-gap sessionization query. ``gap`` may be a fixed duration
+    string or a Column (DYNAMIC gap: each event proposes its own
+    [ts, ts+gap) interval and overlapping intervals merge — e.g.
+    rapid-fire event types get a short gap, slow ones a long gap)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
