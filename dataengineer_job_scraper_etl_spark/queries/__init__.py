@@ -15,6 +15,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     neardup,
     pipeline_ops,
     sampling,
+    sinks,
     sketches,
     skewq,
     spans,
