@@ -112,3 +112,24 @@ class TestUnigramLogprob:
             for r in text_unigram_logprob(spark, str(tmp_path)).collect()
         }
         assert got[1] > got[0]
+
+
+def test_quality_terciles_bucket_sizes_balanced(spark, sf_dir):
+    from dataengineer_job_scraper_etl_spark.queries.text import (
+        docs_quality_terciles,
+    )
+
+    rows = docs_quality_terciles(spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for source, bs in by_source.items():
+        sizes = {r["bucket"]: r["n_docs"] for r in bs}
+        assert set(sizes) <= {1, 2, 3}
+        # ntile balance: sizes differ by at most 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        # head bucket's worst score >= tail bucket's best score
+        qmin = {r["bucket"]: r["q_min"] for r in bs}
+        qmax = {r["bucket"]: r["q_max"] for r in bs}
+        if 1 in qmin and 3 in qmax:
+            assert qmin[1] >= qmax[3]

@@ -53,3 +53,49 @@ def test_f2_dropna_any_divergence(spark):
     f2 = raw.na.drop("any")  # reference etl/transform.py:66 shape
     assert f1.count() == 2  # keeps null-title row
     assert f2.count() == 1  # any-null drops it — different semantics
+
+
+def test_mad_flags_planted_outlier(spark, tmp_path):
+    """A single wild value must be flagged by the MAD rule while
+    leaving the median/MAD essentially unmoved (the robustness that
+    distinguishes it from a z-score)."""
+    import shutil
+
+    from dataengineer_job_scraper_etl_spark.queries.events import (
+        events_value_mad_outliers,
+    )
+
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d)
+    rows = [
+        {
+            "event_id": i,
+            "ts": "2026-01-01 00:00:00",
+            "user_id": 1,
+            "event_type": "click",
+            "value": float(10 + (i % 5)),  # tight cluster 10..14
+            "props": "{}",
+        }
+        for i in range(50)
+    ]
+    rows.append(
+        {
+            "event_id": 999,
+            "ts": "2026-01-01 00:00:00",
+            "user_id": 1,
+            "event_type": "click",
+            "value": 1e6,
+            "props": "{}",
+        }
+    )
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    df.write.parquet(f"{d}/events.parquet")
+    out = {r["event_type"]: r for r in events_value_mad_outliers(spark, d).collect()}
+    r = out["click"]
+    assert r["n_outliers"] == 1  # only the planted wild value
+    assert 10 <= r["med"] <= 14  # median unmoved by the outlier
+    shutil.rmtree(d, ignore_errors=True)
