@@ -444,3 +444,100 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(__q) div count(1)").cast("bigint")
         .alias("avg_quality_millionths"),
     )
+
+
+# The stripped variant's oracle: the SAME CTE chain as _PIPE_ORACLE,
+# fed from a `cleaned` prefix that (a) PLANTS a 4-token chrome prefix
+# on every even doc_id (the fixture corpus has no natural boilerplate:
+# max natural span DF is ~6%, below the 20% bar) and (b) applies the
+# boilerplate-span strip (queries/spans.py semantics: 2-token spans,
+# DF over the same bounded frame the Spark side receives — the chrome
+# lands at DF 50% and is stripped; payload spans stay below the bar).
+# `cleaned` is MATERIALIZED: the chain ends in a recursive CTE
+# (`reach`), and DuckDB otherwise inlines the whole strip pipeline
+# into every recursion step (measured 27 s -> ~2 s).
+_CHROME = "cookie banner accept all"  # 4 tokens = exactly 2 spans
+
+_PIPE_ORACLE_STRIPPED = _PIPE_ORACLE.replace(
+    "WITH RECURSIVE\nsig AS (",
+    f"""WITH RECURSIVE
+sbase AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(
+           CASE WHEN doc_id % 2 = 0 THEN '{_CHROME} ' || text
+                ELSE text END), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE doc_id < 500),
+sspans AS (
+  SELECT doc_id, CAST(floor((i - 1) / 2) AS BIGINT) AS pos,
+         string_agg(w, ' ' ORDER BY i) AS span
+  FROM (SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+        FROM sbase)
+  GROUP BY doc_id, floor((i - 1) / 2)),
+sdf AS (SELECT span, count(DISTINCT doc_id) AS df FROM sspans GROUP BY span),
+snd AS (SELECT count(*) AS n_docs FROM sbase),
+sboiler AS (SELECT span FROM sdf, snd WHERE df * 5 >= n_docs * 1),
+skept AS (SELECT * FROM sspans WHERE span NOT IN (SELECT span FROM sboiler)),
+cleaned AS MATERIALIZED (
+  SELECT b.doc_id, b.source, coalesce(r.cleaned, '') AS text
+  FROM sbase b LEFT JOIN (
+    SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS cleaned
+    FROM skept GROUP BY doc_id) r USING (doc_id)),
+sig AS (""",
+).replace(
+    """        FROM documents WHERE doc_id < 500)),
+gated AS (""",
+    """        FROM cleaned)),
+gated AS (""",
+)
+
+
+@register(
+    "corpus_pipeline_survivors_stripped",
+    _PIPE_ORACLE_STRIPPED,
+    doc="The composed pipeline WITH the C4 boilerplate-span strip as "
+    "stage 0.5 (build_pretraining_corpus(strip_boilerplate=True)): a "
+    "4-token chrome prefix is planted on every even doc_id (DF 50% — "
+    "the fixture has no natural boilerplate), and the strip must "
+    "remove EXACTLY it, corpus-relative over the bounded frame, before "
+    "gate -> dedup -> clusters -> canonical -> mixture -> split -> "
+    "pack run on the cleaned text. Both the Spark plan and the "
+    "recursive-CTE oracle carry the injection + strip end to end, so "
+    "hash equality pins DF-over-the-right-frame, span alignment "
+    "(chrome = exactly 2 spans, payload segmentation unshifted), and "
+    "post-strip token counts through the whole composition.",
+)
+def corpus_pipeline_survivors_stripped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.plans.corpus import (
+        build_pretraining_corpus,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 500)
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(_CHROME + " "), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    out = build_pretraining_corpus(
+        docs,
+        mixture_weights=_PIPE_WEIGHTS,
+        context_tokens=_PIPE_CONTEXT,
+        strip_boilerplate=True,
+        pair_fn=exact_jaccard_pair_fn,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "split",
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+    )
