@@ -64,6 +64,25 @@ def mixture_rates(
     }
 
 
+def mixture_weights_temperature(
+    counts: dict[str, int], alpha: float
+) -> dict[str, float]:
+    """Temperature-scaled mixture weights (the mT5/XLM-R sampling
+    trick): target share of source s is (n_s/N)^alpha renormalized.
+    alpha=1 reproduces the natural distribution (no rebalancing);
+    alpha=0 is uniform (every source equal); the usual 0.2-0.7 range
+    boosts small sources without letting them dominate. Feed the
+    result to mixture_rates to get per-source keep rates."""
+    if not 0 <= alpha <= 1:
+        raise ValueError("alpha must be in [0, 1]")
+    total = sum(counts.values())
+    if total <= 0:
+        raise ValueError("empty corpus")
+    powed = {s: (n / total) ** alpha for s, n in counts.items() if n > 0}
+    z = sum(powed.values())
+    return {s: p / z for s, p in powed.items()}
+
+
 def deterministic_source_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -179,3 +179,33 @@ def test_dsir_scores_target_like_docs_higher(spark):
     assert all(scores[100] > s for s in b_scores)
     # A-speakers (target and the planted pool doc) share one score
     assert scores[100] == scores[0]
+
+
+def test_temperature_weights_endpoints_and_monotonicity():
+    from dataengineer_job_scraper_etl_spark.queries.sampling import (
+        mixture_rates,
+        mixture_weights_temperature,
+    )
+
+    counts = {"web": 8000, "books": 1500, "code": 500}
+    # alpha=1: natural shares
+    w1 = mixture_weights_temperature(counts, 1.0)
+    assert abs(w1["web"] - 0.8) < 1e-12
+    # alpha=0: uniform
+    w0 = mixture_weights_temperature(counts, 0.0)
+    assert all(abs(v - 1 / 3) < 1e-12 for v in w0.values())
+    # cooling monotonically boosts the smallest source's share
+    shares = [
+        mixture_weights_temperature(counts, a)["code"]
+        for a in (1.0, 0.7, 0.4, 0.0)
+    ]
+    assert shares == sorted(shares)
+    # weights always sum to 1 and compose with mixture_rates
+    for a in (0.0, 0.3, 0.7, 1.0):
+        w = mixture_weights_temperature(counts, a)
+        assert abs(sum(w.values()) - 1.0) < 1e-12
+        rates = mixture_rates(counts, w)
+        assert all(0 < r <= 1 for r in rates.values())
+    # alpha=1 keeps every source whole (natural mixture = no-op)
+    r1 = mixture_rates(counts, w1)
+    assert all(abs(r - 1.0) < 1e-12 for r in r1.values())
