@@ -1,14 +1,19 @@
-"""Sink-path entries: put the driver's hash signal on the WRITE side.
+"""Sink-path + observability entries: put the driver's hash signal on
+the WRITE side and on in-flight metrics.
 
 The sinks themselves (io.py: partitioned parquet + dynamic overwrite,
-CSV, ORC, JSON, compaction) are pytest-covered; this entry closes the
-loop through the driver gate by writing the events table through the
-REAL partitioned sink, reading it back, and hash-comparing an
-aggregate of the round-tripped data against the oracle's view of the
-ORIGINAL — any loss in the write path (partition-column encoding/
-inference, value fidelity, dropped rows) flips the hash.
+CSV, ORC, JSON, compaction; streaming/jobs.py: foreachBatch) are
+pytest-covered; these entries close the loop through the driver gate
+by writing the events table through the REAL sinks (batch partitioned
+writer; the streaming foreachBatch writer), reading the landed data
+back, and hash-comparing aggregates against the oracle's view of the
+ORIGINAL — any loss in a write path (partition-column encoding/
+inference, value fidelity, dropped or duplicated rows across the
+micro-batch boundary) flips the hash. events_observe_metrics does the
+same for the Observation API: metrics collected as a side effect of
+the consuming action must equal an independent aggregation.
 
-The write is staged once per fixture fingerprint into the temp root
+Writes are staged once per fixture fingerprint into the temp root
 (same crash-safe rename-publish protocol as the streaming queue
 stage), so repeated driver runs don't rewrite.
 """
@@ -89,4 +94,130 @@ def io_partitioned_sink_roundtrip(
         F.round(F.sum("value"), 2).alias("value_sum"),
         F.min("ts").alias("ts_min"),
         F.max("ts").alias("ts_max"),
+    )
+
+
+@register(
+    "events_observe_metrics",
+    """
+WITH ev AS (SELECT event_id, user_id, event_type, value FROM events)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN value < 0 THEN 1 END) AS BIGINT) AS n_negative,
+       round(sum(value), 2) AS value_sum,
+       CAST(max(user_id) AS BIGINT) AS user_id_max
+FROM ev
+""",
+    doc="In-flight data-quality metrics via the Observation API "
+    "(df.observe): row count, negative-value count, value sum, and "
+    "key-range max are collected AS A SIDE EFFECT of the same "
+    "action that consumes the frame — at 100 TB this is how a "
+    "pipeline audits what it just wrote without paying a second "
+    "scan. The observed metrics are returned as the entry's result "
+    "and hash-checked against the oracle's independent aggregation, "
+    "proving the observation path reports the same numbers a real "
+    "aggregate would.",
+)
+def events_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    e = _events(spark, sf_dir)
+    obs = Observation("dq")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+        # NB DISTINCT aggregates are rejected in observed metrics
+        # (INVALID_OBSERVED_METRICS); cardinality checks belong in
+        # dq_profile_orders / the sketch entries instead
+        F.max("user_id").alias("user_id_max"),
+    )
+    # the consuming action (noop write = a sink at scale); metrics
+    # piggyback on it, no second scan
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_negative"]),
+                float(m["value_sum"]),
+                int(m["user_id_max"]),
+            )
+        ],
+        "n_rows long, n_negative long, value_sum double, user_id_max long",
+    )
+
+
+def _staged_foreachbatch_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the event stream through the foreachBatch parquet sink
+    once per fixture fingerprint (same rename-publish protocol). The
+    2-file queue lands as two __batch_id partitions."""
+    import hashlib
+    import shutil
+
+    from dataengineer_job_scraper_etl_spark.queries.streaming_queries import (
+        _stage_stream_dir,
+    )
+    from dataengineer_job_scraper_etl_spark.streaming.jobs import (
+        run_foreach_batch_parquet,
+        stream_events,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"fbsink:{src}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:12]
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_fbsink_{key}_{fp}"
+    )
+    if os.path.exists(root):
+        return root
+    tmp = tempfile.mkdtemp(prefix="spark_graft_fbstage_")
+    staged = os.path.join(tmp, "data")
+    queue = _stage_stream_dir(spark, sf_dir)
+    run_foreach_batch_parquet(
+        stream_events(spark, queue),
+        staged,
+        os.path.join(tmp, "cp"),
+    )
+    try:
+        os.rename(staged, root)
+    except OSError:
+        pass  # concurrent stager won; its dir is complete
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return root
+
+
+@register(
+    "io_foreachbatch_sink_roundtrip",
+    """
+WITH ev AS (SELECT event_id, user_id, event_type, value FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum,
+       round(sum(value), 2) AS value_sum
+FROM ev GROUP BY event_type
+""",
+    doc="foreachBatch exactly-once sink round-trip through the driver "
+    "gate: the 2-batch event stream lands as parquet via the batch "
+    "writer inside foreachBatch (one __batch_id partition per "
+    "micro-batch, dynamic partition overwrite = idempotent batch "
+    "retries), then the landed data is read back and aggregated — "
+    "checksums against the original table pin that the streaming sink "
+    "path wrote every event exactly once across the micro-batch "
+    "boundary.",
+)
+def io_foreachbatch_sink_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    root = _staged_foreachbatch_dir(spark, sf_dir)
+    back = spark.read.parquet(root)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
     )
