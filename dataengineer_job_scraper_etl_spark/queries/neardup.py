@@ -1,11 +1,19 @@
-"""Rows-only-checked queries for the sketch/LSH operators (MinHash,
-SimHash, RHP-LSH ANN, IVF ANN). Their hash families are Spark-native
-(xxhash64) and not reproducible in DuckDB SQL, so no oracle — the
-driver records a rows-only check; correctness is covered by:
-- oracle-checked exact twins (docs_near_dup_jaccard, vec_cosine_topk)
-- pytest property tests (tests/test_dedup.py, tests/test_similarity.py)
-  asserting planted duplicates are found and estimates track exact
-  values.
+"""Sketch/LSH operator entries (MinHash, SimHash, RHP-LSH ANN, IVF
+ANN) in two renderings:
+
+- rows-only production entries (neardup_minhash_lsh, neardup_simhash*,
+  ann_*_topk): the hash families are Spark-native (xxhash64), not
+  reproducible in DuckDB SQL, so no oracle;
+- oracle-checked CONTRACT twins that bound the same operators from
+  both sides: planted-recall entries (every planted near-dup must
+  surface / recall floors), the precision contract (every reported
+  pair re-scored with exact Jaccard must clear a floor), and the
+  ann_recall_* floors vs exact top-k.
+
+Exact oracle-checked formulations live in queries/text.py
+(docs_near_dup_jaccard) and queries/vectors.py (vec_cosine_topk);
+pytest property tests (tests/test_dedup.py, tests/test_similarity.py)
+pin estimator-vs-exact tracking.
 """
 
 from __future__ import annotations
