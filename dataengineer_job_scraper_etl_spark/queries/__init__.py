@@ -9,6 +9,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     corpusq,
     dq,
     events,
+    joinopt,
     jobs,
     layout,
     multimodal,
@@ -21,6 +22,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     spans,
     streaming_queries,
     text,
+    tokenizer,
     tpch,
     tpch_full,
     vectors,
