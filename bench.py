@@ -88,6 +88,12 @@ HEADLINE += [
     "docs_repeated_ngram_coverage",
     "docs_dsir_importance_topk",
 ]
+HEADLINE += [
+    # round-5 join/tokenizer additions: the pre-shuffle Bloom kill and
+    # BPE training's corpus-facing pass
+    "bloom_semi_prune_orders",
+    "text_bpe_top_pairs",
+]
 
 # Bumped whenever the warm-up methodology changes (what is excluded
 # from the timed region), so bench_compare can distinguish

@@ -88,6 +88,11 @@ def test_catalog_docstring_plan_claims_hold(spark, sf_dir):
         "docs_repeated_ngram_coverage": (None, 0, 2),  # shuffle join OK
         "docs_weighted_sample_es": (0, 0, 0),  # top-k, no full sort
         "docs_quality_terciles": (None, 1, 1),  # ONE per-source window
+        # round-5 join/tokenizer additions: bloom prune is a folded
+        # predicate + broadcast flag join (no shuffle join); BPE pair
+        # stats are two partial aggs + TakeOrderedAndProject
+        "bloom_semi_prune_orders": (2, 0, 0),
+        "text_bpe_top_pairs": (2, 0, 0),
     }
     qs = all_queries()
     bad = []
