@@ -1,11 +1,15 @@
-"""Join-optimization entries: the explicit Bloom runtime filter
-(operators/bloomjoin.py) exercised end to end against its exact
-semi-join, with the one-sided-error contract oracle-checked.
+"""Join-optimization / join-variant entries:
 
-Every hash is an md5 window, so DuckDB replays the identical filter —
-the bit positions, the bitmap membership, the false-positive set —
-and the driver hash-check covers the whole construction, not just row
-counts.
+- the explicit Bloom runtime filter (operators/bloomjoin.py)
+  exercised end to end against its exact semi-join, with the
+  one-sided-error contract oracle-checked. Every hash is an md5
+  window, so DuckDB replays the identical filter — the bit positions,
+  the bitmap membership, the false-positive set — and the driver
+  hash-check covers the whole construction, not just row counts;
+- the blocked fuzzy self-join (operators/fuzzyjoin.py) — the
+  entity-resolution candidate/verify shape with Spark's levenshtein
+  as verifier, which DuckDB implements identically, so the pair set
+  is hash-checked exactly.
 """
 
 from __future__ import annotations
@@ -115,4 +119,53 @@ def bloom_semi_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             == 0
         ).alias("no_false_negatives"),
+    )
+
+
+_FUZZY_DIST = 1
+
+_FUZZY_ORACLE = f"""
+WITH p AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS noun
+  FROM part),
+pairs AS (
+  SELECT a.noun AS noun, a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM p a JOIN p b
+    ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+   AND levenshtein(a.p_name, b.p_name) <= {_FUZZY_DIST})
+SELECT noun,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(id_a * 100000 + id_b) AS BIGINT) AS pair_checksum
+FROM pairs GROUP BY noun
+"""
+
+
+@register(
+    "part_fuzzy_name_pairs",
+    _FUZZY_ORACLE,
+    doc="Entity-resolution fuzzy self-join (operators/fuzzyjoin.py): "
+    "part names blocked on their final token, verified with "
+    f"levenshtein <= {_FUZZY_DIST} — the candidate/verify shape that "
+    "replaces an O(n^2) all-pairs comparison with per-block work. "
+    "pair_checksum pins the EXACT pair set (Spark's and DuckDB's "
+    "levenshtein agree symbol for symbol). Plan: one shuffle on the "
+    "block key, verifier codegen'd post-join; at 100 TB the blocking "
+    "function is the scale knob (compose keys until the largest block "
+    "is bounded; route overflow blocks to the MinHash pass).",
+)
+def part_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.fuzzyjoin import (
+        blocked_fuzzy_pairs,
+    )
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    noun = F.element_at(F.split(F.col("p_name"), " "), -1)
+    pairs = blocked_fuzzy_pairs(
+        part, "p_partkey", "p_name", noun, _FUZZY_DIST
+    )
+    return pairs.groupBy(F.col("block").alias("noun")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("id_a") * 100000 + F.col("id_b"))
+        .cast("bigint")
+        .alias("pair_checksum"),
     )

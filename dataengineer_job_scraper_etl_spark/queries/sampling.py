@@ -43,6 +43,63 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def kfold_assign(
+    df: DataFrame, key_col: str, k: int, fold_col: str = "fold"
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    md5-bucket(key) mod k, from hex digits 21-28 (disjoint from
+    hash_split's digit 1, the mixture sampler's 5-8, and the uniform
+    sampler's 9-16 — the same decorrelation discipline, so folding
+    composes with any of them). Stateless per-row predicate: fold i's
+    train set is a filter, no shuffle, membership stable forever."""
+    if not 1 < k <= 4096:
+        raise ValueError("k must be in (1, 4096]")
+    bucket = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 21, 8), 16, 10
+    ).cast("long")
+    return df.withColumn(fold_col, (bucket % k).cast("int"))
+
+
+def _kfold_bucket_sql(key: str) -> str:
+    terms = " + ".join(
+        f"(position(substring(md5(CAST({key} AS VARCHAR)), {21 + i}, 1) "
+        f"in '0123456789abcdef') - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"({terms})"
+
+
+_KFOLD_K = 5
+
+
+@register(
+    "docs_kfold_assignment",
+    f"""
+SELECT CAST({_kfold_bucket_sql("doc_id")} % {_KFOLD_K} AS INTEGER) AS fold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM documents GROUP BY fold
+""",
+    doc=f"Deterministic {_KFOLD_K}-fold CV assignment (kfold_assign): "
+    "fold = md5-bucket(doc_id) mod k from hex digits 21-28 — "
+    "decorrelated from the split/mixture/uniform hash windows so all "
+    "four compose. id_checksum pins EXACT per-fold membership; "
+    "stateless per-row predicate, no shuffle, rerun- and "
+    "engine-stable (the leakage-free folding a model-selection "
+    "pipeline needs).",
+)
+def docs_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return (
+        kfold_assign(d, "doc_id", _KFOLD_K)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
 def mixture_rates(
     counts: dict[str, int], weights: dict[str, float]
 ) -> dict[str, float]:
