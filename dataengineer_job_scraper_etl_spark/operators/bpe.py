@@ -170,3 +170,57 @@ def reference_bpe(word_counts: dict[str, int], n_merges: int):
                     i += 1
             vocab[w] = out
     return merges, vocab
+
+
+def _segment_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched tokenizer APPLY: segment a word under the learned
+    merge table — each merge applied greedily in LEARNED ORDER
+    (Sennrich apply; reproduces training's segmentation exactly)."""
+
+    @F.pandas_udf("int")
+    def seg_len(words: pd.Series) -> pd.Series:
+        def one(w):
+            syms = [*list(w), END_OF_WORD]
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return len(syms)
+
+        return words.map(one).astype("int32")
+
+    return seg_len
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_bpe_tokens): corpus token counts under a LEARNED merge
+    table — the serve half of tokenizer training (the number every
+    packing / budget / mixture stage consumes). Same Sennrich
+    reduction as training: the corpus contributes one explode into
+    per-doc word rows; the Python segmenter runs over the DISTINCT
+    words only, and per-doc totals come from a join + sum (both JVM).
+    The merge table rides inside the UDF closure — merges are
+    driver-bounded (n_merges entries) by construction."""
+    flat = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_ws_tokens(F.col(text_col))).alias("word"),
+    ).filter(F.col("word") != "")
+    seg = flat.select("word").distinct().select(
+        "word", _segment_udf(merges)(F.col("word")).alias("n_sub")
+    )
+    return (
+        flat.join(seg, "word")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(F.sum("n_sub").cast("long").alias("n_bpe_tokens"))
+    )

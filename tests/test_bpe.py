@@ -100,3 +100,50 @@ def test_pair_counting_stays_vocab_sized(docs):
     import re
 
     assert len(re.findall(r"\bExchange hash", plan)) <= 2
+
+
+def test_token_counts_under_learned_merges_match_reference(docs):
+    from dataengineer_job_scraper_etl_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+
+    merges, _ = learn_bpe_merges(docs, 8)
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(docs, merges).collect()
+    }
+    _, ref_vocab = reference_bpe(_py_word_counts(), 8)
+    want = {
+        i: sum(len(ref_vocab[w]) for w in t.split())
+        for i, t in enumerate(_DOCS)
+    }
+    assert got == want
+
+
+def test_zero_merges_counts_chars_plus_marker(spark):
+    from dataengineer_job_scraper_etl_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+
+    df = spark.createDataFrame([(0, "ab abc")], ["doc_id", "text"])
+    [row] = bpe_token_counts(df, []).collect()
+    assert row["n_bpe_tokens"] == (2 + 1) + (3 + 1)
+
+
+def test_segmenter_python_runs_on_distinct_words_only(docs):
+    """The Python segmenter must sit above the DISTINCT-word frame,
+    never the corpus explode: in the plan, the Arrow eval's subtree
+    contains the dedup aggregate."""
+    from dataengineer_job_scraper_etl_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+
+    plan = (
+        bpe_token_counts(docs, [("l", "o")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan
+    arrow_subtree = plan[plan.index("ArrowEvalPython"):]
+    assert "HashAggregate" in arrow_subtree  # the distinct below it
