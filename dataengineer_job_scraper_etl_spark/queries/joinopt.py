@@ -122,50 +122,70 @@ def bloom_semi_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FUZZY_DIST = 1
-
-_FUZZY_ORACLE = f"""
-WITH p AS (
-  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS noun
-  FROM part),
+# The oracle is the bounded all-pairs formulation over DISTINCT names
+# (the definition); the Spark side must reproduce it through the
+# linear symmetric-delete blocking — completeness of the deletion
+# neighborhood for dist <= 1 is exactly what hash equality proves.
+_FUZZY_ORACLE = """
+WITH n AS (
+  SELECT p_name, count(*) AS cnt FROM part GROUP BY p_name),
 pairs AS (
-  SELECT a.noun AS noun, a.p_partkey AS id_a, b.p_partkey AS id_b
-  FROM p a JOIN p b
-    ON a.noun = b.noun AND a.p_partkey < b.p_partkey
-   AND levenshtein(a.p_name, b.p_name) <= {_FUZZY_DIST})
-SELECT noun,
-       CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(sum(id_a * 100000 + id_b) AS BIGINT) AS pair_checksum
-FROM pairs GROUP BY noun
+  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         levenshtein(a.p_name, b.p_name) AS dist,
+         a.cnt * b.cnt AS n_part_pairs
+  FROM n a JOIN n b ON a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 1)
+SELECT name_a, name_b,
+       CAST(dist AS INTEGER) AS dist,
+       CAST(n_part_pairs AS BIGINT) AS n_part_pairs
+FROM pairs
 """
 
 
 @register(
     "part_fuzzy_name_pairs",
     _FUZZY_ORACLE,
-    doc="Entity-resolution fuzzy self-join (operators/fuzzyjoin.py): "
-    "part names blocked on their final token, verified with "
-    f"levenshtein <= {_FUZZY_DIST} — the candidate/verify shape that "
-    "replaces an O(n^2) all-pairs comparison with per-block work. "
-    "pair_checksum pins the EXACT pair set (Spark's and DuckDB's "
-    "levenshtein agree symbol for symbol). Plan: one shuffle on the "
-    "block key, verifier codegen'd post-join; at 100 TB the blocking "
-    "function is the scale knob (compose keys until the largest block "
-    "is bounded; route overflow blocks to the MinHash pass).",
+    doc="Entity-resolution fuzzy matching at the scalable formulation "
+    "(operators/fuzzyjoin.py::symdelete_pairs): distinct part names "
+    "within Levenshtein distance 1, found via symmetric-delete "
+    "blocking — candidates only where two names share a 1-deletion "
+    "variant (provably complete for dist <= 1), so candidate "
+    "generation is LINEAR in distinct values where naive key-equality "
+    "blocking is quadratic in block size (measured 46 s at sf0.1 for "
+    "the noun-blocked variant vs ~1 s here: 64 distinct names in "
+    "domain-sized blocks). ER runs on the DISTINCT-name frame — the "
+    "row-level pair multiplicity is cnt_a*cnt_b, carried "
+    "arithmetically (n_part_pairs), never materialized. The oracle is "
+    "the bounded all-pairs definition; hash equality proves the "
+    "blocking loses nothing.",
 )
 def part_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineer_job_scraper_etl_spark.operators.fuzzyjoin import (
-        blocked_fuzzy_pairs,
+        symdelete_pairs,
     )
 
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    noun = F.element_at(F.split(F.col("p_name"), " "), -1)
-    pairs = blocked_fuzzy_pairs(
-        part, "p_partkey", "p_name", noun, _FUZZY_DIST
-    )
-    return pairs.groupBy(F.col("block").alias("noun")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum(F.col("id_a") * 100000 + F.col("id_b"))
-        .cast("bigint")
-        .alias("pair_checksum"),
+    counts = part.groupBy("p_name").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = symdelete_pairs(part, "p_name")
+    return (
+        pairs.join(
+            counts.withColumnRenamed("p_name", "text_a").withColumnRenamed(
+                "cnt", "cnt_a"
+            ),
+            "text_a",
+        )
+        .join(
+            counts.withColumnRenamed("p_name", "text_b").withColumnRenamed(
+                "cnt", "cnt_b"
+            ),
+            "text_b",
+        )
+        .select(
+            F.col("text_a").alias("name_a"),
+            F.col("text_b").alias("name_b"),
+            F.col("dist").cast("int").alias("dist"),
+            (F.col("cnt_a") * F.col("cnt_b"))
+            .cast("bigint")
+            .alias("n_part_pairs"),
+        )
     )

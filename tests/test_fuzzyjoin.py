@@ -76,3 +76,59 @@ def test_kfold_rejects_degenerate_k(spark):
     df = spark.range(3).select(F.col("id").alias("doc_id"))
     with pytest.raises(ValueError):
         kfold_assign(df, "doc_id", 1)
+
+
+def _brute_pairs(vals, maxd=1):
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    return {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(set(vals)), 2)
+        if lev(a, b) <= maxd
+    }
+
+
+def test_symdelete_matches_brute_force_all_edit_kinds(spark):
+    from dataengineer_job_scraper_etl_spark.operators.fuzzyjoin import (
+        symdelete_pairs,
+    )
+
+    vals = [
+        "red ring", "red rung",     # substitution
+        "bolt", "bolts",            # insertion at end
+        "gear", "gea",              # deletion
+        "wheel", "wheels", "whee",  # chain: each within 1 of 'wheel'
+        "blue bolt",                # dist >1 from everything else
+        "red ring",                 # duplicate value: distinct first
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["name"])
+    got = {
+        (r["text_a"], r["text_b"], r["dist"])
+        for r in symdelete_pairs(df, "name").collect()
+    }
+    assert got == _brute_pairs(vals)
+
+
+def test_symdelete_candidate_generation_is_jvm_only(spark):
+    from dataengineer_job_scraper_etl_spark.operators.fuzzyjoin import (
+        symdelete_pairs,
+    )
+
+    df = spark.createDataFrame([("abc",), ("abd",)], ["name"])
+    plan = (
+        symdelete_pairs(df, "name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
