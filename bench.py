@@ -93,6 +93,7 @@ HEADLINE += [
     # BPE training's corpus-facing pass
     "bloom_semi_prune_orders",
     "text_bpe_top_pairs",
+    "part_fuzzy_name_pairs",
 ]
 
 # Bumped whenever the warm-up methodology changes (what is excluded

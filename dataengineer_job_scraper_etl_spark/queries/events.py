@@ -449,3 +449,78 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("med", 6).alias("med"),
         F.round("mad", 6).alias("mad"),
     )
+
+
+# Hour index relative to the corpus epoch (2024-01-01 UTC, an exact
+# hour boundary, so floor((t-t0)/3600) == hour-boundary counting and
+# both engines agree); keeping x small (hundreds) is also what keeps
+# the integer moment sums far from overflow at any SF.
+_TREND_EPOCH0 = 1704067200
+
+
+@register(
+    "events_value_trend_regression",
+    """
+WITH ev AS (
+  SELECT event_type,
+         date_diff('hour', TIMESTAMP '2024-01-01', CAST(ts AS TIMESTAMP)) AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM ev GROUP BY event_type)
+SELECT event_type, n,
+       CAST(round(1e6 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+         AS slope_ppm,
+       CAST(round(1e6 * (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+         AS intercept_ppm
+FROM m
+""",
+    doc="Per-type least-squares trend line (value-cents vs hours since "
+    "the corpus epoch) from ONE partial-aggregated pass: the five "
+    "moment sums (n, Σx, Σy, Σxy, Σx²) are EXACT integers — cents and "
+    "hour indexes, no float accumulation — so the map-side combine is "
+    "bit-deterministic under any partitioning, and only the final "
+    "closed-form slope/intercept touches doubles (identical one-shot "
+    "IEEE expressions on both engines; emitted as ppm integers). The "
+    "100 TB regression recipe: moments shuffle as 5 longs per group, "
+    "never rows. Keeping x epoch-relative (hundreds, not 1e9 epoch "
+    "seconds) keeps Σx² far from int64 overflow at any SF.",
+)
+def events_value_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    x = F.floor(
+        (F.unix_timestamp(F.col("ts")) - F.lit(_TREND_EPOCH0)) / 3600
+    ).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    m = (
+        e.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+    )
+    nd, sxd, syd = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    den = nd * sxxd - sxd * sxd
+    slope = F.round(F.lit(1e6) * (nd * sxyd - sxd * syd) / den).cast("bigint")
+    intercept = F.round(
+        F.lit(1e6) * (syd * sxxd - sxd * sxyd) / den
+    ).cast("bigint")
+    return m.select(
+        "event_type",
+        "n",
+        slope.alias("slope_ppm"),
+        intercept.alias("intercept_ppm"),
+    )
