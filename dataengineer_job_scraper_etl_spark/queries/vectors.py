@@ -185,3 +185,62 @@ def vec_quantize_int8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("maxabs", 6).alias("scale"),
         l1.cast("bigint").alias("l1_quantized"),
     )
+
+
+@register(
+    "vec_quantize_int8_calibrated",
+    """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id < 500),
+cal AS (
+  SELECT quantile_cont(abs(x), 0.999) AS clip
+  FROM (SELECT unnest(e) AS x FROM v)),
+q AS (
+  SELECT vec_id,
+         round(clip, 6) AS clip_scale,
+         len(list_filter(e, x -> abs(x) > clip)) AS n_clipped,
+         list_sum(list_transform(e,
+           x -> abs(floor(greatest(least(x, clip), -clip) * 127.0 / clip))))
+           AS l1
+  FROM v CROSS JOIN cal)
+SELECT vec_id, clip_scale,
+       CAST(n_clipped AS INTEGER) AS n_clipped,
+       CAST(l1 AS BIGINT) AS l1_quantized
+FROM q
+""",
+    doc="CORPUS-calibrated int8 quantization — the production "
+    "counterpart of vec_quantize_int8_stats' per-vector absmax: one "
+    "shared scale from the exact p99.9 of |component| over the whole "
+    "corpus (outliers clip instead of stretching the scale and "
+    "crushing everyone else's resolution). Two-job shape: the "
+    "calibration agg reduces all components to ONE row, broadcast "
+    "back into the per-vector quantize projection; at 100 TB swap the "
+    "exact percentile for approx_percentile (same plan shape — the "
+    "swap is documented, not needed at test SF). n_clipped makes the "
+    "calibration trade-off visible per vector; l1 pins every code; "
+    "floor (not round) avoids engine .5-mode disagreement; percentile "
+    "interpolation parity with quantile_cont is pinned by "
+    "events_value_percentiles.",
+)
+def vec_quantize_int8_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 500
+    )
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    v = e.select("vec_id", ed.alias("e"))
+    cal = v.select(F.explode("e").alias("x")).agg(
+        F.expr("percentile(abs(x), 0.999)").alias("clip")
+    )
+    clip = F.col("clip")
+    clamped = lambda x: F.least(F.greatest(x, -clip), clip)  # noqa: E731
+    code = lambda x: F.abs(F.floor(clamped(x) * 127.0 / clip))  # noqa: E731
+    l1 = F.aggregate(
+        F.transform(F.col("e"), code), F.lit(0.0), lambda a, c: a + c
+    )
+    n_clipped = F.size(F.filter(F.col("e"), lambda x: F.abs(x) > clip))
+    return v.crossJoin(F.broadcast(cal)).select(
+        "vec_id",
+        F.round(clip, 6).alias("clip_scale"),
+        n_clipped.cast("int").alias("n_clipped"),
+        l1.cast("bigint").alias("l1_quantized"),
+    )

@@ -38,3 +38,19 @@ def test_trend_matches_duckdb_builtin_regression(spark, sf_dir):
         # agreement within 1 ppm is formulation equivalence
         assert abs(s_ppm - slope) <= 1, etype
         assert abs(i_ppm - intercept) <= 1, etype
+
+
+def test_calibrated_quantization_actually_clips(spark, sf_dir):
+    """p99.9 calibration must clip SOME components (else the entry is
+    vacuously absmax) while keeping the clipped fraction ~0.1%."""
+    from pyspark.sql import functions as F
+
+    from dataengineer_job_scraper_etl_spark.catalog import all_queries
+
+    df = all_queries()["vec_quantize_int8_calibrated"].spark_fn(spark, sf_dir)
+    row = df.agg(
+        F.sum("n_clipped").alias("clipped"),
+        F.count(F.lit(1)).alias("vecs"),
+    ).collect()[0]
+    total_components = row["vecs"] * 64
+    assert 0 < row["clipped"] <= 0.005 * total_components
