@@ -524,3 +524,48 @@ def events_value_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame
         slope.alias("slope_ppm"),
         intercept.alias("intercept_ppm"),
     )
+
+
+@register(
+    "events_value_shape_robust",
+    """
+WITH oct AS (
+  SELECT event_type,
+         quantile_cont(value, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS e
+  FROM events GROUP BY event_type)
+SELECT event_type,
+       CAST(round(1e6 * (e[6] + e[2] - 2 * e[4]) / (e[6] - e[2])) AS BIGINT)
+         AS bowley_skew_ppm,
+       CAST(round(1e6 * ((e[7] - e[5]) + (e[3] - e[1])) / (e[6] - e[2])) AS BIGINT)
+         AS moors_kurtosis_ppm
+FROM oct
+""",
+    doc="Robust distribution-shape profile per event type: Bowley "
+    "(quartile) skewness and Moors (octile) kurtosis from EXACT "
+    "percentiles — the outlier-proof twins of moment skew/kurtosis, "
+    "whose raw x^3/x^4 sums both overflow int64 and lose exactness in "
+    "doubles (why the moment trick that powers the trend entry stops "
+    "at order 2). One percentile agg per group, seven octiles out; "
+    "ppm-integer outputs; interpolation parity with quantile_cont is "
+    "pinned by events_value_percentiles. The 100 TB swap is "
+    "approx_percentile with the same plan shape.",
+)
+def events_value_shape_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    oct_ = e.groupBy("event_type").agg(
+        F.expr(
+            "percentile(value, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))"
+        ).alias("e")
+    )
+    q = lambda i: F.col("e")[i - 1]  # noqa: E731 — 1-based like the SQL
+    bowley = F.round(
+        F.lit(1e6) * (q(6) + q(2) - 2 * q(4)) / (q(6) - q(2))
+    ).cast("bigint")
+    moors = F.round(
+        F.lit(1e6) * ((q(7) - q(5)) + (q(3) - q(1))) / (q(6) - q(2))
+    ).cast("bigint")
+    return oct_.select(
+        "event_type",
+        bowley.alias("bowley_skew_ppm"),
+        moors.alias("moors_kurtosis_ppm"),
+    )
