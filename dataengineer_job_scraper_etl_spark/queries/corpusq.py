@@ -541,3 +541,95 @@ def corpus_pipeline_survivors_stripped(
         F.col("shard_id").cast("bigint").alias("shard_id"),
         F.col("n_toks").cast("bigint").alias("n_toks"),
     )
+
+
+# --- snapshot diff ---------------------------------------------------
+# Corpus-versioning primitive: what changed between two snapshots of a
+# 100 TB table. The scalable answer is a full-outer hash-join of
+# 16-byte DIGESTS keyed by doc_id — text never travels, never
+# compares; each side contributes (id, source, md5(text)) and the join
+# classifies added / removed / modified / unchanged in one shuffle.
+# The "next" snapshot here is DERIVED deterministically from the same
+# fixture on both engines: doc_id % 13 == 0 rows deleted, doc_id % 7
+# == 3 rows edited (a marker suffix), and doc_id % 17 == 0 rows cloned
+# as new docs under doc_id + 1000000.
+
+_DIFF_ORACLE = """
+WITH a AS (
+  SELECT doc_id, source, md5(text) AS dg FROM documents),
+b AS (
+  SELECT doc_id, source, md5(CASE WHEN doc_id % 7 = 3 THEN text || ' [v2]'
+                                  ELSE text END) AS dg
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, source, md5(text) FROM documents
+  WHERE doc_id % 17 = 0),
+d AS (
+  SELECT coalesce(a.source, b.source) AS source,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.dg <> b.dg THEN 'modified'
+              ELSE 'unchanged' END AS change,
+         coalesce(a.doc_id, b.doc_id) AS id
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT source, change,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(id) AS BIGINT) AS id_checksum
+FROM d GROUP BY source, change
+"""
+
+
+@register(
+    "docs_snapshot_diff",
+    _DIFF_ORACLE,
+    doc="Snapshot diff — the corpus-versioning primitive: classify "
+    "every doc across two snapshots as added/removed/modified/"
+    "unchanged from ONE full-outer join of (doc_id, md5 digest) "
+    "frames; text is digested at the scan and never shuffled or "
+    "compared. The second snapshot is derived deterministically "
+    "(delete %13, edit %7==3, clone %17 under shifted ids) so both "
+    "engines build identical inputs; id_checksum pins exact "
+    "per-(source, change) membership. At 100 TB this is the audit "
+    "that runs between pipeline releases: one digest shuffle, "
+    "counts out.",
+)
+def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    a = d.select("doc_id", "source", F.md5("text").alias("dg"))
+    edited = F.when(
+        F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" [v2]"))
+    ).otherwise(F.col("text"))
+    b = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .select("doc_id", "source", F.md5(edited).alias("dg"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                "source",
+                F.md5("text").alias("dg"),
+            )
+        )
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.dg") != F.col("b.dg"), "modified")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+            change.alias("change"),
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("id"),
+        )
+        .groupBy("source", "change")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("id").cast("bigint").alias("id_checksum"),
+        )
+    )

@@ -199,3 +199,24 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
         "job_type" in l for l in plan.splitlines() if "PartitionFilters" in l
     )
     assert read.count() == 1
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema evolution contract: a sink that gains a column mid-life
+    must stay readable — mergeSchema=true unifies the footer schemas
+    and back-fills the old files' missing column with nulls (the
+    100 TB migration path: no rewrite of historical partitions)."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "evolving")
+    spark.range(0, 10).select(
+        F.col("id"), F.lit("a").alias("v1")
+    ).write.mode("append").parquet(d)
+    spark.range(10, 20).select(
+        F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2")
+    ).write.mode("append").parquet(d)
+    df = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(df.columns) == {"id", "v1", "v2"}
+    assert df.count() == 20
+    assert df.filter(F.col("v2").isNull()).count() == 10
+    assert df.filter(F.col("v2") == 1.5).count() == 10
