@@ -132,3 +132,33 @@ def test_symdelete_candidate_generation_is_jvm_only(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_symdelete_randomized_dense_edit_space(spark):
+    """Seeded randomized differential: all strings over {a,b} up to
+    length 3 plus a seeded sample of length-4/5 strings — a DENSE edit
+    space (many dist-1 pairs, incl. the empty string and single
+    chars), checked pair-for-pair against brute force."""
+    import itertools
+    import random
+
+    from dataengineer_job_scraper_etl_spark.operators.fuzzyjoin import (
+        symdelete_pairs,
+    )
+
+    vals = [
+        "".join(t)
+        for n in range(4)
+        for t in itertools.product("ab", repeat=n)
+    ]
+    rng = random.Random(42)
+    vals += [
+        "".join(rng.choice("abc") for _ in range(rng.choice((4, 5))))
+        for _ in range(15)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], ["name"])
+    got = {
+        (r["text_a"], r["text_b"], r["dist"])
+        for r in symdelete_pairs(df, "name").collect()
+    }
+    assert got == _brute_pairs(vals)
