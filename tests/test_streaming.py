@@ -391,3 +391,51 @@ def test_checkpoint_resume_continues_state(spark, tmp_path):
     }
     assert got[("2026-01-01 00:00:00", "click")] == (3, 7.0)
     assert got[("2026-01-01 00:00:00", "view")] == (1, 8.0)
+
+
+def test_watermark_drops_late_rows_and_reports_metric(spark, tmp_path):
+    """Late-data accounting — the operational contract of a watermark:
+    once a window is finalized (state evicted in append mode), a late
+    redelivery for it is DROPPED, the finalized result never mutates,
+    and the drop is OBSERVABLE in stateOperators'
+    numRowsDroppedByWatermark — the metric a production pipeline
+    alerts on.
+
+    Empirical nuance this queue pins (verified on Spark 4.1): a late
+    row landing in the SAME micro-batch in which its window is being
+    evicted still merges into the final emission; the strict drop +
+    metric applies from the NEXT batch on — so the redelivery here
+    arrives two batches after the watermark passed its window."""
+    d = str(tmp_path / "late_q")
+    files = [
+        [(1, 0, 1, "click", 1.0), (2, 10, 1, "click", 2.0)],  # window 00
+        [(3, 600, 2, "click", 3.0)],   # advances watermark past 00:00
+        [(5, 610, 2, "click", 5.0)],   # batch that evicts+emits 00:00
+        [(6, 25, 1, "click", 6.0),     # 9 h late: must be dropped
+         (7, 620, 2, "click", 7.0)],
+    ]
+    for rows in files:
+        _mk_events(spark, rows).coalesce(1).write.mode("append").parquet(d)
+
+    out = tumbling_counts(
+        stream_events(spark, d), window="1 hour", watermark="30 minutes"
+    )
+    q = run_available_now(
+        out, "late_metrics", str(tmp_path / "ck"), output_mode="append"
+    )
+    import json
+
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in json.loads(p.json).get("stateOperators", [])
+    )
+    assert dropped == 1  # exactly the event_id=6 redelivery
+
+    emitted = sorted(
+        (r["window_start"].isoformat(), r["n"])
+        for r in spark.table("late_metrics").collect()
+    )
+    # hour 00 finalized WITHOUT the late row; hour 10 still withheld
+    # (watermark never passed its end before the queue drained)
+    assert emitted == [(T0.isoformat(), 2)]
