@@ -569,3 +569,65 @@ def events_value_shape_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         bowley.alias("bowley_skew_ppm"),
         moors.alias("moors_kurtosis_ppm"),
     )
+
+
+_EQUIDEPTH_BUCKETS = 8
+
+
+@register(
+    "events_value_equidepth_histogram",
+    f"""
+WITH cut AS (
+  SELECT quantile_cont(value, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS c
+  FROM events),
+b AS (
+  SELECT CASE
+           WHEN value < c[1] THEN 0 WHEN value < c[2] THEN 1
+           WHEN value < c[3] THEN 2 WHEN value < c[4] THEN 3
+           WHEN value < c[5] THEN 4 WHEN value < c[6] THEN 5
+           WHEN value < c[7] THEN 6 ELSE 7
+         END AS bucket,
+         value
+  FROM events CROSS JOIN cut)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_total
+FROM b GROUP BY bucket
+""",
+    doc=f"Equi-depth (equal-frequency) histogram of event values in "
+    f"{_EQUIDEPTH_BUCKETS} buckets — the ANALYZE-style statistic an "
+    "optimizer or drift monitor wants, built the scalable way: ONE "
+    "percentile aggregate produces the 7 cutpoints (a 1-row broadcast), "
+    "then ONE bucketing pass with a codegen'd CASE — no global sort, "
+    "no window, unlike the ntile formulation (which total-orders the "
+    "corpus). Strict-< bucket edges on both engines; counts, rounded "
+    "bucket ranges, and an exact cents checksum per bucket. The 100 TB "
+    "swap is approx_percentile cutpoints, same two-pass shape.",
+)
+def events_value_equidepth_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _events(spark, sf_dir)
+    probs = [i / _EQUIDEPTH_BUCKETS for i in range(1, _EQUIDEPTH_BUCKETS)]
+    cuts = e.agg(
+        F.expr(
+            f"percentile(value, array({', '.join(str(p) for p in probs)}))"
+        ).alias("c")
+    )
+    v = F.col("value")
+    bucket = F.lit(_EQUIDEPTH_BUCKETS - 1)
+    for i in range(_EQUIDEPTH_BUCKETS - 2, -1, -1):
+        bucket = F.when(v < F.col("c")[i], i).otherwise(bucket)
+    return (
+        e.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+            F.sum(F.round(v * 100).cast("bigint")).cast("bigint").alias("cents_total"),
+        )
+    )
