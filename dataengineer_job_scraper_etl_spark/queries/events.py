@@ -631,3 +631,73 @@ def events_value_equidepth_histogram(
             F.sum(F.round(v * 100).cast("bigint")).cast("bigint").alias("cents_total"),
         )
     )
+
+
+@register(
+    "events_purchase_cohort_retention",
+    """
+WITH cohort AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+cells AS (
+  SELECT DISTINCT c.cohort_date, c.user_id,
+         CAST(floor(date_diff('day', c.cohort_date, a.d) / 7.0) AS INTEGER)
+           AS week_offset
+  FROM cohort c JOIN activity a USING (user_id)
+  WHERE a.d >= c.cohort_date)
+SELECT CAST(cohort_date AS VARCHAR) AS cohort_day, week_offset,
+       CAST(count(*) AS BIGINT) AS n_active_users,
+       CAST(sum(user_id) AS BIGINT) AS user_checksum
+FROM cells GROUP BY cohort_date, week_offset
+""",
+    doc="Cohort retention — the product-analytics staple: users "
+    "cohorted by FIRST-PURCHASE day, then counted as retained in each "
+    "week-offset where they show ANY activity. Three-shuffle shape, "
+    "all on user_id (per-user min, distinct activity days, the "
+    "cohort-activity join co-partitions for free), then one cell "
+    "dedup + rollup; no window, no self-join over raw events. "
+    "user_checksum pins exact per-cell membership. At 100 TB the "
+    "cohort frame is users-sized (broadcastable for most products) "
+    "and activity compacts to user-days before the join.",
+)
+def events_purchase_cohort_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = _events(spark, sf_dir)
+    cohort = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_date"))
+    )
+    activity = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    cells = (
+        cohort.join(activity, "user_id")
+        .filter(F.col("d") >= F.col("cohort_date"))
+        .select(
+            "cohort_date",
+            "user_id",
+            F.floor(F.datediff("d", "cohort_date") / 7.0)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        cells.groupBy("cohort_date", "week_offset")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active_users"),
+            F.sum("user_id").cast("bigint").alias("user_checksum"),
+        )
+        # string, not DATE: the driver canonicalizes via pandas, where
+        # Spark dates stay `object` but DuckDB dates become
+        # datetime64 and stringify with a time suffix (the hazard
+        # tools/dtype_audit.py flagged on the DATE-typed draft)
+        .select(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_day"),
+            "week_offset",
+            "n_active_users",
+            "user_checksum",
+        )
+    )
