@@ -701,3 +701,80 @@ def events_purchase_cohort_retention(
             "user_checksum",
         )
     )
+
+
+@register(
+    "events_hourly_cusum_shift",
+    """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         count(*) AS n
+  FROM events GROUP BY event_type, h),
+tot AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n_hours
+  FROM hourly GROUP BY event_type),
+dev AS (
+  SELECT h.event_type, h.h,
+         sum(h.n * t.n_hours - t.total) OVER (
+           PARTITION BY h.event_type ORDER BY h.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM hourly h JOIN tot t USING (event_type))
+SELECT event_type,
+       CAST(max(abs(cusum)) AS BIGINT) AS max_abs_cusum,
+       CAST(min(CASE WHEN abs(cusum) = m THEN epoch(h) END) AS BIGINT)
+         AS shift_epoch
+FROM (SELECT *, max(abs(cusum)) OVER (PARTITION BY event_type) AS m
+      FROM dev)
+GROUP BY event_type
+""",
+    doc="CUSUM change-point detection over hourly event rates — the "
+    "drift/shift monitor a pipeline runs on its own telemetry: per "
+    "type, the running sum of deviations from the mean rate peaks at "
+    "the most likely change point. INTEGER-EXACT throughout: the "
+    "deviation is scaled to (n*n_hours - total) so no rational mean "
+    "ever touches a float — cusum, its max, and the argmax hour "
+    "(earliest on ties, emitted as epoch seconds) are all exact "
+    "longs on both engines. Shape: one hourly rollup, a 2-row-ish "
+    "broadcast join of per-type totals, ONE ordered window per type "
+    "partition — the 100 TB telemetry volume is already crushed to "
+    "type x hour before any window runs.",
+)
+def events_hourly_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = (
+        hourly.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "cusum",
+            F.sum(
+                F.col("n") * F.col("n_hours") - F.col("total")
+            ).over(w),
+        )
+    )
+    m = Window.partitionBy("event_type")
+    peaked = dev.withColumn("m", F.max(F.abs(F.col("cusum"))).over(m))
+    return peaked.groupBy("event_type").agg(
+        F.max(F.abs(F.col("cusum"))).cast("bigint").alias("max_abs_cusum"),
+        F.min(
+            F.when(
+                F.abs(F.col("cusum")) == F.col("m"),
+                F.unix_timestamp("h"),
+            )
+        )
+        .cast("bigint")
+        .alias("shift_epoch"),
+    )
