@@ -95,6 +95,12 @@ HEADLINE += [
     "text_bpe_top_pairs",
     "part_fuzzy_name_pairs",
 ]
+HEADLINE += [
+    # round-5 analytics tail: cohorts, change-points, equi-depth stats
+    "events_purchase_cohort_retention",
+    "events_hourly_cusum_shift",
+    "events_value_equidepth_histogram",
+]
 
 # Bumped whenever the warm-up methodology changes (what is excluded
 # from the timed region), so bench_compare can distinguish
