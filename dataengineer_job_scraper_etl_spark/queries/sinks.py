@@ -221,3 +221,80 @@ def io_foreachbatch_sink_roundtrip(
         F.sum("event_id").cast("long").alias("id_checksum"),
         F.round(F.sum("value"), 2).alias("value_sum"),
     )
+
+
+def _staged_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
+    """documents exported as compressed JSONL (the LLM-corpus
+    interchange format), staged once per fixture fingerprint with the
+    same rename-publish protocol."""
+    import hashlib
+    import shutil
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"jsonlrt:{src}:{st.st_size}:{int(st.st_mtime)}".encode()
+    ).hexdigest()[:12]
+    key = sf_dir.strip("/").replace("/", "_")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_jsonlrt_{key}_{fp}"
+    )
+    if os.path.exists(root):
+        return root
+    tmp = tempfile.mkdtemp(prefix="spark_graft_jsonlstage_")
+    staged = os.path.join(tmp, "data")
+    (
+        spark.read.parquet(src)
+        .select("doc_id", "source", "lang", "text")
+        .write.option("compression", "gzip")
+        .json(staged)
+    )
+    try:
+        os.rename(staged, root)
+    except OSError:
+        pass  # concurrent stager won; its dir is complete
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return root
+
+
+@register(
+    "io_jsonl_corpus_roundtrip",
+    """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       md5(string_agg(md5(text), '' ORDER BY doc_id)) AS text_digest
+FROM documents GROUP BY source
+""",
+    doc="JSONL corpus export round-trip — the interchange format LLM "
+    "corpora actually ship in: documents written as gzipped JSON "
+    "lines (one doc per line, Spark's distributed json sink), read "
+    "back with schema inference, and digested per source. "
+    "text_digest is an order-pinned md5-of-md5s chain, so ONE "
+    "character lost to JSON escaping/encoding in any document flips "
+    "the hash against the oracle's view of the ORIGINAL parquet — "
+    "equality proves the export path is byte-faithful, not just "
+    "row-complete. Staged once per fixture fingerprint; compression "
+    "rides through transparently.",
+)
+def io_jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _staged_jsonl_dir(spark, sf_dir)
+    back = spark.read.json(root)
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("doc_id"), F.md5("text").alias("h"))
+                        )
+                    ).getField("h"),
+                )
+            ).alias("text_digest"),
+        )
+    )
