@@ -778,3 +778,64 @@ def events_hourly_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shift_epoch"),
     )
+
+
+@register(
+    "events_user_spend_gini",
+    """
+WITH spend AS (
+  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, user_id) AS i FROM spend),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(i * cents) AS BIGINT) AS si
+  FROM ranked)
+SELECT n AS n_users, s AS total_cents,
+       CAST(round(1e6 * (2.0 * si - (n + 1.0) * s) / (CAST(n AS DOUBLE) * s))
+            AS BIGINT) AS gini_ppm
+FROM m
+""",
+    doc="Gini coefficient of per-user purchase spend — the inequality "
+    "/ data-balance audit (same formula audits per-source token "
+    "share in a training mixture): G = (2*Σ(i*x_i) - (n+1)*Σx) / "
+    "(n*Σx) over ascending-sorted values. INTEGER-EXACT moments: "
+    "cents and dense ranks (total order via the user_id tiebreak), "
+    "so Σx and Σ(i*x) are exact longs and only the final one-shot "
+    "division is floating point (ppm output). Shape: per-user agg, "
+    "ONE ranking window over the users-sized frame (not raw events), "
+    "1-row moment agg.",
+)
+def events_user_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("cents", "user_id")
+    ranked = spend.select("cents", F.row_number().over(w).alias("i"))
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("si"),
+    )
+    nd = F.col("n").cast("double")
+    gini = F.round(
+        F.lit(1e6)
+        * (2.0 * F.col("si") - (F.col("n") + 1.0) * F.col("s"))
+        / (nd * F.col("s"))
+    ).cast("bigint")
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.col("s").alias("total_cents"),
+        gini.alias("gini_ppm"),
+    )
