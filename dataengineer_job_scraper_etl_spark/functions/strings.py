@@ -33,6 +33,15 @@ def normalize_ws_lower(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def ws_tokens(col: Column) -> Column:
+    """THE corpus-wide whitespace tokenization contract (lowercase,
+    collapse whitespace runs, trim, split on single space) — shared by
+    every tokenizing operator so the cross-engine oracle parity the
+    catalog depends on cannot drift copy-by-copy. DuckDB twin:
+    ``string_split(trim(regexp_replace(lower(x), '\s+', ' ', 'g')), ' ')``."""
+    return F.split(normalize_ws_lower(col), " ")
+
+
 def ddmmyyyy(col: Column | None = None) -> Column:
     """C7 — the reference's file-naming date format
     (``strftime('%d%m%Y')``, main.py:19)."""

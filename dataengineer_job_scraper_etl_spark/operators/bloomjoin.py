@@ -22,9 +22,15 @@ Scale shape:
   i.e. by the FILTER's size, never the data's. This is exactly the
   merge-to-driver step of Spark's native runtime bloom (and of every
   distributed bloom build); m_bits is chosen by the caller to fit the
-  false-positive budget, 4096 bits = 64 longs here.
-- The filter ships to executors as a 64-long array literal in the row
-  predicate — broadcast-by-constant-folding, no join, no shuffle. The
+  false-positive budget. Each hash draws 16 bits, so m_bits is capped
+  at 65536 and must be a power of two (enforced in
+  build_bloom_bitmap) — a non-divisor of 2^16 would bias low
+  positions and a larger m would silently use only 65536 of its
+  bits; beyond 2^16 bits, widen the hash windows (md5 has 32 hex
+  digits; 8-digit windows give 32 bits) rather than the modulus.
+- The filter ships to executors as an array-of-longs literal (32 bits
+  used per long, so m_bits/32 entries — 128 longs at 4096 bits) in the
+  row predicate — broadcast-by-constant-folding, no join, no shuffle. The
   membership test is integer bit arithmetic inside whole-stage
   codegen; at the parquet scan it behaves like any other residual
   filter (the md5 itself blocks pushdown INTO the reader, but the
@@ -80,7 +86,10 @@ def build_bloom_bitmap(
     down to distinct positions; the collect is bounded by
     min(K_HASHES * |build|, m_bits) ints — filter-sized, not
     data-sized."""
-    assert m_bits % 32 == 0
+    # 16-bit hash windows: m_bits beyond 2^16 would silently never
+    # set high bits; non-powers-of-two would bias low positions.
+    assert m_bits % 32 == 0 and m_bits <= 65536
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
     key = F.col(key_col)
     positions = (
         build.select(

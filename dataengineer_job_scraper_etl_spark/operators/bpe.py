@@ -40,9 +40,9 @@ from pyspark.sql import functions as F
 END_OF_WORD = "</w>"
 
 
-def _ws_tokens(col: Column) -> Column:
-    # the corpus-wide whitespace tokenization contract (queries/text.py)
-    return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+from dataengineer_job_scraper_etl_spark.functions.strings import (
+    ws_tokens as _ws_tokens,
+)
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -216,11 +216,31 @@ def bpe_token_counts(
         F.col(id_col).alias("__id"),
         F.explode(_ws_tokens(F.col(text_col))).alias("word"),
     ).filter(F.col("word") != "")
+    # materialize the exploded words ONCE: `flat` feeds both the
+    # distinct-word segmenter and the join-back, and those are
+    # different subplans (one carries __id), so without this the
+    # corpus would be scanned and tokenized twice — the dominant
+    # cost at scale.
+    flat = flat.localCheckpoint(eager=False)
     seg = flat.select("word").distinct().select(
         "word", _segment_udf(merges)(F.col("word")).alias("n_sub")
     )
-    return (
+    counts = (
         flat.join(seg, "word")
-        .groupBy(F.col("__id").alias(id_col))
-        .agg(F.sum("n_sub").cast("long").alias("n_bpe_tokens"))
+        .groupBy("__id")
+        .agg(F.sum("n_sub").cast("long").alias("__n"))
+    )
+    # left join from the full id set: a doc whose text is empty or
+    # whitespace-only contributes no words, and an inner-join result
+    # would silently LOSE it — downstream packing/budget joins need
+    # an explicit 0, not an absent row.
+    return (
+        docs.select(F.col(id_col).alias("__id"))
+        .join(counts, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__n"), F.lit(0))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
     )

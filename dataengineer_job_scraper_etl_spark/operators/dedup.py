@@ -16,6 +16,8 @@ docs_near_dup_jaccard), and unit tests assert the sketch properties
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from dataengineer_job_scraper_etl_spark.functions.strings import ws_tokens
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -57,9 +59,7 @@ def _token_count(text: Column) -> Column:
     would push the entire shingle construction into the (narrow,
     few-partition) scan stage and then recompute it downstream —
     measured 2x the whole sketch cost at sf0.1."""
-    return F.size(
-        F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
-    )
+    return F.size(ws_tokens(text))
 
 
 def shingles(text: Column, n: int = 3) -> Column:
@@ -73,7 +73,7 @@ def shingles(text: Column, n: int = 3) -> Column:
     start > stop, so an unguarded sequence(1, 0) would produce [1, 0]
     and slice() would then throw INVALID_PARAMETER_VALUE.START. The
     CASE branch is only evaluated when the token count is >= n."""
-    toks = F.split(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")), " ")
+    toks = ws_tokens(text)
     n_sh = F.size(toks) - F.lit(n - 1)
     idx = F.sequence(F.lit(1), n_sh)  # 1-based for slice()
     windows = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))

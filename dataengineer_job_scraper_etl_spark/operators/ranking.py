@@ -37,9 +37,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _ws_tokens(col: Column) -> Column:
-    # same whitespace tokenization contract as queries/text.py
-    return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+from dataengineer_job_scraper_etl_spark.functions.strings import (
+    ws_tokens as _ws_tokens,
+)
 
 
 def _count_term(toks: Column, term: str) -> Column:

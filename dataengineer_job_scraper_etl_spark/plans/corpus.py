@@ -43,8 +43,9 @@ from dataengineer_job_scraper_etl_spark.queries.sampling import (
 _WS = r"\s+"
 
 
-def _toks(col):
-    return F.split(F.trim(F.regexp_replace(F.lower(col), _WS, " ")), " ")
+from dataengineer_job_scraper_etl_spark.functions.strings import (  # noqa: E402
+    ws_tokens as _toks,
+)
 
 
 def build_pretraining_corpus(

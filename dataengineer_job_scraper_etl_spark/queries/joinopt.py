@@ -25,8 +25,8 @@ from dataengineer_job_scraper_etl_spark.operators.bloomjoin import (
     build_bloom_bitmap,
 )
 
-# Entry contract literals: 4096-bit filter (64 longs broadcast in the
-# predicate), build side = BUILDING-segment customers. At sf0.01
+# Entry contract literals: 4096-bit filter (128 longs, 32 bits each,
+# broadcast in the predicate), build side = BUILDING-segment customers. At sf0.01
 # that's ~300 keys -> ~900 of 4096 bits set -> per-probe FP rate
 # ~(900/4096)^3 ~ 1%: small enough to show real pruning, large
 # enough that the false-positive rows the oracle must reproduce
@@ -77,7 +77,8 @@ FROM flags GROUP BY o_orderpriority
     "engine-portable, so DuckDB reproduces the same false positives "
     "bit for bit — and no_false_negatives, the one-sided-error "
     "contract computed from the real flags, not assumed. Plan: the "
-    "filter is a 64-long array literal folded into one codegen'd "
+    "filter is a 128-long array literal (32 bits per long) folded "
+    "into one codegen'd "
     "predicate (no join, no shuffle for the pruning itself); the "
     "is_exact flag is a broadcast left join against the ~300-key dim. "
     "At 100 TB this is the pre-shuffle kill that makes selective "

@@ -37,8 +37,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _ws_tokens(col):
-    return F.split(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")), " ")
+from dataengineer_job_scraper_etl_spark.functions.strings import (  # noqa: E402
+    ws_tokens as _ws_tokens,
+)
 
 
 @register(

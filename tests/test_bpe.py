@@ -147,3 +147,20 @@ def test_segmenter_python_runs_on_distinct_words_only(docs):
     assert "ArrowEvalPython" in plan
     arrow_subtree = plan[plan.index("ArrowEvalPython"):]
     assert "HashAggregate" in arrow_subtree  # the distinct below it
+
+
+def test_empty_and_whitespace_docs_count_zero_not_dropped(spark):
+    from dataengineer_job_scraper_etl_spark.operators.bpe import (
+        bpe_token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "ab"), (1, ""), (2, "   "), (3, "ab ab")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(df, []).collect()
+    }
+    # every doc present; empty/whitespace docs are explicit zeros
+    assert got == {0: 3, 1: 0, 2: 0, 3: 6}
