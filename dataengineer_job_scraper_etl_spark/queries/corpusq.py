@@ -37,7 +37,9 @@ from dataengineer_job_scraper_etl_spark.catalog import register
 # Same contract as queries/text.py's Jaccard battery: distinct-token
 # 1-gram Jaccard, document-frequency-pruned posting lists (no hot join
 # key), threshold 0.8.
-_PAIR_MAX_DF = 100
+from dataengineer_job_scraper_etl_spark.queries.text import (
+    JACCARD_MAX_DF as _PAIR_MAX_DF,  # same contract BY CONSTRUCTION now
+)
 _PAIR_THRESHOLD = 0.8
 
 # Unequal on purpose: equal weights over equal-sized sources would

@@ -741,8 +741,6 @@ GROUP BY event_type
     "type x hour before any window runs.",
 )
 def events_hourly_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = _events(spark, sf_dir)
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
@@ -809,8 +807,6 @@ FROM m
     "1-row moment agg.",
 )
 def events_user_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = _events(spark, sf_dir)
     spend = (
         e.filter(F.col("event_type") == "purchase")

@@ -29,35 +29,19 @@ from pyspark.sql import functions as F
 from dataengineer_job_scraper_etl_spark.catalog import register
 from dataengineer_job_scraper_etl_spark.io import write_parquet_partitioned
 from dataengineer_job_scraper_etl_spark.queries.events import _events
+from dataengineer_job_scraper_etl_spark.staging import stage_once
 
 
 def _staged_sink_dir(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
-    import shutil
-
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    fp = hashlib.md5(
-        f"sinkrt:{src}:{st.st_size}:{int(st.st_mtime)}".encode()
-    ).hexdigest()[:12]
-    key = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_sinkrt_{key}_{fp}"
+    """Partitioned-parquet sink output via the SHARED staging protocol
+    (staging.py: fingerprint-keyed, rename-published)."""
+    return stage_once(
+        os.path.join(sf_dir, "events.parquet"),
+        "sinkrt",
+        lambda staged: write_parquet_partitioned(
+            _events(spark, sf_dir), staged, partition_cols=("event_type",)
+        ),
     )
-    if os.path.exists(root):
-        return root
-    tmp = tempfile.mkdtemp(prefix="spark_graft_sinkstage_")
-    staged = os.path.join(tmp, "data")
-    write_parquet_partitioned(
-        _events(spark, sf_dir), staged, partition_cols=("event_type",)
-    )
-    try:
-        os.rename(staged, root)
-    except OSError:
-        pass  # concurrent stager won; its dir is complete
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return root
 
 
 @register(
@@ -151,11 +135,10 @@ def events_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _staged_foreachbatch_dir(spark: SparkSession, sf_dir: str) -> str:
     """Drive the event stream through the foreachBatch parquet sink
-    once per fixture fingerprint (same rename-publish protocol). The
-    2-file queue lands as two __batch_id partitions."""
-    import hashlib
-    import shutil
-
+    once per fixture fingerprint (shared staging protocol). The 2-file
+    queue lands as two __batch_id partitions; the run's checkpoint
+    lives beside the staged output inside the private temp dir, so
+    the publish discards it with the rest of the scaffolding."""
     from dataengineer_job_scraper_etl_spark.queries.streaming_queries import (
         _stage_stream_dir,
     )
@@ -164,32 +147,17 @@ def _staged_foreachbatch_dir(spark: SparkSession, sf_dir: str) -> str:
         stream_events,
     )
 
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    fp = hashlib.md5(
-        f"fbsink:{src}:{st.st_size}:{int(st.st_mtime)}".encode()
-    ).hexdigest()[:12]
-    key = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_fbsink_{key}_{fp}"
+    def build(staged: str) -> None:
+        queue = _stage_stream_dir(spark, sf_dir)
+        run_foreach_batch_parquet(
+            stream_events(spark, queue),
+            staged,
+            os.path.join(os.path.dirname(staged), "cp"),
+        )
+
+    return stage_once(
+        os.path.join(sf_dir, "events.parquet"), "fbsink", build
     )
-    if os.path.exists(root):
-        return root
-    tmp = tempfile.mkdtemp(prefix="spark_graft_fbstage_")
-    staged = os.path.join(tmp, "data")
-    queue = _stage_stream_dir(spark, sf_dir)
-    run_foreach_batch_parquet(
-        stream_events(spark, queue),
-        staged,
-        os.path.join(tmp, "cp"),
-    )
-    try:
-        os.rename(staged, root)
-    except OSError:
-        pass  # concurrent stager won; its dir is complete
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return root
 
 
 @register(
@@ -225,37 +193,18 @@ def io_foreachbatch_sink_roundtrip(
 
 def _staged_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
     """documents exported as compressed JSONL (the LLM-corpus
-    interchange format), staged once per fixture fingerprint with the
-    same rename-publish protocol."""
-    import hashlib
-    import shutil
-
+    interchange format), staged via the shared protocol."""
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    fp = hashlib.md5(
-        f"jsonlrt:{src}:{st.st_size}:{int(st.st_mtime)}".encode()
-    ).hexdigest()[:12]
-    key = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_jsonlrt_{key}_{fp}"
+    return stage_once(
+        src,
+        "jsonlrt",
+        lambda staged: (
+            spark.read.parquet(src)
+            .select("doc_id", "source", "lang", "text")
+            .write.option("compression", "gzip")
+            .json(staged)
+        ),
     )
-    if os.path.exists(root):
-        return root
-    tmp = tempfile.mkdtemp(prefix="spark_graft_jsonlstage_")
-    staged = os.path.join(tmp, "data")
-    (
-        spark.read.parquet(src)
-        .select("doc_id", "source", "lang", "text")
-        .write.option("compression", "gzip")
-        .json(staged)
-    )
-    try:
-        os.rename(staged, root)
-    except OSError:
-        pass  # concurrent stager won; its dir is complete
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return root
 
 
 @register(

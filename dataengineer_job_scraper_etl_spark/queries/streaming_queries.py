@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataengineer_job_scraper_etl_spark.catalog import register
+from dataengineer_job_scraper_etl_spark.staging import (
+    stage_once,
+    write_ordered_batches,
+)
 from dataengineer_job_scraper_etl_spark.queries.events import _events
 from dataengineer_job_scraper_etl_spark.streaming.jobs import (
     run_available_now,
@@ -40,53 +44,37 @@ _EV_CTE = (
 
 
 def _stage_stream_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Write the events fixture as a 2-file stream directory, cached in
-    the temp root keyed by a FINGERPRINT of the source fixture
-    (size + mtime): regenerated fixtures get a fresh stage dir instead
-    of silently reusing stale batches from an earlier run.
+    """The events fixture as a 2-file stream queue — fingerprint-keyed,
+    rename-published, and mtime-ordered via the SHARED staging
+    protocol (dataengineer_job_scraper_etl_spark/staging.py, which
+    documents the crash/race/ordering rules once for every stager)."""
 
-    Staging is crash- and race-safe: batches are written into a
-    private temp dir, then a single os.rename publishes the complete
-    directory — the existence of the final root IS the staged marker,
-    so no partially-written root is ever observable. If two processes
-    race, the loser's rename fails against the winner's (complete)
-    directory and its temp copy is discarded."""
-    import hashlib
-    import shutil
+    def build(staged: str) -> None:
+        e = _events(spark, sf_dir)
+        write_ordered_batches(
+            staged,
+            [
+                e.filter(F.col("event_id") % 2 == 0),
+                e.filter(F.col("event_id") % 2 == 1),
+            ],
+        )
 
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    fp = hashlib.md5(
-        f"{src}:{st.st_size}:{int(st.st_mtime)}".encode()
-    ).hexdigest()[:12]
-    key = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_stream_{key}_{fp}"
-    )
-    if os.path.exists(root):
-        return root
-    tmp = tempfile.mkdtemp(prefix="spark_graft_stage_")
-    staged = os.path.join(tmp, "data")
-    e = _events(spark, sf_dir)
-    half = e.filter(F.col("event_id") % 2 == 0)
-    rest = e.filter(F.col("event_id") % 2 == 1)
-    half.coalesce(1).write.mode("append").parquet(staged)
-    rest.coalesce(1).write.mode("append").parquet(staged)
-    try:
-        os.rename(staged, root)
-    except OSError:
-        pass  # concurrent stager won the race; its dir is complete
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return root
+    return stage_once(os.path.join(sf_dir, "events.parquet"), "stream", build)
 
 
 def _drain(
     out: DataFrame, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:
+    import shutil
+
     name = "q" + uuid.uuid4().hex[:12]
     cp = os.path.join(tempfile.gettempdir(), "spark_graft_cp", name)
     run_available_now(out, name, cp, output_mode=output_mode)
+    # the drained query never resumes, so its checkpoint tree is dead
+    # weight — without this, every entry invocation leaks one
+    # uuid-named checkpoint into the temp root (review finding). The
+    # memory-sink view stays: the returned frame reads it lazily.
+    shutil.rmtree(cp, ignore_errors=True)
     return spark.table(name)
 
 
@@ -94,39 +82,25 @@ def _stage_redelivery_dir(spark: SparkSession, sf_dir: str) -> str:
     """A 2-file stream queue WITH at-least-once redelivery: batch 1 is
     the even-id events; batch 2 is the odd-id events PLUS a re-send of
     every id%10==0 event with its timestamp jittered +1s (the payload a
-    retrying producer actually emits: same id, drifted ts). Same
-    fingerprint-keyed, rename-published staging as _stage_stream_dir."""
-    import hashlib
-    import shutil
+    retrying producer actually emits: same id, drifted ts). The
+    first-delivery-wins contract REQUIRES batch order, which the
+    shared stager enforces with explicit mtimes — FileStreamSource
+    orders by mtime with random tie-break, so two quick appends in
+    one timestamp tick could otherwise replay reversed and keep the
+    jittered copy (review finding)."""
 
-    src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    fp = hashlib.md5(
-        f"redeliver:{src}:{st.st_size}:{int(st.st_mtime)}".encode()
-    ).hexdigest()[:12]
-    key = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_redeliver_{key}_{fp}"
+    def build(staged: str) -> None:
+        e = _events(spark, sf_dir)
+        first = e.filter(F.col("event_id") % 2 == 0)
+        redelivered = first.filter(F.col("event_id") % 10 == 0).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")
+        )
+        second = e.filter(F.col("event_id") % 2 == 1).unionByName(redelivered)
+        write_ordered_batches(staged, [first, second])
+
+    return stage_once(
+        os.path.join(sf_dir, "events.parquet"), "redeliver", build
     )
-    if os.path.exists(root):
-        return root
-    tmp = tempfile.mkdtemp(prefix="spark_graft_stage_")
-    staged = os.path.join(tmp, "data")
-    e = _events(spark, sf_dir)
-    first = e.filter(F.col("event_id") % 2 == 0)
-    redelivered = first.filter(F.col("event_id") % 10 == 0).withColumn(
-        "ts", F.col("ts") + F.expr("INTERVAL 1 SECOND")
-    )
-    second = e.filter(F.col("event_id") % 2 == 1).unionByName(redelivered)
-    first.coalesce(1).write.mode("append").parquet(staged)
-    second.coalesce(1).write.mode("append").parquet(staged)
-    try:
-        os.rename(staged, root)
-    except OSError:
-        pass  # concurrent stager won the race; its dir is complete
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return root
 
 
 @register(
@@ -210,24 +184,27 @@ def streaming_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 {_EV_CTE}
 , g AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN event_type = 'click' THEN 600 ELSE 1800 END AS gap_s
   FROM ev),
 m AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          max(epoch_us(ts) + gap_s * 1000000) OVER (
-           PARTITION BY user_id ORDER BY ts
+           PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS prev_max_end
   FROM g),
 s AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN prev_max_end IS NULL
                 OR epoch_us(ts) >= prev_max_end THEN 1 ELSE 0 END AS new_s
   FROM m),
 sess AS (
+  -- (ts, event_id) is a TOTAL order: every window in this chain must
+  -- use it, or tied timestamps at a session boundary let different
+  -- CTEs enumerate the tie in different orders (review finding)
   SELECT user_id, ts,
-         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
   FROM s)
 SELECT user_id, min(ts) AS session_start, count(*) AS n_events
@@ -359,11 +336,12 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    >= 1800000000
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-              THEN 1 ELSE 0 END AS new_session
+              THEN 1 ELSE 0 END AS new_session,
+         event_id
   FROM ev),
 sessions AS (
   SELECT user_id, ts,
-         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM gaps)
 SELECT user_id, min(ts) AS session_start, count(*) AS n_events
@@ -373,10 +351,12 @@ FROM sessions GROUP BY user_id, session_id
     "gap) drained with AvailableNow, checked against the batch lag-gap "
     "sessionization SQL: a session's window start == min(ts) of the "
     "lag-gap group, so the two formulations must produce identical "
-    "(user, start, count) rows. NB: the oracle's running-sum window "
-    "omits the event_id tiebreak on purpose — session membership is "
-    "tiebreak-invariant (ties share a session either way) and the "
-    "grouped output makes any internal ordering unobservable.",
+    "(user, start, count) rows. Every window in the oracle chain "
+    "orders by the TOTAL key (ts, event_id): with ts alone, tied "
+    "timestamps at a session boundary could be enumerated in "
+    "different orders by the gaps and running-sum windows and split "
+    "a session nondeterministically (latent-only today — the "
+    "fixtures contain no same-user ts ties).",
 )
 def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineer_job_scraper_etl_spark.streaming.jobs import session_windows
@@ -425,44 +405,27 @@ def _stage_docs_ingest_dir(spark: SparkSession, sf_dir: str) -> str:
     ingestion entry: the doc_id%3==0 slice of the fixture split across
     two micro-batches, batch 2 additionally carrying planted EXACT
     COPIES of index docs (doc_id%5==1 rows re-keyed +2000000) so both
-    classifications provably occur in the stream. Fingerprint-keyed,
-    rename-published — same contract as _stage_stream_dir."""
-    import hashlib
-    import shutil
+    classifications provably occur in the stream. Shared staging
+    protocol (staging.py): fingerprint-keyed, rename-published,
+    mtime-ordered."""
 
     src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    fp = hashlib.md5(
-        f"ingest:{src}:{st.st_size}:{int(st.st_mtime)}".encode()
-    ).hexdigest()[:12]
-    key = sf_dir.strip("/").replace("/", "_")
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_ingest_{key}_{fp}"
-    )
-    if os.path.exists(root):
-        return root
-    tmp = tempfile.mkdtemp(prefix="spark_graft_stage_")
-    staged = os.path.join(tmp, "data")
-    d = spark.read.parquet(src).select("doc_id", "source", "text")
-    incoming = d.filter(F.col("doc_id") % 3 == 0)
-    planted = (
-        d.filter(F.col("doc_id") % 3 != 0)
-        .filter(F.col("doc_id") % 5 == 1)
-        .select(
-            (F.col("doc_id") + 2000000).alias("doc_id"), "source", "text"
+
+    def build(staged: str) -> None:
+        d = spark.read.parquet(src).select("doc_id", "source", "text")
+        incoming = d.filter(F.col("doc_id") % 3 == 0)
+        planted = (
+            d.filter(F.col("doc_id") % 3 != 0)
+            .filter(F.col("doc_id") % 5 == 1)
+            .select(
+                (F.col("doc_id") + 2000000).alias("doc_id"), "source", "text"
+            )
         )
-    )
-    b1 = incoming.filter(F.col("doc_id") % 2 == 0)
-    b2 = incoming.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
-    b1.coalesce(1).write.mode("append").parquet(staged)
-    b2.coalesce(1).write.mode("append").parquet(staged)
-    try:
-        os.rename(staged, root)
-    except OSError:
-        pass  # concurrent stager won the race; its dir is complete
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-    return root
+        b1 = incoming.filter(F.col("doc_id") % 2 == 0)
+        b2 = incoming.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+        write_ordered_batches(staged, [b1, b2])
+
+    return stage_once(src, "ingest", build)
 
 
 @register(
