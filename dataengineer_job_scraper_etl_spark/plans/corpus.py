@@ -9,9 +9,11 @@ that the catalog's LLM-data operators assemble into the actual job a
 Every stage is the SAME operator the oracle-checked catalog entries
 exercise (operators/dedup.py, operators/components.py,
 queries/sampling.py), composed here with the stage wiring a real
-pipeline needs. Nothing executes until the caller acts: the return
-value is a plain DataFrame, so the whole pipeline optimizes as one
-Catalyst plan per action and writes straight to a partitioned sink.
+pipeline needs. The return value is a plain DataFrame that writes
+straight to a partitioned sink; construction itself is MOSTLY lazy
+but not action-free — connected components iterates with a per-round
+count, and the mixture branch collects one row per source (both
+bounded, both documented at their call sites).
 
 Scale shape: the gate and pack stages are narrow; dedup shuffles
 16-byte digests; the near-dup stage shuffles (band, hash) keys only;
@@ -39,9 +41,6 @@ from dataengineer_job_scraper_etl_spark.queries.sampling import (
     hash_split,
     mixture_rates,
 )
-
-_WS = r"\s+"
-
 
 from dataengineer_job_scraper_etl_spark.functions.strings import (  # noqa: E402
     ws_tokens as _toks,
@@ -99,6 +98,11 @@ def build_pretraining_corpus(
             strip_boilerplate_text,
         )
 
+        # stage the (cleaned) source once FIRST: the span machinery
+        # fans base out into ~5 subtrees (span DF-count, kept spans,
+        # totals, doc count, reassembly join), and without this each
+        # re-scans the corpus and re-runs clean_text (review finding)
+        base = base.localCheckpoint(eager=False)
         base = strip_boilerplate_text(base)
 
     # 1. quality gate (same rules as docs_pretrain_filter)
@@ -154,6 +158,11 @@ def build_pretraining_corpus(
 
     # 4. training mixture (optional): scarcest source bounds the total
     if mixture_weights is not None:
+        # the mixture dimension needs an ACTION over the full dedup/
+        # cluster/canonical pipeline; stage its output so the caller's
+        # eventual action re-reads these rows instead of re-running
+        # dedup + clustering a second time (review finding)
+        canonical = canonical.localCheckpoint(eager=False)
         counts = {
             r["source"]: r["n"]
             for r in canonical.groupBy("source")

@@ -60,13 +60,20 @@ def kfold_assign(
     return df.withColumn(fold_col, (bucket % k).cast("int"))
 
 
-def _kfold_bucket_sql(key: str) -> str:
+def _nibble_bucket_sql(key: str, offset: int) -> str:
+    """DuckDB 32-bit bucket from 8 md5 hex digits at ``offset`` —
+    the ONE generator behind every nibble-arithmetic oracle here
+    (kfold at 21, uniform at 9); DuckDB has no conv()."""
     terms = " + ".join(
-        f"(position(substring(md5(CAST({key} AS VARCHAR)), {21 + i}, 1) "
+        f"(position(substring(md5(CAST({key} AS VARCHAR)), {offset + i}, 1) "
         f"in '0123456789abcdef') - 1) * {16 ** (7 - i)}"
         for i in range(8)
     )
     return f"({terms})"
+
+
+def _kfold_bucket_sql(key: str) -> str:
+    return _nibble_bucket_sql(key, 21)
 
 
 _KFOLD_K = 5
@@ -162,6 +169,11 @@ def deterministic_source_sample(
     ranges of one md5 are independent for splitting purposes, so a
     downsampled source still spreads 12/2/2 across splits
     (tests/test_mixture.py::test_downsampled_source_fills_all_splits)."""
+    if not rates:
+        raise ValueError(
+            "deterministic_source_sample: empty rates dict (every "
+            "source would be dropped; pass at least one source rate)"
+        )
     bucket = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 5, 4), 16, 10
     ).cast("long")
@@ -464,14 +476,9 @@ def _hashed_uniform(key_col, offset: int = 9):
 
 
 def _uniform_sql(key: str, offset: int = 9) -> str:
-    """DuckDB twin of _hashed_uniform (nibble-position arithmetic —
-    DuckDB has no conv())."""
-    terms = " + ".join(
-        f"(position(substring(md5(CAST({key} AS VARCHAR)), {offset + i}, 1) "
-        f"in '0123456789abcdef') - 1) * {16 ** (7 - i)}"
-        for i in range(8)
-    )
-    return f"(({terms}) + 0.5) / 4294967296.0"
+    """DuckDB twin of _hashed_uniform: the shared nibble bucket,
+    scaled into (0,1)."""
+    return f"({_nibble_bucket_sql(key, offset)} + 0.5) / 4294967296.0"
 
 
 def weighted_sample_without_replacement(

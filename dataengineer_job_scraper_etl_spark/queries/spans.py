@@ -41,13 +41,22 @@ DF_NUM, DF_DENOM = 1, 5
 
 def span_array(toks):
     """Non-overlapping SPAN_TOKENS-token spans of a token array, as an
-    array<string> in document order (last span may be shorter)."""
+    array<string> in document order (last span may be shorter).
+
+    Empty/NULL guard (same hazard _sliding_shingles documents below):
+    for a ZERO-length token array, sequence(0, n_spans-1) would be
+    sequence(0, -1), whose default step DESCENDS and emits [0, -1] —
+    two phantom '' spans that inflate n_kept and can even become
+    corpus-wide "boilerplate". Unreachable via ws_tokens (which yields
+    [''] for empty text, size 1), but this is a public helper."""
     n_spans = F.ceil(F.size(toks) / F.lit(SPAN_TOKENS)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_spans - 1),
-        lambda i: F.array_join(
-            F.slice(toks, i * SPAN_TOKENS + 1, SPAN_TOKENS), " "
-        ),
+    return F.when(n_spans <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * SPAN_TOKENS + 1, SPAN_TOKENS), " "
+            ),
+        )
     )
 
 
