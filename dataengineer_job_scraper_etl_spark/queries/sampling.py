@@ -659,3 +659,49 @@ def docs_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dataengineer_job_scraper_etl_spark import catalog as _catalog  # noqa: E402
 
 _catalog._REGISTRY["docs_quality_budget_selection"].oracle = _budget_oracle()
+
+
+_BALANCED_N = 10
+
+
+@register(
+    "docs_balanced_eval_sample",
+    f"""
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM ranked WHERE rn <= {_BALANCED_N}
+GROUP BY source
+""",
+    doc=f"Balanced eval-set construction: EXACTLY {_BALANCED_N} docs "
+    "per source (not a fraction — eval sets need fixed per-stratum "
+    "counts), chosen by ranking each stratum on md5(doc_id) — a "
+    "deterministic, engine-portable 'random' order, so membership is "
+    "rerun-stable and hash-checkable (seeded RNG sampling is neither "
+    "across engines). One ranking window per source partition over "
+    "(source, doc_id) pairs only; at 100 TB the hash-rank trick also "
+    "beats sampleBy for exact-n semantics, which fractional sampling "
+    "cannot guarantee. id_checksum pins exact membership per stratum.",
+)
+def docs_balanced_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BALANCED_N)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
