@@ -147,18 +147,9 @@ def main() -> None:
     # entry ran it (jobs_transform_full: 10.1 s driver vs 3.0 s warm).
     # On a long-lived cluster the working set is similarly cache-warm
     # (OS page cache / alluxio / executor-local SSD) after first touch.
-    for t in (
-        "lineitem",
-        "orders",
-        "customer",
-        "supplier",
-        "part",
-        "nation",
-        "region",
-        "events",
-        "documents",
-        "embeddings",
-    ):
+    from dataengineer_job_scraper_etl_spark.io import TABLE_NAMES
+
+    for t in TABLE_NAMES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").write.format(
             "noop"
         ).mode("overwrite").save()
@@ -201,12 +192,23 @@ def main() -> None:
             _vectors,
         )
 
+        # bound OUTSIDE the inner try: the PQ block below reuses e/q,
+        # and 'except ... as e' UNBINDS e on exit, so an IVF failure
+        # used to cascade into a NameError that silently skipped PQ
+        # pre-training (methodology violation, review finding)
         e, q = _vectors(spark, sf_dir)
-        ivf_topk(
-            e, q, dim=EMBED_DIM, k=10, centroid_cache_key=sf_dir
-        ).write.format("noop").mode("overwrite").save()
-    except Exception as e:  # noqa: BLE001
-        print(f"WARN bench: IVF index build failed: {e!r}", file=sys.stderr)
+        try:
+            ivf_topk(
+                e, q, dim=EMBED_DIM, k=10, centroid_cache_key=sf_dir
+            ).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            print(
+                f"WARN bench: IVF index build failed: {exc!r}",
+                file=sys.stderr,
+            )
+    except Exception as exc:  # noqa: BLE001
+        print(f"WARN bench: ANN warm-up setup failed: {exc!r}", file=sys.stderr)
+        e = q = None
     try:  # IVF-PQ index build: same train-once/probe-many split — the
         # coarse quantizer shares the IVF cache tuple (already trained
         # above); this trains the m per-subspace PQ codebooks so the
@@ -215,11 +217,12 @@ def main() -> None:
             ivfpq_topk,
         )
 
-        ivfpq_topk(
-            e, q, dim=EMBED_DIM, k=10, centroid_cache_key=sf_dir
-        ).write.format("noop").mode("overwrite").save()
-    except Exception as e:  # noqa: BLE001
-        print(f"WARN bench: IVF-PQ index build failed: {e!r}", file=sys.stderr)
+        if e is not None:
+            ivfpq_topk(
+                e, q, dim=EMBED_DIM, k=10, centroid_cache_key=sf_dir
+            ).write.format("noop").mode("overwrite").save()
+    except Exception as exc:  # noqa: BLE001
+        print(f"WARN bench: IVF-PQ index build failed: {exc!r}", file=sys.stderr)
     try:  # corpus-pipeline plan compile: the composed pipeline is the
         # largest single plan in the catalog (gate + digest agg + LSH
         # sketch + iterative components + windows) and its first

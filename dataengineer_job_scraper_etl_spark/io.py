@@ -220,26 +220,39 @@ def compact_parquet(
     Filesystem handling goes through the Hadoop FileSystem API, so any
     scheme Spark can write (file://, hdfs://, gs://, s3a:// with the
     connector on the classpath) compacts the same way — no local-only
-    shutil. Swap order is crash-recoverable: tmp is fully written,
-    then path -> path__old, tmp -> path, delete path__old; at every
-    crash point a complete copy of the data exists under a known name.
-    The swap is NOT atomic for concurrent readers — a reader listing
+    shutil. Swap order keeps a complete copy of the data under a
+    known name at every crash point: tmp is fully written, then
+    path -> path__old, tmp -> path, delete path__old. A re-run
+    SELF-HEALS the one crash window where ``path`` itself is missing
+    (between the two renames): the recovery branch below restores
+    path from path__old before reading. The swap is NOT atomic for
+    concurrent readers — a reader listing
     the directory between the two renames sees a missing path (and on
     object stores rename itself is a copy, not a metadata op); run
     compaction in a maintenance window or behind a table format
     (Delta/Iceberg) when readers are live."""
-    df = spark.read.parquet(path)
-    n = df.count()
     base = path.rstrip("/")
     tmp = base + tmp_suffix
     old = base + "__old"
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
 
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(base)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     hold = jvm.org.apache.hadoop.fs.Path(old)
     htmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    if not fs.exists(hpath) and fs.exists(hold):
+        # crashed prior run died between its two renames: path was
+        # already moved aside but the compacted tmp never landed.
+        # Restore the held copy so the table reappears, then compact
+        # normally (review finding — the docstring promised this
+        # recovery but only the post-swap leftover was handled).
+        if not fs.rename(hold, hpath):
+            raise IOError(
+                f"compact_parquet: recovery rename {old} -> {base} failed"
+            )
+    df = spark.read.parquet(path)
+    n = df.count()
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
     if fs.exists(hold):  # leftover from a crashed prior run
         fs.delete(hold, True)
     if not fs.rename(hpath, hold):

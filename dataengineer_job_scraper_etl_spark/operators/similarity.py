@@ -24,7 +24,6 @@ aggregate built-ins.
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -140,7 +139,15 @@ def rhp_lsh_topk(
         )
     )
     qb = bucket_for(_as_double(F.col(qvec_col)))
-    if multiprobe >= 1:
+    if multiprobe not in (0, 1):
+        # only hamming-distance-1 probing is implemented; accepting
+        # larger values silently delivered distance-1 recall while the
+        # caller believed they bought more (review finding)
+        raise ValueError(
+            "rhp_lsh_topk: multiprobe must be 0 (exact buckets) or 1 "
+            "(hamming-distance-1 probes)"
+        )
+    if multiprobe == 1:
         probe_buckets = F.array(
             qb, *[qb.bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)]
         )
@@ -289,7 +296,6 @@ def assign_to_centroid(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
     vec_col: str,
-    id_col: str = "vec_id",
 ) -> DataFrame:
     """Nearest-centroid assignment: argmin over the constant-folded
     literal centroid set, computed as array_sort of (d2, cluster_id)
@@ -325,6 +331,7 @@ def pq_train(
     n_iter: int = 2,
     seed: int = 42,
     cache_key: str | None = None,
+    pre_staged: bool = False,
 ) -> list[list[tuple[int, list[float]]]]:
     """Product-quantization codebooks: split the vector into ``m``
     subspaces of dim/m and train an independent ``k``-centroid
@@ -349,7 +356,12 @@ def pq_train(
     if ckey is not None and ckey in _CODEBOOK_CACHE:
         return _CODEBOOK_CACHE[ckey]
     d_sub = dim // m
-    corpus = ensure_min_parallelism(corpus).localCheckpoint(eager=False)
+    if not pre_staged:
+        # skipped when the caller (ivfpq_topk) already repartitioned +
+        # checkpointed this exact frame — a second localCheckpoint
+        # would materialize the corpus in the block manager TWICE
+        # (review finding)
+        corpus = ensure_min_parallelism(corpus).localCheckpoint(eager=False)
     books: list[list[tuple[int, list[float]]]] = []
     for j in range(m):
         sub = corpus.select(
@@ -444,7 +456,6 @@ def pq_topk_adc(
     followed by exact rerank of the shortlist against the raw vectors
     (brute_force_topk over the candidate join)."""
     spark = corpus_codes.sparkSession
-    m = len(codebooks)
     d_sub = len(codebooks[0][0][1])
     book_rows = [
         (j, int(code), sub)
@@ -553,7 +564,7 @@ def ivfpq_topk(
             _CENTROID_CACHE[ivf_key] = cents
     books = pq_train(
         corpus, vec_col, dim, m=m, k=k_codes, n_iter=n_iter, seed=seed,
-        cache_key=centroid_cache_key,
+        cache_key=centroid_cache_key, pre_staged=True,
     )
     coded_key = (
         (centroid_cache_key, "coded", dim, id_col, vec_col, n_clusters,
@@ -561,9 +572,7 @@ def ivfpq_topk(
         if centroid_cache_key is not None
         else None
     )
-    coded = (
-        _CODED_CORPUS_CACHE.get(coded_key) if coded_key is not None else None
-    )
+    coded = _cached_coded(coded_key) if coded_key is not None else None
     if coded is None:
         coded = pq_encode(
             assign_to_centroid(corpus, cents, vec_col), books,
@@ -667,9 +676,29 @@ _CODEBOOK_CACHE: dict[tuple, list[list[tuple[int, list[float]]]]] = {}
 # too — FAISS's add() populates it offline and search() never touches
 # raw vectors for it. Cached as a checkpointed DataFrame: its RDD
 # blocks persist in the block manager, so a hit skips the per-row
-# centroid-assign + m-subspace argmin encode entirely. Session-scoped:
-# entries die with the SparkSession that built them.
+# centroid-assign + m-subspace argmin encode entirely. Session-scoped
+# BY VALIDATION: a cached frame is bound to the SparkSession that
+# built it, so hits are checked against the live session and stale
+# entries retrain instead of raising Py4J errors from a dead JVM
+# (review finding — the old comment claimed this without implementing
+# it).
 _CODED_CORPUS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached_coded(key):
+    """Session-validated _CODED_CORPUS_CACHE lookup: a frame built by
+    a stopped SparkSession is dropped and treated as a miss."""
+    df = _CODED_CORPUS_CACHE.get(key)
+    if df is None:
+        return None
+    try:
+        alive = not df.sparkSession._sc._jsc.sc().isStopped()
+    except Exception:  # noqa: BLE001 — any introspection failure = dead
+        alive = False
+    if not alive:
+        del _CODED_CORPUS_CACHE[key]
+        return None
+    return df
 
 
 def clear_trained_indexes(cache_key: str | None = None) -> None:

@@ -220,3 +220,24 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert df.count() == 20
     assert df.filter(F.col("v2").isNull()).count() == 10
     assert df.filter(F.col("v2") == 1.5).count() == 10
+
+
+def test_compact_parquet_recovers_mid_swap_crash(spark, tmp_path):
+    """Crash window between the two swap renames: path is missing and
+    only path__old holds the data. A re-run must self-heal — restore,
+    then compact normally."""
+    import os
+
+    from dataengineer_job_scraper_etl_spark.io import compact_parquet
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "tbl")
+    spark.range(0, 100).select(F.col("id")).repartition(8).write.parquet(d)
+    # simulate the crash: the first rename happened, the second didn't
+    os.rename(d, d + "__old")
+    assert not os.path.exists(d)
+    n = compact_parquet(spark, d, target_files=1)
+    assert n == 100
+    assert os.path.exists(d) and not os.path.exists(d + "__old")
+    back = spark.read.parquet(d)
+    assert back.count() == 100

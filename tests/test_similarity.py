@@ -308,3 +308,24 @@ def test_embedding_neardup_lsh_pairs_finds_parallel_copies(spark):
     assert {(i, 100 + i) for i in range(5)} <= got
     # nothing else at 0.99 among 30 random gaussians
     assert all(a % 100 == b % 100 for a, b in got)
+
+
+def test_rhp_lsh_rejects_unimplemented_multiprobe_depth(spark):
+    """multiprobe depths > 1 are not implemented; silently delivering
+    distance-1 recall for a deeper request was the trap."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        rhp_lsh_topk,
+    )
+
+    e = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    q = e.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    with pytest.raises(ValueError, match="multiprobe"):
+        rhp_lsh_topk(e, q, dim=2, k=1, multiprobe=2)
