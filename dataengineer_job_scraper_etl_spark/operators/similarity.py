@@ -572,6 +572,10 @@ def ivfpq_topk(
         if centroid_cache_key is not None
         else None
     )
+    # NB the ADC stages below intentionally mirror pq_topk_adc's
+    # machinery (distance-table build, posexplode+join+sum) rather
+    # than calling it: this path interleaves the coarse probe join.
+    # Keep the two in sync — tests pin both, but edits must visit both.
     coded = _cached_coded(coded_key) if coded_key is not None else None
     if coded is None:
         coded = pq_encode(
