@@ -34,7 +34,7 @@ def normalize_ws_lower(col: Column) -> Column:
 
 
 def ws_tokens(col: Column) -> Column:
-    """THE corpus-wide whitespace tokenization contract (lowercase,
+    r"""THE corpus-wide whitespace tokenization contract (lowercase,
     collapse whitespace runs, trim, split on single space) — shared by
     every tokenizing operator so the cross-engine oracle parity the
     catalog depends on cannot drift copy-by-copy. DuckDB twin:

@@ -131,9 +131,14 @@ def learn_bpe_merges(
             break  # every word fully merged
         a, b = top[0]["pair"].split(" ", 1)
         merges.append((a, b))
+        prev = vocab
         vocab = vocab.withColumn(
             "syms", _merge_udf(a, b)(F.col("syms"))
         ).localCheckpoint()
+        # The eager checkpoint above materialized the new round, so the
+        # previous round's blocks can go — otherwise n_merges copies of
+        # the vocab accumulate in the block manager.
+        prev.unpersist()
     return merges, vocab
 
 

@@ -476,10 +476,10 @@ m AS (
   FROM ev GROUP BY event_type)
 SELECT event_type, n,
        CAST(round(1e6 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+                      / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)) AS BIGINT)
          AS slope_ppm,
        CAST(round(1e6 * (CAST(sy AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sxy AS DOUBLE))
-                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+                      / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0)) AS BIGINT)
          AS intercept_ppm
 FROM m
 """,
@@ -513,7 +513,9 @@ def events_value_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     nd, sxd, syd = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
     sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    den = nd * sxxd - sxd * sxd
+    # den == 0 (all events of a type in one hour) would be NaN/Inf here
+    # but a CAST error in DuckDB — both engines emit NULL instead.
+    den = F.nullif(nd * sxxd - sxd * sxd, F.lit(0.0))
     slope = F.round(F.lit(1e6) * (nd * sxyd - sxd * syd) / den).cast("bigint")
     intercept = F.round(
         F.lit(1e6) * (syd * sxxd - sxd * sxyd) / den

@@ -57,7 +57,11 @@ def stage_once(
         try:
             os.rename(staged, root)
         except OSError:
-            pass  # concurrent stager won the race; its dir is complete
+            # A concurrent stager winning the race is fine (its dir is
+            # complete); any other failure (permissions, cross-device
+            # tmp) must surface here, not as an opaque read error later.
+            if not os.path.exists(root):
+                raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return root
