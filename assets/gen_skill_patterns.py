@@ -8,6 +8,14 @@ reproduce the SHAPE and SCALE of that asset — same JSONL row format
 — from public tech vocabulary only (no content is copied from the
 reference asset).
 
+The reference file additionally carries a 52-row case-SENSITIVE
+stratum of {"TEXT": tok} patterns (acronyms and punctuated names like
+".NET", "C++", "C#", "API") which spaCy's EntityRuler matches against
+the exact token text. TEXT_SKILLS below mirrors that stratum — 52 rows
+of standard public technology names/acronyms in the same attribute
+format — so the engine's case-sensitive matching channel
+(operators/skills.py) is exercised at reference fidelity.
+
 Deterministic: running this script twice produces identical output.
 Usage: python assets/gen_skill_patterns.py
 """
@@ -394,6 +402,22 @@ CERTS = [
 ]
 
 
+# Case-sensitive stratum ({"TEXT": ...} rows): standard acronyms and
+# punctuated names that spaCy matches case-sensitively. 52 rows like
+# the reference's TEXT stratum; duplicates are kept in the FILE (the
+# reference file has a few — e.g. its framework names appear twice)
+# and deduped at load time, same as the reference's EntityRuler.
+TEXT_SKILLS = [
+    ".NET", "3D", "API", "ASP.NET", "ASP.NET", "AVA", "AWX", "C++",
+    "C", "COBOL", "C++", "CRM", "C#", "CSS", "DC/OS", ".NET", "ES6",
+    "ESPACE", "F#", "FFMPEG", "FOSSA", "GSM", "GTP'", "HAML", "HTML",
+    "HTML5", "HTTP", "IFTTT", "IPFS", "JIRA", "JSON", "LXC", "LXD",
+    "MATLAB", "MEAN", "NATS", "NSQ", "OVH", "P2P", "PHP", "PHP-MVC",
+    "PICO-8", "PWA", "R", "RAML", "RDF", "SMA*", "SQL", "STREAMS",
+    "STRIPS", "TRECVID", "XML",
+]
+
+
 def build_phrases() -> list[str]:
     en: list[str] = []
     for group in (LANGUAGES, DATA_TOOLS, ML_AI, DATABASES, CLOUD_DEVOPS,
@@ -427,7 +451,9 @@ def build_phrases() -> list[str]:
         if p and p not in seen:
             seen.add(p)
             out.append(p)
-    return out
+    # Reference scale: 2,412 rows total = 2,360 LOWER + 52 TEXT
+    # (assets/skills_no_en.jsonl stratum sizes).
+    return out[:2360]
 
 
 def main() -> None:
@@ -439,7 +465,12 @@ def main() -> None:
             pattern = [{"LOWER": tok} for tok in p.split()]
             f.write(json.dumps({"label": "SKILL", "pattern": pattern},
                                ensure_ascii=False) + "\n")
-    print(f"wrote {len(phrases)} patterns -> {path}")
+        for t in TEXT_SKILLS:
+            f.write(json.dumps(
+                {"label": "SKILL", "pattern": [{"TEXT": t}]},
+                ensure_ascii=False) + "\n")
+    print(f"wrote {len(phrases)} LOWER + {len(TEXT_SKILLS)} TEXT "
+          f"patterns -> {path}")
 
 
 if __name__ == "__main__":

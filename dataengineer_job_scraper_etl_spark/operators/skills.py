@@ -15,6 +15,19 @@ contiguous subsequence of the whitespace-tokenized, lowercased text.
 Output = sorted distinct matched phrases (array_sort replaces the
 reference's nondeterministic set() ordering — SURVEY §7 risk register).
 
+The dictionary has TWO strata, mirroring spaCy EntityRuler attribute
+semantics (main.py:132-133; reference assets/skills_no_en.jsonl has
+2,360 {"LOWER": ...} rows + 52 {"TEXT": ...} rows):
+
+- LOWER patterns match case-INsensitively and are normalized with the
+  punctuation-as-boundary rules below (both sides of the match).
+- TEXT patterns match case-SENSITIVELY with intra-token punctuation
+  preserved (".NET", "C++", "C#", "API"): the raw, un-lowered text is
+  searched for the verbatim phrase bounded by separator characters,
+  so ".NET" does NOT match "net income" and "API" does NOT match
+  "api". Matched entity text is lowercased on OUTPUT only — the
+  reference emits ``ent.text.lower()`` (main.py:139).
+
 Three implementations, equal by construction (tested against each
 other in tests/test_skills.py):
 
@@ -75,21 +88,110 @@ def normalize_text_py(text: str) -> str:
 
 
 def phrases_from_patterns(patterns: list[dict]) -> list[str]:
-    """JSONL pattern rows ({"label","pattern":[{"LOWER": tok},...]}) ->
+    """JSONL pattern rows -> the case-INSENSITIVE (LOWER) stratum:
     lowercase space-joined phrases, normalized with the SAME
     punctuation rules as the text side so e.g. the pattern "node.js"
     and the text "Node.js" both become "node js". Mirrors how the
-    reference's EntityRuler consumes the file (main.py:132-133)."""
+    reference's EntityRuler consumes {"LOWER": ...} rows
+    (main.py:132-133). Rows containing any {"TEXT": ...} token belong
+    to the case-sensitive stratum -> ``text_phrases_from_patterns``.
+    """
     out = []
     for row in patterns:
-        toks = [
-            str(tok.get("LOWER") or tok.get("TEXT") or "").lower()
-            for tok in row.get("pattern", [])
-        ]
-        phrase = normalize_text_py(" ".join(t for t in toks if t))
+        toks = row.get("pattern", [])
+        if any("TEXT" in tok for tok in toks):
+            continue
+        phrase = normalize_text_py(
+            " ".join(str(tok.get("LOWER") or "").lower() for tok in toks)
+        )
         if phrase:
             out.append(phrase)
     return sorted(set(out))
+
+
+def text_phrases_from_patterns(patterns: list[dict]) -> list[str]:
+    """JSONL pattern rows -> the case-SENSITIVE (TEXT) stratum:
+    verbatim token phrases, case and punctuation preserved (".NET",
+    "C++", "API"). spaCy matches {"TEXT": tok} against the exact token
+    text (EntityRuler, main.py:132-133)."""
+    out = []
+    for row in patterns:
+        toks = row.get("pattern", [])
+        if not toks or not all("TEXT" in tok for tok in toks):
+            continue
+        phrase = _WS_RE.sub(
+            " ", " ".join(str(tok["TEXT"]).strip() for tok in toks)
+        ).strip()
+        if phrase:
+            out.append(phrase)
+    return sorted(set(out))
+
+
+# ---------------------------------------------------------------------
+# Case-sensitive (TEXT) channel. A TEXT phrase matches iff it occurs
+# verbatim in the RAW text bounded by separator characters: the same
+# boundary class on the left (minus '.', so ".NET" never fires inside
+# "ASP.NET") and on the right (including '.', so "API." at sentence
+# end matches — spaCy splits the trailing period into its own token).
+# '+', '#', '&', '_' are NOT boundaries (same rule as PUNCT_CLASS), so
+# the TEXT pattern "C" does not fire inside "C++"/"C#". The regex uses
+# only alternation + character classes — no lookaround — so the SAME
+# pattern string runs identically on Java regex (Spark rlike), RE2
+# (DuckDB regexp_matches), and Python re (the UDF variant).
+# ---------------------------------------------------------------------
+
+TEXT_LEFT_BOUND = "(^|[\\s\"'\\(\\[\\{<,;:!\\?])"
+TEXT_RIGHT_BOUND = "($|[\\s\"'\\)\\]\\}>,\\.;:!\\?])"
+
+
+def _escape_regex_token(tok: str) -> str:
+    # Backslash-escape every non-alphanumeric char (Java rejects
+    # backslash before unassigned ALPHABETIC escapes only; punctuation
+    # escapes are literal in Java, RE2, and Python alike).
+    return "".join(
+        c if (c.isalnum() or c == "_") else "\\" + c for c in tok
+    )
+
+
+def text_pattern_regex(phrase: str) -> str:
+    """Search regex (no anchors beyond the boundary groups) for one
+    case-sensitive TEXT phrase; engine-portable (see block comment)."""
+    body = "(?:\\s+)".join(_escape_regex_token(t) for t in phrase.split())
+    return TEXT_LEFT_BOUND + body + TEXT_RIGHT_BOUND
+
+
+def match_text_patterns(text: Column, text_phrases: list[str]) -> Column:
+    """Array of OUTPUT-lowercased TEXT-stratum phrases whose verbatim,
+    case-sensitive form occurs in ``text`` (empty array on no match or
+    null text — the caller owns null-text semantics). Pure codegen'd
+    expression: one rlike per phrase, dictionary shipped as plan
+    literals (the TEXT stratum is bounded small — 52 rows in the
+    reference — so this never needs the n-gram join treatment)."""
+    if not text_phrases:
+        return F.array().cast(T.ArrayType(T.StringType()))
+    hits = F.array(
+        *[
+            F.when(text.rlike(text_pattern_regex(p)), F.lit(p.lower()))
+            for p in text_phrases
+        ]
+    )
+    return F.filter(hits, lambda x: x.isNotNull())
+
+
+def text_matches_oracle_sql(text_expr: str, text_phrases: list[str]) -> str:
+    """DuckDB twin of ``match_text_patterns`` (RE2 runs the identical
+    pattern strings)."""
+    if not text_phrases:
+        return "CAST([] AS VARCHAR[])"
+    cases = ", ".join(
+        "CASE WHEN regexp_matches({t}, '{rx}') THEN '{out}' END".format(
+            t=text_expr,
+            rx=text_pattern_regex(p).replace("'", "''"),
+            out=p.lower().replace("'", "''"),
+        )
+        for p in text_phrases
+    )
+    return f"list_filter([{cases}], x -> x IS NOT NULL)"
 
 
 def _normalized(text: Column) -> Column:
@@ -102,11 +204,14 @@ def _normalized(text: Column) -> Column:
     )
 
 
-def extract_skills_native(text: Column, phrases: list[str]) -> Column:
+def extract_skills_native(
+    text: Column, phrases: list[str], text_phrases: list[str] = ()
+) -> Column:
     """Pure-expression formulation: the phrase dictionary is a literal
     array (Catalyst constant, shipped with the plan — the broadcast of
     a small dim without a join). Each row evaluates `contains` per
-    phrase inside codegen; no shuffle, no Python worker.
+    LOWER phrase + one rlike per TEXT phrase inside codegen; no
+    shuffle, no Python worker.
 
     Null text -> null skills (matches reference: rows with null
     description are dropped before this runs, main.py:152)."""
@@ -115,20 +220,34 @@ def extract_skills_native(text: Column, phrases: list[str]) -> Column:
         F.array(*[F.lit(p) for p in phrases]),
         lambda p: padded.contains(F.concat(F.lit(" "), p, F.lit(" "))),
     )
+    if text_phrases:
+        arr = F.concat(arr, match_text_patterns(text, list(text_phrases)))
     return F.when(text.isNotNull(), F.array_sort(F.array_distinct(arr)))
 
 
-def skills_oracle_sql(text_expr: str, phrases: list[str]) -> str:
+def skills_oracle_sql(
+    text_expr: str, phrases: list[str], text_phrases: list[str] = ()
+) -> str:
     """DuckDB scalar expression computing the same sorted skill list
-    (same punctuation-as-boundary normalization as ``_normalized``)."""
+    (same punctuation-as-boundary normalization as ``_normalized`` for
+    the LOWER stratum; identical regex strings for the TEXT stratum)."""
     quoted = ", ".join("'" + p.replace("'", "''") + "'" for p in phrases)
     punct_sql = PUNCT_CLASS.replace("'", "''")
     depunct = f"regexp_replace(lower({text_expr}), '{punct_sql}', ' ', 'g')"
     padded = f"(' ' || trim(regexp_replace({depunct}, '\\s+', ' ', 'g')) || ' ')"
+    lower_list = (
+        f"list_filter([{quoted}], p -> contains({padded}, ' ' || p || ' '))"
+    )
+    if text_phrases:
+        merged = (
+            f"list_concat({lower_list}, "
+            f"{text_matches_oracle_sql(text_expr, list(text_phrases))})"
+        )
+    else:
+        merged = lower_list
     return (
         f"CASE WHEN {text_expr} IS NOT NULL THEN "
-        f"list_sort(list_filter([{quoted}], "
-        f"p -> contains({padded}, ' ' || p || ' '))) END"
+        f"list_sort(list_distinct({merged})) END"
     )
 
 
@@ -139,6 +258,7 @@ def skill_match_pairs(
     carry_cols: list[str],
     phrases: list[str],
     distinct: bool = True,
+    text_phrases: list[str] = (),
 ) -> DataFrame:
     """Core of the relational matcher: (carry_cols..., phrase) rows,
     one per DISTINCT matched phrase per document (``distinct=False``
@@ -149,7 +269,11 @@ def skill_match_pairs(
     broadcast-hash-joins them against the phrase table, dedups on
     (first carry col, phrase). O(tokens x n_lengths) per row —
     independent of dictionary size; the phrase table broadcasts; the
-    only shuffle is the dedup of MATCHED pairs (sparse)."""
+    only shuffle is the dedup of MATCHED pairs (sparse).
+
+    The case-sensitive TEXT stratum (bounded small — 52 rows in the
+    reference) rides along as a per-row codegen'd rlike channel
+    unioned below the same dedup: no extra shuffle, no join."""
     lens = sorted({len(p.split()) for p in phrases})
     phrase_df = spark.createDataFrame([(p,) for p in phrases], "phrase string")
     depunct = F.regexp_replace(F.lower(F.col(text_col)), PUNCT_CLASS, " ")
@@ -172,6 +296,14 @@ def skill_match_pairs(
     joined = grams.join(
         F.broadcast(phrase_df), grams["gram"] == phrase_df["phrase"]
     ).select(*carry_cols, "phrase")
+    if text_phrases:
+        text_pairs = df.select(
+            *carry_cols,
+            F.explode(
+                match_text_patterns(F.col(text_col), list(text_phrases))
+            ).alias("phrase"),
+        )
+        joined = joined.unionByName(text_pairs)
     if distinct:
         joined = joined.dropDuplicates([carry_cols[0], "phrase"])
     return joined
@@ -184,6 +316,7 @@ def extract_skills_ngram_join(
     key_col: str,
     phrases: list[str],
     out_col: str = "skills",
+    text_phrases: list[str] = (),
 ) -> DataFrame:
     """J2 as a *relational* plan: ``skill_match_pairs`` + collect_set
     per document + enrichment join back onto ``df``. Zero Python in
@@ -198,7 +331,8 @@ def extract_skills_ngram_join(
     # distinct=False: the collect_set below dedups per document anyway,
     # so the pair-level dropDuplicates would be a pure extra shuffle.
     matched = skill_match_pairs(
-        spark, df, text_col, [key_col], phrases, distinct=False
+        spark, df, text_col, [key_col], phrases, distinct=False,
+        text_phrases=text_phrases,
     )
     agg = matched.groupBy(key_col).agg(
         F.array_sort(F.collect_set("phrase")).alias("__matched")
@@ -254,32 +388,62 @@ class _TokenTrie:
         return sorted(found)
 
 
-def make_skills_udf(spark: SparkSession, phrases: list[str]):
+class _TextRegexMatcher:
+    """Case-sensitive TEXT-stratum matcher for the Python path: the
+    SAME engine-portable pattern strings as the Spark/DuckDB channels,
+    compiled once per worker."""
+
+    __slots__ = ("compiled",)
+
+    def __init__(self, text_phrases: list[str]):
+        self.compiled = [
+            (re.compile(text_pattern_regex(p)), p.lower())
+            for p in text_phrases
+        ]
+
+    def match(self, text: str) -> set[str]:
+        return {low for rx, low in self.compiled if rx.search(text)}
+
+
+def make_skills_udf(
+    spark: SparkSession, phrases: list[str], text_phrases: list[str] = ()
+):
     """Build the pandas UDF with the dictionary as a Spark broadcast
     variable (pickled once per executor, not per task closure). The
-    trie is constructed lazily on first batch in each Python worker —
-    the 'load the model once per worker' rule the reference applies to
+    trie (LOWER stratum) + compiled regex list (TEXT stratum) are
+    constructed lazily on first batch in each Python worker — the
+    'load the model once per worker' rule the reference applies to
     its spaCy pipeline (etl/transform.py:23-27)."""
-    bc = spark.sparkContext.broadcast(phrases)
+    bc = spark.sparkContext.broadcast((list(phrases), list(text_phrases)))
     state: dict = {}
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def skills_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        trie = state.get("trie")
-        if trie is None:
-            trie = state["trie"] = _TokenTrie(bc.value)
+        matchers = state.get("m")
+        if matchers is None:
+            lower, text = bc.value
+            matchers = state["m"] = (
+                _TokenTrie(lower), _TextRegexMatcher(text)
+            )
+        trie, txt = matchers
+
+        def _one(s):
+            if not isinstance(s, str):
+                return None
+            return sorted(set(trie.match(s)) | txt.match(s))
+
         for batch in it:
-            yield batch.map(lambda s: trie.match(s) if isinstance(s, str) else None)
+            yield batch.map(_one)
 
     return skills_udf
 
 
 def extract_skills_udf(
     spark: SparkSession, df: DataFrame, text_col: str, phrases: list[str],
-    out_col: str = "skills",
+    out_col: str = "skills", text_phrases: list[str] = (),
 ) -> DataFrame:
     """U2/U3 assembled: df + sorted distinct skills array column."""
-    udf = make_skills_udf(spark, phrases)
+    udf = make_skills_udf(spark, phrases, text_phrases)
     return df.withColumn(out_col, udf(F.col(text_col)))
 
 

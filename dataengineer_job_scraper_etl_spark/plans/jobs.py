@@ -103,7 +103,9 @@ FROM documents
 """
 
 
-def transform_postings(postings: DataFrame, phrases: list[str]) -> DataFrame:
+def transform_postings(
+    postings: DataFrame, phrases: list[str], text_phrases: list[str] = ()
+) -> DataFrame:
     """The reference's transform stage (main.py:129-175), Spark-first:
 
     1. drop null descriptions FIRST (main.py:152) — the reference's own
@@ -125,7 +127,8 @@ def transform_postings(postings: DataFrame, phrases: list[str]) -> DataFrame:
         .withColumn("seniority", classify_seniority(F.col("title")))
     )
     with_skills = extract_skills_ngram_join(
-        spark, enriched, "description", "jobid", phrases
+        spark, enriched, "description", "jobid", phrases,
+        text_phrases=text_phrases,
     )
     return (
         with_skills.withColumn("date", F.current_timestamp())
@@ -135,15 +138,17 @@ def transform_postings(postings: DataFrame, phrases: list[str]) -> DataFrame:
 
 
 def transform_postings_oracle_sql(phrases: list[str], pay_sql: str,
-                                  seniority_sql: str) -> str:
+                                  seniority_sql: str,
+                                  text_phrases: list[str] = ()) -> str:
     """DuckDB equivalent of transform_postings minus the ``date`` stamp
     (current_timestamp is nondeterministic across engines; the harness
     compares the deterministic columns)."""
+    skills_sql = skills_oracle_sql("description", phrases, text_phrases)
     return f"""
 WITH postings AS ({POSTINGS_SQL})
 SELECT jobid, job_type,
        {pay_sql} AS pay,
-       coalesce(array_to_string({skills_oracle_sql('description', phrases)}, '|'), '') AS skills,
+       coalesce(array_to_string({skills_sql}, '|'), '') AS skills,
        {seniority_sql} AS seniority
 FROM postings
 WHERE description IS NOT NULL

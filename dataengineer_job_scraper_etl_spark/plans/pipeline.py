@@ -80,6 +80,7 @@ def run_pipeline(
     bronze_path: str | None = None,
     concurrency: int | None = None,
     per_request_delay: float = 0.0,
+    text_phrases: list[str] = (),
 ) -> PipelineResult:
     """Extract -> Transform -> Load, the reference's EP1 shape
     (main.py:39-190) on Spark:
@@ -115,7 +116,7 @@ def run_pipeline(
             # bronze (EP3->EP2 staging), not a re-scrape.
             raw = spark.read.parquet(bronze_path)
 
-    silver = transform_postings(raw, phrases).withColumn(
+    silver = transform_postings(raw, phrases, text_phrases).withColumn(
         "ingest_date", F.date_format(F.current_date(), "yyyy-MM-dd")
     )
     wrote_silver = write_if_nonempty(

@@ -26,6 +26,7 @@ from dataengineer_job_scraper_etl_spark.operators.skills import (
     phrases_from_patterns,
     skill_match_pairs,
     skills_oracle_sql,
+    text_phrases_from_patterns,
 )
 from dataengineer_job_scraper_etl_spark.plans.jobs import (
     POSTINGS_SQL,
@@ -34,7 +35,12 @@ from dataengineer_job_scraper_etl_spark.plans.jobs import (
     transform_postings_oracle_sql,
 )
 
-PHRASES = phrases_from_patterns(load_jsonl_driver_side(PATTERNS_PATH))
+_PATTERN_ROWS = load_jsonl_driver_side(PATTERNS_PATH)
+PHRASES = phrases_from_patterns(_PATTERN_ROWS)
+# Case-sensitive {"TEXT": ...} stratum (spaCy EntityRuler semantics,
+# main.py:132-139): matched verbatim incl. case + punctuation, output
+# lowercased. 52 rows in the asset mirroring the reference's stratum.
+TEXT_PHRASES = text_phrases_from_patterns(_PATTERN_ROWS)
 
 _POSTINGS_CTE = f"WITH postings AS ({POSTINGS_SQL})"
 
@@ -81,19 +87,71 @@ def jobs_seniority(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NB coalesce: DuckDB array_to_string([]) is NULL, Spark
     # array_join([]) is '' — '' is the canonical empty on both sides.
     f"{_POSTINGS_CTE} SELECT jobid, "
-    f"coalesce(array_to_string({skills_oracle_sql('description', PHRASES)}, '|'), '') "
+    f"coalesce(array_to_string({skills_oracle_sql('description', PHRASES, TEXT_PHRASES)}, '|'), '') "
     "AS skills FROM postings WHERE description IS NOT NULL",
-    doc="U2/J2/A1: dictionary skill match, sorted distinct array. "
-    "Driver-facing output is the '|'-joined string (the harness's "
-    "pandas canonicalizer can't hash list cells); the array-returning "
-    "operator itself stays internal (operators/skills.py).",
+    doc="U2/J2/A1: dictionary skill match, sorted distinct array; both "
+    "strata (case-insensitive LOWER + case-sensitive TEXT, spaCy "
+    "EntityRuler parity). Driver-facing output is the '|'-joined "
+    "string (the harness's pandas canonicalizer can't hash list "
+    "cells); the array-returning operator itself stays internal "
+    "(operators/skills.py).",
 )
 def jobs_skills(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _postings(spark, sf_dir).na.drop(subset=["description"])
     return df.select(
         "jobid",
         F.array_join(
-            extract_skills_native(F.col("description"), PHRASES), "|"
+            extract_skills_native(F.col("description"), PHRASES, TEXT_PHRASES),
+            "|",
+        ).alias("skills"),
+    )
+
+
+# Planted fragments exercising the case-sensitive TEXT stratum's
+# discrimination contract: ".NET"/"C#"/"API"/"ASP.NET"/"R" must fire
+# only on their verbatim forms — "net income" and lowercase "api" must
+# NOT fire them (they may still fire LOWER-stratum phrases, e.g.
+# "api" -> the LOWER acronym list).
+CS_FRAGMENTS = (
+    " We ship on .NET and C# services.",
+    " Strong API design; writes R, MATLAB.",
+    " api development with python in azure",
+    " Net income reporting dashboards.",
+    " ASP.NET backend, DC/OS cluster admin.",
+)
+
+
+@register(
+    "jobs_skills_case_sensitive",
+    f"""{_POSTINGS_CTE}
+SELECT jobid,
+       coalesce(array_to_string({{skills}}, '|'), '') AS skills
+FROM (
+  SELECT jobid,
+         coalesce(description, '') ||
+         (ARRAY[{", ".join("'" + fr.replace("'", "''") + "'" for fr in CS_FRAGMENTS)}])
+           [CAST(jobid AS BIGINT) % 5 + 1] AS cs_text
+  FROM postings
+)""".format(skills=skills_oracle_sql("cs_text", PHRASES, TEXT_PHRASES)),
+    doc="Case-faithful TEXT-stratum matching (spaCy EntityRuler "
+    "semantics, main.py:132-139): planted fragments pin that '.NET' "
+    "does not match 'net income', 'API' does not match lowercase "
+    "'api', and punctuated names (ASP.NET, C#, DC/OS) match verbatim "
+    "with case preserved; matched entity text lowercased on output "
+    "(main.py:139). Identical engine-portable regex strings run on "
+    "Java regex (Spark rlike) and RE2 (DuckDB regexp_matches).",
+)
+def jobs_skills_case_sensitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _postings(spark, sf_dir)
+    frag = F.element_at(
+        F.array(*[F.lit(fr) for fr in CS_FRAGMENTS]),
+        (F.col("jobid").cast("long") % 5 + 1).cast("int"),
+    )
+    cs_text = F.concat(F.coalesce(F.col("description"), F.lit("")), frag)
+    return df.select(
+        "jobid",
+        F.array_join(
+            extract_skills_native(cs_text, PHRASES, TEXT_PHRASES), "|"
         ).alias("skills"),
     )
 
@@ -115,12 +173,13 @@ def jobs_jobid_from_urn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jobs_skills_trie_udf",
     # same oracle as jobs_skills: the trie UDF must be value-identical
     f"{_POSTINGS_CTE} SELECT jobid, "
-    f"coalesce(array_to_string({skills_oracle_sql('description', PHRASES)}, '|'), '') "
+    f"coalesce(array_to_string({skills_oracle_sql('description', PHRASES, TEXT_PHRASES)}, '|'), '') "
     "AS skills FROM postings WHERE description IS NOT NULL",
     doc="U3: the Arrow-batched trie pandas UDF path (per-worker trie "
-    "from a broadcast variable — where a real spaCy pipeline slots "
-    "in), checked against the SAME oracle as the native jobs_skills "
-    "entry, so the Python worker path itself is hash-verified.",
+    "+ compiled TEXT-stratum regexes from a broadcast variable — "
+    "where a real spaCy pipeline slots in), checked against the SAME "
+    "oracle as the native jobs_skills entry, so the Python worker "
+    "path itself is hash-verified.",
 )
 def jobs_skills_trie_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineer_job_scraper_etl_spark.operators.skills import (
@@ -128,7 +187,9 @@ def jobs_skills_trie_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     df = _postings(spark, sf_dir).na.drop(subset=["description"])
-    out = extract_skills_udf(spark, df, "description", PHRASES)
+    out = extract_skills_udf(
+        spark, df, "description", PHRASES, text_phrases=TEXT_PHRASES
+    )
     return out.select(
         "jobid", F.array_join("skills", "|").alias("skills")
     )
@@ -191,14 +252,15 @@ def jobs_union_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "jobs_transform_full",
     transform_postings_oracle_sql(
-        PHRASES, pay_oracle_sql("description"), seniority_oracle_sql("title")
+        PHRASES, pay_oracle_sql("description"), seniority_oracle_sql("title"),
+        TEXT_PHRASES,
     ),
     doc="EP1 transform assembled (main.py:129-175), minus the "
     "nondeterministic date stamp; skills emitted '|'-joined for the "
     "driver canonicalizer (array cells aren't pandas-hashable).",
 )
 def jobs_transform_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = transform_postings(_postings(spark, sf_dir), PHRASES)
+    out = transform_postings(_postings(spark, sf_dir), PHRASES, TEXT_PHRASES)
     # current_timestamp: not oracle-comparable; array -> joined string.
     return out.drop("date").withColumn("skills", F.array_join("skills", "|"))
 
@@ -208,7 +270,8 @@ def jobs_transform_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH postings AS ({POSTINGS_SQL}),
 transformed AS (
-  SELECT job_type, {skills_oracle_sql('description', PHRASES)} AS skills
+  SELECT job_type,
+         {skills_oracle_sql('description', PHRASES, TEXT_PHRASES)} AS skills
   FROM postings WHERE description IS NOT NULL
 )
 SELECT skill, job_type, count(*) AS n
@@ -229,6 +292,7 @@ def jobs_flagship_skill_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = skill_match_pairs(
         spark, postings.select("jobid", "job_type", "description"),
         "description", ["jobid", "job_type"], PHRASES,
+        text_phrases=TEXT_PHRASES,
     )
     return (
         pairs.groupBy(F.col("phrase").alias("skill"), F.col("job_type"))

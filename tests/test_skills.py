@@ -17,6 +17,7 @@ from dataengineer_job_scraper_etl_spark.operators.skills import (
     extract_skills_udf,
     normalize_text_py,
     phrases_from_patterns,
+    text_phrases_from_patterns,
 )
 
 PHRASES = ["power bi", "python", "spark", "apache spark", "sql", "node js", "c++"]
@@ -133,4 +134,85 @@ def test_phrases_normalized_like_text():
         {"label": "SKILL", "pattern": [{"LOWER": "power"}, {"LOWER": "bi"}]},
         {"label": "SKILL", "pattern": [{"TEXT": "C++"}]},
     ]
-    assert phrases_from_patterns(patterns) == ["c++", "node js", "power bi"]
+    # TEXT rows belong to the case-sensitive stratum, not the LOWER one.
+    assert phrases_from_patterns(patterns) == ["node js", "power bi"]
+    assert text_phrases_from_patterns(patterns) == ["C++"]
+
+
+# ----------------------------------------------------------- TEXT stratum
+
+TEXT_PHRASES = [".NET", "API", "C#", "ASP.NET", "C++", "R"]
+LOWER_FOR_CS = ["python", "net income"]
+
+CS_CASES = [
+    # verbatim case+punct forms fire
+    ("We ship .NET and C# services", [".net", "c#"]),
+    ("Strong API design in Python", ["api", "python"]),
+    # lowercase forms do NOT fire TEXT patterns
+    ("api development with python", ["python"]),
+    ("c++ and .net experience", []),
+    # '.NET' never fires on 'net income' (and vice versa the LOWER
+    # phrase 'net income' still matches case-insensitively)
+    ("Net income reporting; NET Income review", ["net income"]),
+    # '.NET' does not fire inside 'ASP.NET'; ASP.NET fires itself
+    ("ASP.NET backend developer", ["asp.net"]),
+    # boundary punctuation adjacent to the token is fine
+    ("knows R, C++; uses (API)", ["api", "c++", "r"]),
+    # TEXT 'R'/'C++' do not fire inside other tokens
+    ("Ruby and C++11 and R&D", []),
+    ("", []),
+]
+
+
+@pytest.mark.parametrize("text,expected", CS_CASES)
+def test_case_sensitive_native_golden(spark, text, expected):
+    df = spark.createDataFrame([(text,)], "description string")
+    got = df.select(
+        extract_skills_native(
+            F.col("description"), sorted(LOWER_FOR_CS), sorted(TEXT_PHRASES)
+        ).alias("s")
+    ).first()["s"]
+    assert got == sorted(expected)
+
+
+def test_case_sensitive_three_variants_equal(spark):
+    rows = [(str(i), t) for i, (t, _) in enumerate(CS_CASES)] + [("n1", None)]
+    df = spark.createDataFrame(rows, "jobid string, description string")
+    lower, text = sorted(LOWER_FOR_CS), sorted(TEXT_PHRASES)
+    native = {
+        r["jobid"]: r["s"]
+        for r in df.select(
+            "jobid",
+            extract_skills_native(F.col("description"), lower, text).alias("s"),
+        ).collect()
+    }
+    ngram = {
+        r["jobid"]: r["skills"]
+        for r in extract_skills_ngram_join(
+            spark, df, "description", "jobid", lower, text_phrases=text
+        ).collect()
+    }
+    udf = {
+        r["jobid"]: r["skills"]
+        for r in extract_skills_udf(
+            spark, df, "description", lower, text_phrases=text
+        ).collect()
+    }
+    assert native == ngram == udf
+    assert native["n1"] is None
+    for i, (_, expected) in enumerate(CS_CASES):
+        assert native[str(i)] == sorted(expected), CS_CASES[i]
+
+
+def test_asset_has_reference_scale_text_stratum():
+    """The regenerated asset mirrors the reference's stratum sizes:
+    2,412 rows total with a 52-row TEXT stratum
+    (reference assets/skills_no_en.jsonl)."""
+    rows = load_jsonl_driver_side(PATTERNS_PATH)
+    assert len(rows) == 2412
+    n_text = sum(
+        1 for r in rows if any("TEXT" in t for t in r.get("pattern", []))
+    )
+    assert n_text == 52
+    tx = text_phrases_from_patterns(rows)
+    assert ".NET" in tx and "C#" in tx and "API" in tx
