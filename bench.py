@@ -2,12 +2,21 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+  {"metric": "headline_total", "value": <sum of medians sec>,
+   "unit": "sec", "queries": {name: median sec, ...},
+   "spread": {name: max-min sec, ...}, "runs": {name: [sec, ...]},
+   "reps": N, "sf": <sf>}
 
 Each query is forced end-to-end with the noop sink (full computation,
 no result serialization / driver collect in the timing), after one
 small warmup to exclude JVM/codegen cold start from per-query numbers.
+
+Each query runs $SPARK_GRAFT_BENCH_REPS times (default 3); the
+headline value and per-query numbers are MEDIANS, with per-query
+spread (max - min) published alongside — round 5's n=1 timings made
+±20% round-over-round deltas indistinguishable from noise (VERDICT r5
+"What's wrong" #3). ``queries`` stays median-valued so older
+bench_compare rounds remain comparable field-for-field.
 """
 
 from __future__ import annotations
@@ -284,21 +293,31 @@ def main() -> None:
         print(f"WARN bench: streaming warm-up failed: {e!r}", file=sys.stderr)
 
     import gc
+    import statistics
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = qs.get(name)
-        if q is None:
-            continue
-        t0 = time.time()
-        _force(q.spark_fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
-        # Release this query's Python-side DataFrame refs so the JVM
-        # ContextCleaner can drop localCheckpoint blocks / broadcasts
-        # between queries — otherwise iterative queries' blocks pile up
-        # in the block manager and later queries pay their GC bill.
-        gc.collect()
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    runs: dict[str, list[float]] = {}
+    # Rep-major order (full headline pass per rep, not rep-per-query):
+    # consecutive same-query runs would share executor-local state the
+    # production cadence (one run per nightly batch) does not; a full
+    # pass between repetitions keeps per-query block-manager/GC context
+    # realistic and spreads any transient system noise across queries.
+    for rep in range(reps):
+        for name in HEADLINE:
+            q = qs.get(name)
+            if q is None:
+                continue
+            t0 = time.time()
+            _force(q.spark_fn(spark, sf_dir))
+            runs.setdefault(name, []).append(round(time.time() - t0, 3))
+            # Release this query's Python-side DataFrame refs so the JVM
+            # ContextCleaner can drop localCheckpoint blocks / broadcasts
+            # between queries — otherwise iterative queries' blocks pile
+            # up in the block manager and later queries pay their GC bill.
+            gc.collect()
 
+    timings = {n: round(statistics.median(v), 3) for n, v in runs.items()}
+    spread = {n: round(max(v) - min(v), 3) for n, v in runs.items()}
     print(
         json.dumps(
             {
@@ -306,6 +325,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs": runs,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warmup_version": WARMUP_VERSION,
             }

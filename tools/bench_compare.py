@@ -48,10 +48,16 @@ def main() -> int:
     print(f"like-for-like ({len(shared)} shared): "
           f"{tot_o:.2f}s -> {tot_n:.2f}s "
           f"({100 * (tot_n - tot_o) / tot_o:+.1f}%)\n")
+    # Per-query medians + spread (bench.py reps>=3 since round 6): a
+    # delta within the combined spread of the two rounds is noise, not
+    # a regression/speedup — label it so.
+    os_, ns_ = old.get("spread", {}), new.get("spread", {})
     for k in shared:
         d = nq[k] - oq[k]
         if abs(d) >= 0.3:
-            print(f"  {k:45s} {oq[k]:6.2f} -> {nq[k]:6.2f}  ({d:+.2f})")
+            noise = os_.get(k, 0.0) + ns_.get(k, 0.0)
+            tag = "  [within spread]" if abs(d) <= noise else ""
+            print(f"  {k:45s} {oq[k]:6.2f} -> {nq[k]:6.2f}  ({d:+.2f}){tag}")
     for k in sorted(set(nq) - set(oq)):
         print(f"  {k:45s}    new -> {nq[k]:6.2f}")
     for k in sorted(set(oq) - set(nq)):
