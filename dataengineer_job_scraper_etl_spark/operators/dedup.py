@@ -151,7 +151,7 @@ def minhash_signature(
     return _signature_from_hashes(base, num_hashes, seed)
 
 
-def minhash_lsh_pairs(
+def banded_sketch(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -160,14 +160,10 @@ def minhash_lsh_pairs(
     bands: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash + LSH banding near-dup candidate pairs.
-
-    shingle -> signature (narrow) -> explode to ``bands`` rows of
-    (band_id, band_hash, id) -> self-join on the band bucket ->
-    distinct pairs. The ONLY shuffle is on (band_id, band_hash); with
-    r = num_hashes/bands rows per band, collision probability is the
-    classic (1 - (1 - j^r)^bands) S-curve. Returns (id_a, id_b,
-    estimated jaccard from signature agreement)."""
+    """The narrow (no-shuffle) LSH front half: (id, sig, band_id,
+    band_hash), ``bands`` rows per doc. Shared by the one-shot
+    ``minhash_lsh_pairs`` and the pay-once bucketed band index
+    (``write_band_index``)."""
     rows_per_band = num_hashes // bands
     assert rows_per_band * bands == num_hashes
 
@@ -199,7 +195,7 @@ def minhash_lsh_pairs(
         "id",
         _signature_from_hashes(F.col("base"), num_hashes, seed).alias("sig"),
     )
-    banded_plan = sig.select(
+    return sig.select(
         "id",
         "sig",
         F.posexplode(
@@ -221,11 +217,15 @@ def minhash_lsh_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
-    # Materialize the banded sketch once: AQE defeats static exchange
-    # reuse here, so without this BOTH self-join branches recompute the
-    # whole shingle->signature pipeline (measured 2x cost at sf0.1).
-    # localCheckpoint truncates lineage; executor loss just recomputes.
-    banded = banded_plan.localCheckpoint(eager=False)
+
+
+def pairs_from_banded(banded: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """The LSH back half: self-join a (id, sig, band_id, band_hash)
+    frame on its band bucket -> distinct candidate pairs with the
+    signature-agreement Jaccard estimate. The join's only exchange
+    requirement is hash-partitioning on (band_id, band_hash) — which a
+    bucketed band index already satisfies ON DISK, making candidate
+    generation exchange-free (tests/test_bucketed.py)."""
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -257,6 +257,76 @@ def minhash_lsh_pairs(
     return pairs.select(
         "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidate pairs.
+
+    shingle -> signature (narrow) -> explode to ``bands`` rows of
+    (band_id, band_hash, id) -> self-join on the band bucket ->
+    distinct pairs. The ONLY shuffle is on (band_id, band_hash); with
+    r = num_hashes/bands rows per band, collision probability is the
+    classic (1 - (1 - j^r)^bands) S-curve. Returns (id_a, id_b,
+    estimated jaccard from signature agreement)."""
+    banded_plan = banded_sketch(
+        df, id_col, text_col, shingle_n, num_hashes, bands, seed
+    )
+    # Materialize the banded sketch once: AQE defeats static exchange
+    # reuse here, so without this BOTH self-join branches recompute the
+    # whole shingle->signature pipeline (measured 2x cost at sf0.1).
+    # localCheckpoint truncates lineage; executor loss just recomputes.
+    return pairs_from_banded(
+        banded_plan.localCheckpoint(eager=False), num_hashes
+    )
+
+
+def write_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    n_buckets: int = 64,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> None:
+    """Persist the banded sketch as a table BUCKETED on (band_id,
+    band_hash): the corpus pays the band shuffle exactly once, at
+    ingest. Every subsequent candidate-generation pass
+    (``lsh_pairs_from_band_index``) self-joins the bucketed layout
+    with ZERO exchange — the 100 TB incremental-dedup layout: re-runs,
+    parameter sweeps over the pair threshold, and batch-vs-index
+    probes all reuse the on-disk partitioning instead of re-shuffling
+    the corpus sketch per run."""
+    from dataengineer_job_scraper_etl_spark.io import write_bucketed_table
+
+    write_bucketed_table(
+        banded_sketch(df, id_col, text_col, shingle_n, num_hashes, bands, seed),
+        table,
+        bucket_cols=("band_id", "band_hash"),
+        n_buckets=n_buckets,
+        sort_cols=("band_id", "band_hash"),
+    )
+
+
+def lsh_pairs_from_band_index(
+    spark, table: str, num_hashes: int = 64
+) -> DataFrame:
+    """Candidate pairs from a bucketed band index (``write_band_index``):
+    identical output to ``minhash_lsh_pairs`` over the same corpus and
+    parameters, but the self-join reads the co-located on-disk buckets
+    — the executed plan contains no Exchange below the join
+    (asserted in tests/test_bucketed.py)."""
+    return pairs_from_banded(spark.table(table), num_hashes)
 
 
 # --------------------------------------------------------------- simhash

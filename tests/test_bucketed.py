@@ -44,3 +44,58 @@ def test_bucketed_join_has_no_exchange(spark):
         )
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customers")
+
+
+def test_band_index_candidate_generation_has_no_exchange(spark, sf_dir):
+    """The 100 TB incremental-dedup layout end-to-end: persist the
+    MinHash banded sketch bucketed on (band_id, band_hash) once, then
+    (a) candidate generation over the bucketed index plans with ZERO
+    exchange below the join, and (b) its pairs equal the one-shot
+    minhash_lsh_pairs over the same corpus/params."""
+    from dataengineer_job_scraper_etl_spark.operators.dedup import (
+        lsh_pairs_from_band_index,
+        minhash_lsh_pairs,
+        write_band_index,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(300)
+    )
+    write_band_index(docs, "doc_id", "text", "b_band_index", n_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = lsh_pairs_from_band_index(spark, "b_band_index")
+        # plan-assert the candidate JOIN itself (pre pair-dedup: the
+        # dropDuplicates on sparse matched pairs is the one intended
+        # shuffle and would otherwise mask the join's exchanges)
+        from dataengineer_job_scraper_etl_spark.operators.dedup import (
+            pairs_from_banded,
+        )
+
+        banded = spark.table("b_band_index")
+        join_only = banded.alias("a").join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        plan = join_only._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # one-shot formulation (shuffles the sketch) must agree exactly
+        got = {
+            (r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in pairs.collect()
+        }
+        want = {
+            (r["id_a"], r["id_b"], r["est_jaccard"])
+            for r in minhash_lsh_pairs(docs, "doc_id", "text").collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_band_index")
