@@ -7,6 +7,10 @@ default: AQE (runtime coalescing + skew-join handling), UTC session time
 zone (oracle comparability + cluster sanity), and a shuffle-partition
 count sized to the local core count rather than the 200 default.
 
+The local->cluster mapping for every default here (what changes at
+1000 executors, and what breaks if scaled naively) is documented in
+PLANS.md §"Deployment shape on a real cluster".
+
 All helpers accept an existing session (the driver passes one to
 ``entry``) and never assume configs they did not set — query code uses
 ``try_*`` functions so it behaves identically under ANSI on/off.
