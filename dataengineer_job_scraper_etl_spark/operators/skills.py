@@ -225,16 +225,35 @@ def extract_skills_native(
     return F.when(text.isNotNull(), F.array_sort(F.array_distinct(arr)))
 
 
+def skills_oracle_padded_sql(text_expr: str) -> str:
+    """SQL for the padded, punctuation-normalized text — the LOWER
+    stratum's per-row haystack. Emit this ONCE in an inner projection
+    and pass the column name to ``skills_oracle_sql`` as
+    ``padded_expr``: DuckDB does not common-subexpression-eliminate a
+    lambda body, so inlining this recomputes two regexp_replaces per
+    phrase per row — measured ~30 min per full-corpus entry at sf1 vs
+    seconds with the projection materialized."""
+    punct_sql = PUNCT_CLASS.replace("'", "''")
+    depunct = f"regexp_replace(lower({text_expr}), '{punct_sql}', ' ', 'g')"
+    return f"(' ' || trim(regexp_replace({depunct}, '\\s+', ' ', 'g')) || ' ')"
+
+
 def skills_oracle_sql(
-    text_expr: str, phrases: list[str], text_phrases: list[str] = ()
+    text_expr: str,
+    phrases: list[str],
+    text_phrases: list[str] = (),
+    padded_expr: str | None = None,
 ) -> str:
     """DuckDB scalar expression computing the same sorted skill list
     (same punctuation-as-boundary normalization as ``_normalized`` for
-    the LOWER stratum; identical regex strings for the TEXT stratum)."""
+    the LOWER stratum; identical regex strings for the TEXT stratum).
+
+    ``padded_expr``: name of a column already holding
+    ``skills_oracle_padded_sql(text_expr)`` — REQUIRED for unbounded
+    corpora (see that function's docstring); omitted, the padding is
+    inlined (fine for bounded subsets only)."""
     quoted = ", ".join("'" + p.replace("'", "''") + "'" for p in phrases)
-    punct_sql = PUNCT_CLASS.replace("'", "''")
-    depunct = f"regexp_replace(lower({text_expr}), '{punct_sql}', ' ', 'g')"
-    padded = f"(' ' || trim(regexp_replace({depunct}, '\\s+', ' ', 'g')) || ' ')"
+    padded = padded_expr or skills_oracle_padded_sql(text_expr)
     lower_list = (
         f"list_filter([{quoted}], p -> contains({padded}, ' ' || p || ' '))"
     )

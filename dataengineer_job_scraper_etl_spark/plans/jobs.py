@@ -142,14 +142,24 @@ def transform_postings_oracle_sql(phrases: list[str], pay_sql: str,
                                   text_phrases: list[str] = ()) -> str:
     """DuckDB equivalent of transform_postings minus the ``date`` stamp
     (current_timestamp is nondeterministic across engines; the harness
-    compares the deterministic columns)."""
-    skills_sql = skills_oracle_sql("description", phrases, text_phrases)
+    compares the deterministic columns). The padded skills haystack is
+    materialized once per row (skills_oracle_padded_sql docstring)."""
+    from dataengineer_job_scraper_etl_spark.operators.skills import (
+        skills_oracle_padded_sql,
+    )
+
+    skills_sql = skills_oracle_sql(
+        "description", phrases, text_phrases, padded_expr="__padded"
+    )
     return f"""
-WITH postings AS ({POSTINGS_SQL})
+WITH postings AS ({POSTINGS_SQL}),
+prep AS (
+  SELECT *, {skills_oracle_padded_sql('description')} AS __padded
+  FROM postings WHERE description IS NOT NULL
+)
 SELECT jobid, job_type,
        {pay_sql} AS pay,
        coalesce(array_to_string({skills_sql}, '|'), '') AS skills,
        {seniority_sql} AS seniority
-FROM postings
-WHERE description IS NOT NULL
+FROM prep
 """

@@ -25,6 +25,7 @@ from dataengineer_job_scraper_etl_spark.operators.skills import (
     extract_skills_native,
     phrases_from_patterns,
     skill_match_pairs,
+    skills_oracle_padded_sql,
     skills_oracle_sql,
     text_phrases_from_patterns,
 )
@@ -43,6 +44,22 @@ PHRASES = phrases_from_patterns(_PATTERN_ROWS)
 TEXT_PHRASES = text_phrases_from_patterns(_PATTERN_ROWS)
 
 _POSTINGS_CTE = f"WITH postings AS ({POSTINGS_SQL})"
+
+# Full-corpus skills oracle: the padded haystack is MATERIALIZED once
+# per row in an inner projection (skills_oracle_padded_sql docstring —
+# inlining it into the 2,412-probe lambda is a ~100x oracle slowdown
+# at sf1), then the filter probes the column.
+_SKILLS_PREP_CTE = f"""{_POSTINGS_CTE},
+prep AS (
+  SELECT jobid, description,
+         {skills_oracle_padded_sql('description')} AS __padded
+  FROM postings WHERE description IS NOT NULL
+)"""
+_SKILLS_FULL_SQL = f"""{_SKILLS_PREP_CTE}
+SELECT jobid,
+       coalesce(array_to_string({skills_oracle_sql(
+           'description', PHRASES, TEXT_PHRASES, padded_expr='__padded')}, '|'), '') AS skills
+FROM prep"""
 
 
 def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,9 +103,7 @@ def jobs_seniority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jobs_skills",
     # NB coalesce: DuckDB array_to_string([]) is NULL, Spark
     # array_join([]) is '' — '' is the canonical empty on both sides.
-    f"{_POSTINGS_CTE} SELECT jobid, "
-    f"coalesce(array_to_string({skills_oracle_sql('description', PHRASES, TEXT_PHRASES)}, '|'), '') "
-    "AS skills FROM postings WHERE description IS NOT NULL",
+    _SKILLS_FULL_SQL,
     doc="U2/J2/A1: dictionary skill match, sorted distinct array; both "
     "strata (case-insensitive LOWER + case-sensitive TEXT, spaCy "
     "EntityRuler parity). Spark side runs the dictionary-size-"
@@ -124,10 +139,15 @@ def jobs_skills(spark: SparkSession, sf_dir: str) -> DataFrame:
 subset AS (
   SELECT jobid, description FROM postings WHERE description IS NOT NULL
   ORDER BY CAST(jobid AS BIGINT) LIMIT 200
+),
+prep AS (
+  SELECT jobid, description,
+         {skills_oracle_padded_sql('description')} AS __padded
+  FROM subset
 )
 SELECT jobid,
-       coalesce(array_to_string({skills_oracle_sql('description', PHRASES, TEXT_PHRASES)}, '|'), '') AS skills
-FROM subset""",
+       coalesce(array_to_string({skills_oracle_sql('description', PHRASES, TEXT_PHRASES, padded_expr='__padded')}, '|'), '') AS skills
+FROM prep""",
     doc="The pure-Catalyst literal-array formulation of the skill "
     "matcher (filter over a plan-literal phrase array + per-phrase "
     "rlike TEXT channel) kept oracle-pinned on a deterministic "
@@ -166,16 +186,24 @@ CS_FRAGMENTS = (
 
 @register(
     "jobs_skills_case_sensitive",
-    f"""{_POSTINGS_CTE}
-SELECT jobid,
-       coalesce(array_to_string({{skills}}, '|'), '') AS skills
-FROM (
+    f"""{_POSTINGS_CTE},
+planted AS (
   SELECT jobid,
          coalesce(description, '') ||
          (ARRAY[{", ".join("'" + fr.replace("'", "''") + "'" for fr in CS_FRAGMENTS)}])
            [CAST(jobid AS BIGINT) % 5 + 1] AS cs_text
   FROM postings
-)""".format(skills=skills_oracle_sql("cs_text", PHRASES, TEXT_PHRASES)),
+),
+prep AS (
+  SELECT jobid, cs_text,
+         {skills_oracle_padded_sql('cs_text')} AS __padded
+  FROM planted
+)
+SELECT jobid,
+       coalesce(array_to_string({skills_oracle_sql(
+           'cs_text', PHRASES, TEXT_PHRASES, padded_expr='__padded'
+       )}, '|'), '') AS skills
+FROM prep""",
     doc="Case-faithful TEXT-stratum matching (spaCy EntityRuler "
     "semantics, main.py:132-139): planted fragments pin that '.NET' "
     "does not match 'net income', 'API' does not match lowercase "
@@ -225,9 +253,7 @@ def jobs_jobid_from_urn(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "jobs_skills_trie_udf",
     # same oracle as jobs_skills: the trie UDF must be value-identical
-    f"{_POSTINGS_CTE} SELECT jobid, "
-    f"coalesce(array_to_string({skills_oracle_sql('description', PHRASES, TEXT_PHRASES)}, '|'), '') "
-    "AS skills FROM postings WHERE description IS NOT NULL",
+    _SKILLS_FULL_SQL,
     doc="U3: the Arrow-batched trie pandas UDF path (per-worker trie "
     "+ compiled TEXT-stratum regexes from a broadcast variable — "
     "where a real spaCy pipeline slots in), checked against the SAME "
@@ -322,10 +348,16 @@ def jobs_transform_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jobs_flagship_skill_demand",
     f"""
 WITH postings AS ({POSTINGS_SQL}),
+prep AS (
+  SELECT job_type, description,
+         {skills_oracle_padded_sql('description')} AS __padded
+  FROM postings WHERE description IS NOT NULL
+),
 transformed AS (
   SELECT job_type,
-         {skills_oracle_sql('description', PHRASES, TEXT_PHRASES)} AS skills
-  FROM postings WHERE description IS NOT NULL
+         {skills_oracle_sql('description', PHRASES, TEXT_PHRASES,
+                            padded_expr='__padded')} AS skills
+  FROM prep
 )
 SELECT skill, job_type, count(*) AS n
 FROM transformed, unnest(skills) AS u(skill)
