@@ -113,14 +113,23 @@ def text_phrases_from_patterns(patterns: list[dict]) -> list[str]:
     """JSONL pattern rows -> the case-SENSITIVE (TEXT) stratum:
     verbatim token phrases, case and punctuation preserved (".NET",
     "C++", "API"). spaCy matches {"TEXT": tok} against the exact token
-    text (EntityRuler, main.py:132-133)."""
+    text (EntityRuler, main.py:132-133).
+
+    A row mixing TEXT and LOWER tokens (none exist in the reference
+    asset) is conservatively treated as all-TEXT — matching it
+    case-sensitively can under-match, but dropping it (or lowering the
+    TEXT tokens) would mis-match; documented divergence."""
     out = []
     for row in patterns:
         toks = row.get("pattern", [])
-        if not toks or not all("TEXT" in tok for tok in toks):
+        if not toks or not any("TEXT" in tok for tok in toks):
             continue
         phrase = _WS_RE.sub(
-            " ", " ".join(str(tok["TEXT"]).strip() for tok in toks)
+            " ",
+            " ".join(
+                str(tok.get("TEXT") or tok.get("LOWER") or "").strip()
+                for tok in toks
+            ),
         ).strip()
         if phrase:
             out.append(phrase)
