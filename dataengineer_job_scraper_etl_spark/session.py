@@ -24,6 +24,15 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
+# Local mode puts driver + all executor threads in ONE JVM, but Spark's
+# spark.driver.memory default is 1g regardless of machine size — at sf1
+# the banded-sketch localCheckpoint blocks + a single 64 MB-threshold
+# broadcast build overflow it ("Not enough memory to build and
+# broadcast", caught by the round-6 sf1 sweep). Size the heap for the
+# box; on a real cluster this knob is the driver container size and
+# executors get their own (PLANS.md deployment section).
+DEFAULT_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+
 
 def get_spark(
     app_name: str = "dataengineer-job-scraper-etl-spark",
@@ -42,6 +51,9 @@ def get_spark(
     cpus = DEFAULT_CPUS
     builder = (
         SparkSession.builder.appName(app_name)
+        # Only effective when this call launches the JVM (first session
+        # in the process) — exactly the local/test/bench case it fixes.
+        .config("spark.driver.memory", DEFAULT_DRIVER_MEM)
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for every JVM<->Python boundary (pandas_udf, toPandas) —
         # the reference already chose this (etl/transform.py:55).
