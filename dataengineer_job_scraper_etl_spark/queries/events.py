@@ -76,7 +76,7 @@ def events_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n, round(sum(value), 2) AS total_value
+       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
 FROM ev
 GROUP BY 1, 2
 """,
@@ -90,7 +90,7 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(w.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w").getField("start").alias("window_start"),
@@ -235,7 +235,7 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
 SELECT event_type,
        round(min(value), 2) AS min_v, round(max(value), 2) AS max_v,
-       round(avg(value), 4) AS avg_v,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS avg_v,
        round(stddev_samp(value), 4) AS sd_v,
        count(DISTINCT user_id) AS n_users
 FROM ev GROUP BY event_type
@@ -247,7 +247,10 @@ def events_type_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.round(F.min("value"), 2).alias("min_v"),
         F.round(F.max("value"), 2).alias("max_v"),
-        F.round(F.avg("value"), 4).alias("avg_v"),
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("value")
+        ).alias("avg_v"),
         F.round(F.stddev_samp("value"), 4).alias("sd_v"),
         F.countDistinct("user_id").alias("n_users"),
     )

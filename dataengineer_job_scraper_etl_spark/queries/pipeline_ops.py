@@ -53,7 +53,7 @@ WITH tok AS (
 SELECT source, count(*) AS n_docs,
        CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
        round(avg(n_pieces), 4) AS avg_pieces,
-       CAST(sum(n_pieces) * 1000000 / sum(n_words) AS BIGINT)
+       CAST(sum(n_pieces) * 1000000 // sum(n_words) AS BIGINT)
          AS pieces_per_word_ppm
 FROM tok GROUP BY source
 """,
@@ -77,7 +77,11 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_pieces").cast("bigint").alias("total_pieces"),
             F.round(F.avg("n_pieces"), 4).alias("avg_pieces"),
-            (F.sum("n_pieces") * 1000000 / F.sum("n_words"))
+            # integer division on BOTH sides ('div' / '//'): the prior
+            # double-division + cast diverged at sf1 — Spark's
+            # double->bigint cast truncates while DuckDB's rounds, an
+            # off-by-one on every group whose ratio fraction >= .5
+            F.expr("(sum(n_pieces) * 1000000) div sum(n_words)")
             .cast("bigint")
             .alias("pieces_per_word_ppm"),
         )

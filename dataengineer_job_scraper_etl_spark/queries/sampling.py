@@ -227,7 +227,7 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT CAST(count(*) AS BIGINT) AS n_sampled,
        CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
-       round(sum(l_extendedprice), 2) AS price_checksum
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS price_checksum
 FROM lineitem
 WHERE substring(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 1)
       IN ('0', '1', '2')
@@ -244,7 +244,7 @@ def lineitem_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     return l.filter(keep).agg(
         F.count("*").alias("n_sampled"),
         F.sum("l_orderkey").alias("key_checksum"),
-        F.round(F.sum("l_extendedprice"), 2).alias("price_checksum"),
+        F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double").alias("price_checksum"),
     )
 
 

@@ -53,7 +53,7 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(event_id) AS BIGINT) AS id_checksum,
        CAST(sum(user_id) AS BIGINT) AS user_checksum,
-       round(sum(value), 2) AS value_sum,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum,
        min(ts) AS ts_min, max(ts) AS ts_max
 FROM ev GROUP BY event_type
 """,
@@ -75,7 +75,7 @@ def io_partitioned_sink_roundtrip(
         F.count(F.lit(1)).alias("n"),
         F.sum("event_id").cast("long").alias("id_checksum"),
         F.sum("user_id").cast("long").alias("user_checksum"),
-        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("value_sum"),
         F.min("ts").alias("ts_min"),
         F.max("ts").alias("ts_max"),
     )
@@ -87,7 +87,7 @@ def io_partitioned_sink_roundtrip(
 WITH ev AS (SELECT event_id, user_id, event_type, value FROM events)
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(CASE WHEN value < 0 THEN 1 END) AS BIGINT) AS n_negative,
-       round(sum(value), 2) AS value_sum,
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum,
        CAST(max(user_id) AS BIGINT) AS user_id_max
 FROM ev
 """,
@@ -110,7 +110,7 @@ def events_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         obs,
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col("value") < 0, 1)).alias("n_negative"),
-        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("value_sum"),
         # NB DISTINCT aggregates are rejected in observed metrics
         # (INVALID_OBSERVED_METRICS); cardinality checks belong in
         # dq_profile_orders / the sketch entries instead
@@ -167,7 +167,7 @@ WITH ev AS (SELECT event_id, user_id, event_type, value FROM events)
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(event_id) AS BIGINT) AS id_checksum,
-       round(sum(value), 2) AS value_sum
+       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
 FROM ev GROUP BY event_type
 """,
     doc="foreachBatch exactly-once sink round-trip through the driver "
@@ -187,7 +187,7 @@ def io_foreachbatch_sink_roundtrip(
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("event_id").cast("long").alias("id_checksum"),
-        F.round(F.sum("value"), 2).alias("value_sum"),
+        F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("value_sum"),
     )
 
 

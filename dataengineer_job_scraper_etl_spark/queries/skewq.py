@@ -27,7 +27,7 @@ from dataengineer_job_scraper_etl_spark.queries.events import _events
 @register(
     "skew_salted_join_type_stats",
     """
-WITH r AS (SELECT event_type, round(avg(value), 6) AS type_avg
+WITH r AS (SELECT event_type, CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS type_avg
            FROM events GROUP BY event_type)
 SELECT e.event_type,
        CAST(count(*) AS BIGINT) AS n_rows,
@@ -45,7 +45,10 @@ GROUP BY e.event_type, r.type_avg
 def skew_salted_join_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     right = e.groupBy("event_type").agg(
-        F.round(F.avg("value"), 6).alias("type_avg")
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            / F.count("value")
+        ).alias("type_avg")
     )
     joined = salted_join(
         e.select("event_id", "event_type"), right, ["event_type"], n_salt=8

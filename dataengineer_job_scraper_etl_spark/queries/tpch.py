@@ -9,7 +9,10 @@ Scale notes (100 TB posture, local-verified via .explain):
   pick this anyway at runtime, we make it explicit.
 - aggregates are partial (map-side combine) by construction — groupBy
   on low-cardinality keys shuffles only (key, partial) rows.
-- all double aggregates rounded in-query on both engines (hash safety).
+- money/quantity sums are ORDER-INDEPENDENT exact: per-row
+  DECIMAL(30,6) quantization + exact decimal sum + one final cast
+  (see _xsum) — round(sum(double)) flips rounding boundaries under
+  summation-order drift at sf1 (caught by the round-6 sweep).
 """
 
 from __future__ import annotations
@@ -24,18 +27,48 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _xsum(x):
+    """Order-independent exact sum of a money/quantity double, emitted
+    as DOUBLE: per-row quantization to DECIMAL(30,6) recovers the
+    exact <=6-dp decimal value (the double is within ~1e-11 of it,
+    identically on both engines, never at a grid half-point), the
+    decimal sum is exact under any partitioning, and only one final
+    cast touches doubles. The round-6 sf1 sweep caught the prior
+    round(sum(double), 2) formulation flipping a 2-dp boundary under
+    6M-row summation-order drift (q1 sum_charge). SQL twin:
+    CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE).
+
+    Emit the result UNROUNDED: both engines produce bit-identical
+    doubles, so rounding adds nothing — and a coarse final round is
+    actively harmful, because exact sums routinely land ON decimal
+    half-points where Spark (shortest-string HALF_UP) and DuckDB
+    (binary-value round) disagree (.865 -> .87 vs .86; measured on
+    q7/q9 at sf1). Round only to absorb nondeterminism; there is none
+    left here."""
+    c = F.col(x) if isinstance(x, str) else x
+    return F.sum(c.cast("decimal(30,6)")).cast("double")
+
+
+def _xavg(x):
+    """Exact-sum / non-null-count average (same rationale as _xsum;
+    count twin keeps avg's null semantics)."""
+    c = F.col(x) if isinstance(x, str) else x
+    return _xsum(c) / F.count(c)
+
+
+
 @register(
     "tpch_q1_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                   AS sum_qty,
-       round(sum(l_extendedprice), 2)                              AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)                                   AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)                              AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)           AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE)
                                                                    AS sum_charge,
-       round(avg(l_quantity), 4)                                   AS avg_qty,
-       round(avg(l_extendedprice), 4)                              AS avg_price,
-       round(avg(l_discount), 4)                                   AS avg_disc,
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity)                                   AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(l_extendedprice)                              AS avg_price,
+       CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(l_discount)                                   AS avg_disc,
        count(*)                                                    AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -51,13 +84,13 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _xsum("l_quantity").alias("sum_qty"),
+            _xsum("l_extendedprice").alias("sum_base_price"),
+            _xsum(disc_price).alias("sum_disc_price"),
+            _xsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            _xavg("l_quantity").alias("avg_qty"),
+            _xavg("l_extendedprice").alias("avg_price"),
+            _xavg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -66,7 +99,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q3_shipping_priority",
     """
-SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+SELECT o.o_orderkey, CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
        o.o_orderdate
 FROM customer c
 JOIN orders o    ON c.c_custkey = o.o_custkey
@@ -88,9 +121,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _xsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .select("o_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -101,7 +132,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q5_region_revenue",
     """
-SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT n.n_name, CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
 FROM region r
 JOIN nation n   ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -130,9 +161,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _xsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
@@ -226,7 +255,7 @@ def window_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_order_totals",
     """
 SELECT o_orderstatus, o_orderpriority,
-       round(sum(o_totalprice), 2) AS total, count(*) AS n
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total, count(*) AS n
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
@@ -235,7 +264,7 @@ GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        _xsum("o_totalprice").alias("total"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -244,7 +273,7 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_lineitem_flags",
     """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty, count(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
@@ -253,7 +282,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     return l.cube("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        _xsum("l_quantity").alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -296,9 +325,9 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_priority",
     """
 SELECT o_orderpriority,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS F,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS O,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS P
+       coalesce(CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(30,6))) AS DOUBLE), 0) AS F,
+       coalesce(CAST(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(30,6))) AS DOUBLE), 0) AS O,
+       coalesce(CAST(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(30,6))) AS DOUBLE), 0) AS P
 FROM orders GROUP BY o_orderpriority
 """,
     doc="Pivot with explicit value list (no extra distinct-values job).",
@@ -308,13 +337,13 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2))
+        .agg(F.coalesce(_xsum("o_totalprice"), F.lit(0.0)))
     )
     return out.select(
         "o_orderpriority",
-        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("F"),
-        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("O"),
-        F.round(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("P"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("F"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("O"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("P"),
     )
 
 
@@ -378,7 +407,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast_revenue",
     """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -401,9 +430,7 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 25)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue"),
+            _xsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -536,7 +563,7 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_orders",
     """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       round(sum(o_totalprice), 2) AS total
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,
@@ -549,7 +576,7 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               round(sum(o_totalprice), 2) AS total
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
         FROM orders_v
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -560,9 +587,9 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rolling_30day_spend",
     """
 SELECT o_orderkey, o_custkey, o_orderdate,
-       round(sum(o_totalprice) OVER (
+       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
          PARTITION BY o_custkey ORDER BY o_orderdate
-         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+         RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
          AS spend_30d
 FROM orders WHERE o_custkey < 200
 """,
@@ -576,9 +603,9 @@ def window_rolling_30day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderkey, o_custkey, o_orderdate,
-               round(sum(o_totalprice) OVER (
+               CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) OVER (
                  PARTITION BY o_custkey ORDER BY o_orderdate
-                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW), 2)
+                 RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
                  AS spend_30d
         FROM orders_v2 WHERE o_custkey < 200
         """
@@ -596,7 +623,7 @@ def window_rolling_30day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q7_volume_shipping",
     """
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year, CAST(sum(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l.l_shipdate) AS l_year,
@@ -650,7 +677,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(_xsum("volume").alias("revenue"))
     )
 
 
@@ -658,8 +685,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q8_market_share",
     """
 SELECT o_year,
-       round(sum(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END)
-             / sum(volume), 6) AS mkt_share
+       CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(sum(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS mkt_share
 FROM (
   SELECT year(o.o_orderdate) AS o_year,
          l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -709,13 +736,12 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_year")
         .agg(
-            F.round(
-                F.sum(
+            (
+                _xsum(
                     F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
                     .otherwise(F.lit(0.0))
                 )
-                / F.sum("volume"),
-                6,
+                / _xsum("volume")
             ).alias("mkt_share")
         )
     )
@@ -724,7 +750,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9_product_profit",
     """
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+SELECT nation, o_year, CAST(sum(CAST(amount AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
 FROM (
   SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
          l.l_extendedprice * (1 - l.l_discount) AS amount
@@ -758,7 +784,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(_xsum("amount").alias("sum_profit"))
     )
 
 
@@ -766,7 +792,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     """
 SELECT c.c_custkey, c.c_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
        round(c.c_acctbal, 2) AS c_acctbal, n.n_name
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -796,9 +822,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _xsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .select(
             "c_custkey",
@@ -815,10 +839,10 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14_promo_revenue",
     """
-SELECT round(100.00 * sum(CASE WHEN p.p_type = 'PROMO'
+SELECT 100.00 * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
                                THEN l.l_extendedprice * (1 - l.l_discount)
-                               ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+                               ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
@@ -837,11 +861,10 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
+            (
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
-                4,
+                * _xsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / _xsum(rev)
             ).alias("promo_revenue")
         )
     )
@@ -852,7 +875,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -873,9 +896,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_revenue")
+        _xsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
     )
     mx = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     s = _t(spark, sf_dir, "supplier")
@@ -892,7 +913,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
        round(o.o_totalprice, 2) AS o_totalprice,
-       round(sum(l.l_quantity), 2) AS sum_qty
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -923,7 +944,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
         .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .agg(_xsum("l_quantity").alias("sum_qty"))
         .select(
             "c_name",
             "c_custkey",
@@ -940,7 +961,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q19_discounted_revenue",
     """
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 5
@@ -974,9 +995,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _xsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
 
@@ -984,9 +1003,11 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q22_global_sales_opportunity",
     """
-WITH pos AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+WITH pos AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+                    / count(c_acctbal) AS a
+             FROM customer WHERE c_acctbal > 0.0)
 SELECT n.n_name AS cntry, CAST(count(*) AS BIGINT) AS numcust,
-       round(sum(c.c_acctbal), 2) AS totacctbal
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE c.c_nationkey IN (1, 3, 5, 7, 9)
@@ -1009,10 +1030,13 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority") == "1-URGENT"
     )
     n = _t(spark, sf_dir, "nation")
+    # exact-sum avg: the threshold comparison below must not drift
+    # (a boundary customer flipping membership is a row-set change,
+    # not just a rounded-digit change)
     avg_bal = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 0.0)
-        .agg(F.avg("c_acctbal").alias("__avg_bal"))
+        .agg(_xavg("c_acctbal").alias("__avg_bal"))
     )
     return (
         c.crossJoin(F.broadcast(avg_bal))
@@ -1022,7 +1046,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("cntry"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _xsum("c_acctbal").alias("totacctbal"),
         )
     )
 
