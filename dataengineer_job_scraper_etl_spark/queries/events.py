@@ -76,7 +76,7 @@ def events_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+       count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM ev
 GROUP BY 1, 2
 """,
@@ -235,7 +235,7 @@ def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)
 SELECT event_type,
        round(min(value), 2) AS min_v, round(max(value), 2) AS max_v,
-       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS avg_v,
+       CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / count(value) AS avg_v,
        round(stddev_samp(value), 4) AS sd_v,
        count(DISTINCT user_id) AS n_users
 FROM ev GROUP BY event_type

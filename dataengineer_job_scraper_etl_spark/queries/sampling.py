@@ -227,7 +227,7 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT CAST(count(*) AS BIGINT) AS n_sampled,
        CAST(sum(l_orderkey) AS BIGINT) AS key_checksum,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS price_checksum
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS price_checksum
 FROM lineitem
 WHERE substring(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 1)
       IN ('0', '1', '2')

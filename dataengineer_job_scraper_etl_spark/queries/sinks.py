@@ -53,7 +53,7 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(event_id) AS BIGINT) AS id_checksum,
        CAST(sum(user_id) AS BIGINT) AS user_checksum,
-       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum,
+       CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS value_sum,
        min(ts) AS ts_min, max(ts) AS ts_max
 FROM ev GROUP BY event_type
 """,
@@ -87,7 +87,7 @@ def io_partitioned_sink_roundtrip(
 WITH ev AS (SELECT event_id, user_id, event_type, value FROM events)
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(CASE WHEN value < 0 THEN 1 END) AS BIGINT) AS n_negative,
-       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum,
+       CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS value_sum,
        CAST(max(user_id) AS BIGINT) AS user_id_max
 FROM ev
 """,
@@ -167,7 +167,7 @@ WITH ev AS (SELECT event_id, user_id, event_type, value FROM events)
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
        CAST(sum(event_id) AS BIGINT) AS id_checksum,
-       CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+       CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS value_sum
 FROM ev GROUP BY event_type
 """,
     doc="foreachBatch exactly-once sink round-trip through the driver "

@@ -27,7 +27,7 @@ from dataengineer_job_scraper_etl_spark.queries.events import _events
 @register(
     "skew_salted_join_type_stats",
     """
-WITH r AS (SELECT event_type, CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value) AS type_avg
+WITH r AS (SELECT event_type, CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / count(value) AS type_avg
            FROM events GROUP BY event_type)
 SELECT e.event_type,
        CAST(count(*) AS BIGINT) AS n_rows,

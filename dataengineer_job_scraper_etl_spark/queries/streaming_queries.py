@@ -238,7 +238,7 @@ def streaming_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
     f"""
 {_EV_CTE}
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+       count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM ev
 WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
       <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM ev)
@@ -310,7 +310,7 @@ def streaming_static_enrich_entry(spark: SparkSession, sf_dir: str) -> DataFrame
     f"""
 {_EV_CTE}
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n, CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+       count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS total_value
 FROM ev GROUP BY 1, 2
 """,
     doc="events_tumbling_hourly executed through the STREAMING path: "

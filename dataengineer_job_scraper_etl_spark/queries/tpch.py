@@ -36,15 +36,25 @@ def _xsum(x):
     cast touches doubles. The round-6 sf1 sweep caught the prior
     round(sum(double), 2) formulation flipping a 2-dp boundary under
     6M-row summation-order drift (q1 sum_charge). SQL twin:
-    CAST(sum(CAST(x AS DECIMAL(30,6))) AS DOUBLE).
+    CAST(CAST(sum(CAST(x AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE).
 
-    Emit the result UNROUNDED: both engines produce bit-identical
-    doubles, so rounding adds nothing — and a coarse final round is
-    actively harmful, because exact sums routinely land ON decimal
-    half-points where Spark (shortest-string HALF_UP) and DuckDB
-    (binary-value round) disagree (.865 -> .87 vs .86; measured on
-    q7/q9 at sf1). Round only to absorb nondeterminism; there is none
-    left here."""
+    The VARCHAR hop in the twin is load-bearing: once the scale-6
+    scaled integer exceeds 2^53 (sums past ~9e9), DuckDB's direct
+    decimal->double cast double-rounds (int128 -> double, then /1e6:
+    two roundings), while Spark's Decimal.toDouble goes through
+    BigDecimal.doubleValue, which is correctly rounded; the two can
+    land on ADJACENT doubles (sf1 q1 sum_charge: 43579985256.93967 vs
+    ...674). A string parse is correctly rounded too, so with the hop
+    both engines emit the bit-identical nearest double of the same
+    exact decimal at any magnitude.
+
+    Emit the result UNROUNDED: with the hop both engines produce
+    bit-identical doubles, so rounding adds nothing — and a coarse
+    final round is actively harmful, because exact sums routinely
+    land ON decimal half-points where Spark (shortest-string HALF_UP)
+    and DuckDB (binary-value round) disagree (.865 -> .87 vs .86;
+    measured on q7/q9 at sf1). Round only to absorb nondeterminism;
+    there is none left here."""
     c = F.col(x) if isinstance(x, str) else x
     return F.sum(c.cast("decimal(30,6)")).cast("double")
 
@@ -61,14 +71,14 @@ def _xavg(x):
     "tpch_q1_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE)                                   AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)                              AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE)           AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE)
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)                                   AS sum_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)                              AS sum_base_price,
+       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)           AS sum_disc_price,
+       CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)
                                                                    AS sum_charge,
-       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity)                                   AS avg_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / count(l_extendedprice)                              AS avg_price,
-       CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(l_discount)                                   AS avg_disc,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / count(l_quantity)                                   AS avg_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / count(l_extendedprice)                              AS avg_price,
+       CAST(CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / count(l_discount)                                   AS avg_disc,
        count(*)                                                    AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -99,7 +109,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q3_shipping_priority",
     """
-SELECT o.o_orderkey, CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+SELECT o.o_orderkey, CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS revenue,
        o.o_orderdate
 FROM customer c
 JOIN orders o    ON c.c_custkey = o.o_custkey
@@ -132,7 +142,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q5_region_revenue",
     """
-SELECT n.n_name, CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+SELECT n.n_name, CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM region r
 JOIN nation n   ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -255,7 +265,7 @@ def window_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_order_totals",
     """
 SELECT o_orderstatus, o_orderpriority,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total, count(*) AS n
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS total, count(*) AS n
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """,
@@ -273,7 +283,7 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_lineitem_flags",
     """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty, count(*) AS n
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_qty, count(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """,
@@ -325,9 +335,9 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_priority",
     """
 SELECT o_orderpriority,
-       coalesce(CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(30,6))) AS DOUBLE), 0) AS F,
-       coalesce(CAST(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(30,6))) AS DOUBLE), 0) AS O,
-       coalesce(CAST(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(30,6))) AS DOUBLE), 0) AS P
+       coalesce(CAST(CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE), 0) AS F,
+       coalesce(CAST(CAST(sum(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE), 0) AS O,
+       coalesce(CAST(CAST(sum(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE), 0) AS P
 FROM orders GROUP BY o_orderpriority
 """,
     doc="Pivot with explicit value list (no extra distinct-values job).",
@@ -407,7 +417,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast_revenue",
     """
-SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+SELECT CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -563,7 +573,7 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping_sets_orders",
     """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,
@@ -623,7 +633,7 @@ def window_rolling_30day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q7_volume_shipping",
     """
-SELECT supp_nation, cust_nation, l_year, CAST(sum(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+SELECT supp_nation, cust_nation, l_year, CAST(CAST(sum(CAST(volume AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l.l_shipdate) AS l_year,
@@ -685,8 +695,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q8_market_share",
     """
 SELECT o_year,
-       CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE)
-             / CAST(sum(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS mkt_share
+       CAST(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE 0 END AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sum(CAST(volume AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS mkt_share
 FROM (
   SELECT year(o.o_orderdate) AS o_year,
          l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -750,7 +760,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q9_product_profit",
     """
-SELECT nation, o_year, CAST(sum(CAST(amount AS DECIMAL(30,6))) AS DOUBLE) AS sum_profit
+SELECT nation, o_year, CAST(CAST(sum(CAST(amount AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_profit
 FROM (
   SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
          l.l_extendedprice * (1 - l.l_discount) AS amount
@@ -792,7 +802,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned_items",
     """
 SELECT c.c_custkey, c.c_name,
-       CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS revenue,
        round(c.c_acctbal, 2) AS c_acctbal, n.n_name
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -839,10 +849,10 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14_promo_revenue",
     """
-SELECT 100.00 * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
+SELECT 100.00 * CAST(CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
                                THEN l.l_extendedprice * (1 - l.l_discount)
-                               ELSE 0 END AS DECIMAL(30,6))) AS DOUBLE)
-             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue
+                               ELSE 0 END AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS promo_revenue
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
@@ -875,7 +885,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+         CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -913,7 +923,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
        round(o.o_totalprice, 2) AS o_totalprice,
-       CAST(sum(CAST(l.l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+       CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -961,7 +971,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q19_discounted_revenue",
     """
-SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 5
@@ -1003,11 +1013,11 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q22_global_sales_opportunity",
     """
-WITH pos AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE)
+WITH pos AS (SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)
                     / count(c_acctbal) AS a
              FROM customer WHERE c_acctbal > 0.0)
 SELECT n.n_name AS cntry, CAST(count(*) AS BIGINT) AS numcust,
-       CAST(sum(CAST(c.c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS totacctbal
+       CAST(CAST(sum(CAST(c.c_acctbal AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS totacctbal
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE c.c_nationkey IN (1, 3, 5, 7, 9)
