@@ -110,6 +110,11 @@ HEADLINE += [
     "events_hourly_cusum_shift",
     "events_value_equidepth_histogram",
 ]
+HEADLINE += [
+    # round-6: cluster-bounded semantic dedup (k-means + within-cluster
+    # cosine prune) — the SemDeDup scale path end to end
+    "vec_semdedup_survivors",
+]
 
 # Bumped whenever the warm-up methodology changes (what is excluded
 # from the timed region), so bench_compare can distinguish

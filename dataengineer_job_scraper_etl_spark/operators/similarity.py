@@ -203,6 +203,7 @@ def _kmeans_rounds(
     dim: int,
     cents: list[tuple[int, list[float]]],
     n_iter: int,
+    round_decimals: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Run ``n_iter`` Lloyd rounds over an already-parallelized (and
     ideally checkpointed) corpus; returns the updated centroid list.
@@ -215,7 +216,18 @@ def _kmeans_rounds(
     corpus size. For very wide vectors (dim > 256) the wide-agg plan
     would strain codegen, so the round falls back to posexplode ->
     per-(cluster, dim) mean — two shuffles, but rows instead of
-    columns."""
+    columns.
+
+    ``round_decimals`` quantizes every centroid coordinate after each
+    mean update. Two reasons: (a) cross-engine determinism — an oracle
+    replaying the same rounds in another engine accumulates means in a
+    different summation order, and quantizing well above ulp scale
+    (e.g. 9 decimals vs ~1e-16 drift) makes the round's OUTPUT
+    bit-identical on both sides so assignment argmins can't diverge;
+    (b) it is the same centroid-quantization trade serving systems
+    make. None (default) keeps full precision for the IVF/PQ
+    internal-cache paths, whose contracts are recall floors, not
+    hash equality."""
     for _ in range(n_iter):
         assigned = assign_to_centroid(corpus, cents, vec_col)
         if dim <= 256:
@@ -252,6 +264,11 @@ def _kmeans_rounds(
                 )
             )
             got = {r["cluster_id"]: list(r["centroid"]) for r in new.collect()}
+        if round_decimals is not None:
+            got = {
+                cid: [round(x, round_decimals) for x in vec]
+                for cid, vec in got.items()
+            }
         cents = [
             (cid, got.get(cid, vec)) for cid, vec in cents
         ]  # empty clusters keep previous position
@@ -320,6 +337,98 @@ def assign_to_centroid(
     )
     best = F.array_sort(scored)[0].getField("cluster_id")
     return df.withColumn("cluster_id", best)
+
+
+def kmeans_corpus_init(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_clusters: int,
+    n_iter: int = 2,
+    round_decimals: int | None = 9,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means with DATA-DERIVED init: cluster ``cid`` starts at
+    the vector of the ``cid``-th lowest ``id_col`` row. Unlike the
+    seeded-gaussian init (``kmeans_lite``), every step here is a pure
+    function of the table contents — an independent engine can replay
+    init + rounds exactly, which is what makes the clustering entries
+    ORACLE-CHECKABLE (hash equality, not just recall floors). Centroids
+    are quantized to ``round_decimals`` after each mean update; see
+    ``_kmeans_rounds`` for why that pins cross-engine equality.
+
+    The init collect is ``n_clusters`` rows (bounded, like the IVF
+    centroid collects); each round is one shuffle of n_clusters x dim
+    partial means. Returns the trained (cluster_id, centroid) list —
+    feed to ``assign_to_centroid`` for the final assignment."""
+    init_rows = (
+        corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.col(id_col))
+        .limit(n_clusters)
+        .collect()
+    )
+    cents = [(cid, list(r["v"])) for cid, r in enumerate(init_rows)]
+    corpus = ensure_min_parallelism(corpus).localCheckpoint(eager=False)
+    return _kmeans_rounds(
+        corpus, vec_col, dim, cents, n_iter, round_decimals=round_decimals
+    )
+
+
+def semdedup_survivors(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_clusters: int,
+    n_iter: int = 2,
+    tau: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering the
+    embedding space, then pruning near-identical pairs WITHIN each
+    cluster only — the clustering bounds candidate generation, so the
+    quadratic cosine pass runs per cluster, never corpus-wide.
+
+    Rule (deterministic lowest-id-anchor variant): a row is dropped iff
+    some SAME-CLUSTER row with a LOWER id has cosine > ``tau`` with it.
+    The paper keeps the member closest to the centroid per near-dup
+    group; anchoring on the id instead makes survivorship a pure
+    function of the data, replayable by the SQL oracle. Like SemDeDup,
+    recall is bounded by the clustering: a cross-cluster near-dup pair
+    is NOT pruned (by design — that miss rate is the price of never
+    going all-pairs; the RHP-bucket variant in this module covers the
+    hash-bucket alternative).
+
+    Returns (id_col, cluster_id, kept: int 1/0). Plan shape: centroid
+    train (bounded collects) -> literal-argmin assignment (no join) ->
+    ONE equi-self-join on cluster_id for the pair pass -> left-anti
+    mark. At 100 TB the self-join shuffles each cluster to one task
+    pair-set; a degenerate giant cluster (skew) is the known SemDeDup
+    failure mode — raise n_clusters so max |cluster| stays bounded, or
+    pre-split hot clusters (AQE skew-join splits the sort-merge side
+    automatically)."""
+    emb = emb.select(F.col(id_col), F.col(vec_col))
+    cents = kmeans_corpus_init(
+        emb, id_col, vec_col, dim, n_clusters, n_iter=n_iter
+    )
+    assigned = assign_to_centroid(emb, cents, vec_col).select(
+        id_col, "cluster_id", _as_double(F.col(vec_col)).alias("v")
+    )
+    # Stage the assignment once: the pair join consumes it twice (both
+    # sides) and the final mark a third time — without this, the argmin
+    # + upstream scan would recompute per consumer.
+    assigned = assigned.localCheckpoint(eager=False)
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    dropped = (
+        a.join(b, on="cluster_id")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(cosine(F.col("a.v"), F.col("b.v")) > tau)
+        .select(F.col(f"b.{id_col}").alias(id_col), F.lit(0).alias("kept"))
+        .distinct()
+    )
+    return assigned.join(dropped, on=id_col, how="left").select(
+        id_col, "cluster_id", F.coalesce(F.col("kept"), F.lit(1)).alias("kept")
+    )
 
 
 def pq_train(

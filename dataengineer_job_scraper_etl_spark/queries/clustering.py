@@ -1,0 +1,158 @@
+"""Semantic clustering + SemDeDup over the ``embeddings`` fixture
+(north-star LLM-curation extension, SURVEY §2.15).
+
+Two oracle-checked entries built on ``operators/similarity.py``'s
+data-derived-init k-means (``kmeans_corpus_init``): because init =
+the k lowest-id vectors and every centroid update is quantized to 9
+decimals, BOTH engines replay the identical Lloyd trajectory — the
+clustering itself is hash-checked, not just a recall floor. This is
+the missing piece next to the recall-floor ANN entries: those prove
+the index finds neighbors; these prove the distributed Lloyd loop
+computes exactly the clustering it claims.
+
+``vec_semdedup_survivors`` is SemDeDup (Abbas et al., 2023,
+arXiv:2303.09540): embedding-space dedup where the cluster bound —
+never the corpus — limits the quadratic cosine pass. The oracle
+replays init + 2 Lloyd rounds + the within-cluster prune as unrolled
+CTEs over the same parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+from dataengineer_job_scraper_etl_spark.operators.similarity import (
+    _as_double,
+    assign_to_centroid,
+    kmeans_corpus_init,
+    semdedup_survivors,
+)
+
+DIM = 64
+N_CLUSTERS = 8
+N_ITER = 2
+TAU = 0.4  # same "near" regime as vec_neardup_cosine_pairs
+
+# Shared oracle scaffold: data-derived init (k lowest vec_ids), then
+# n_iter=2 unrolled Lloyd rounds. Every centroid coordinate is
+# round(avg, 9) — matching kmeans_corpus_init's quantization — so the
+# trajectory is bit-identical across engines (summation-order ulp
+# drift is ~1e-16, far below the quantum). Assignment tie-break is
+# (distance, cluster_id) on both sides; sqrt is monotone so DuckDB's
+# list_distance orders identically to Spark's d2 fold.
+_KMEANS_CTES = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
+  FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {N_CLUSTERS})),
+a0 AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT emb.vec_id, emb.e, init.cid,
+           row_number() OVER (PARTITION BY emb.vec_id
+             ORDER BY list_distance(emb.e, init.c), init.cid) AS rn
+    FROM emb CROSS JOIN init) WHERE rn = 1),
+c1 AS (
+  SELECT init.cid, coalesce(mm.c, init.c) AS c
+  FROM init LEFT JOIN (
+    SELECT cid, list(m ORDER BY i) AS c FROM (
+      SELECT cid, i, round(avg(e[i]), 9) AS m
+      FROM a0, range(1, {DIM + 1}) r(i) GROUP BY cid, i) GROUP BY cid) mm
+  ON init.cid = mm.cid),
+a1 AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT emb.vec_id, emb.e, c1.cid,
+           row_number() OVER (PARTITION BY emb.vec_id
+             ORDER BY list_distance(emb.e, c1.c), c1.cid) AS rn
+    FROM emb CROSS JOIN c1) WHERE rn = 1),
+c2 AS (
+  SELECT c1.cid, coalesce(mm.c, c1.c) AS c
+  FROM c1 LEFT JOIN (
+    SELECT cid, list(m ORDER BY i) AS c FROM (
+      SELECT cid, i, round(avg(e[i]), 9) AS m
+      FROM a1, range(1, {DIM + 1}) r(i) GROUP BY cid, i) GROUP BY cid) mm
+  ON c1.cid = mm.cid),
+a2 AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT emb.vec_id, emb.e, c2.cid,
+           row_number() OVER (PARTITION BY emb.vec_id
+             ORDER BY list_distance(emb.e, c2.c), c2.cid) AS rn
+    FROM emb CROSS JOIN c2) WHERE rn = 1)
+"""
+
+
+@register(
+    "vec_kmeans_profile",
+    _KMEANS_CTES
+    + """
+SELECT a2.cid AS cluster_id, count(*) AS n_members,
+       round(avg(list_distance(a2.e, c2.c)), 6) AS avg_dist
+FROM a2 JOIN c2 ON a2.cid = c2.cid
+GROUP BY a2.cid
+""",
+    doc="Distributed Lloyd k-means (k=8, 2 rounds, data-derived init, "
+    "9-decimal centroid quantization) hash-checked end to end: the "
+    "oracle replays the identical trajectory as unrolled CTEs. Per "
+    "round: literal-centroid argmin (no join) + ONE shuffle of "
+    "k x dim partial means; init collect is k rows. Profile = cluster "
+    "size + mean member distance to the final centroid.",
+)
+def vec_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_corpus_init(
+        e, "vec_id", "embedding", DIM, N_CLUSTERS, n_iter=N_ITER
+    )
+    assigned = assign_to_centroid(e, cents, "embedding")
+    cdf = F.broadcast(
+        spark.createDataFrame(cents, "cluster_id int, centroid array<double>")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            _as_double(F.col("embedding")),
+            F.col("centroid"),
+            lambda x, c: (x - c) * (x - c),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        assigned.join(cdf, on="cluster_id")
+        .select("cluster_id", F.sqrt(d2).alias("dist"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("dist"), 6).alias("avg_dist"),
+        )
+    )
+
+
+@register(
+    "vec_semdedup_survivors",
+    _KMEANS_CTES
+    + f""",
+pairs AS (
+  SELECT b.vec_id
+  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.e, b.e) > {TAU}
+  GROUP BY b.vec_id)
+SELECT a2.vec_id, a2.cid AS cluster_id,
+       CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+FROM a2 LEFT JOIN pairs p ON a2.vec_id = p.vec_id
+""",
+    doc="SemDeDup (arXiv:2303.09540): k-means the embedding space, "
+    "then drop any row with a LOWER-id same-cluster neighbor above "
+    f"cosine {TAU}. The quadratic pass is bounded per cluster — the "
+    "corpus is never all-pairs — and the whole pipeline (init, Lloyd "
+    "rounds, prune) is replayed by the oracle, so survivorship is "
+    "hash-exact, not a recall floor. Cross-cluster near-dups are "
+    "unpruned by design (the documented SemDeDup miss mode).",
+)
+def vec_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup_survivors(
+        e, "vec_id", "embedding", DIM, N_CLUSTERS, n_iter=N_ITER, tau=TAU
+    )

@@ -1,0 +1,141 @@
+"""k-means (data-derived init) + SemDeDup operator tests.
+
+The oracle entries (queries/clustering.py) pin cross-engine hash
+equality; these tests pin the OPERATOR contracts the oracle can't see:
+planted-duplicate pruning, determinism across invocations, the
+lowest-id-anchor rule, empty-cluster centroid carry-over, and the plan
+shape (the pair pass must be an equi-join on cluster_id — never a
+cartesian over the corpus).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.operators.similarity import (
+    assign_to_centroid,
+    kmeans_corpus_init,
+    semdedup_survivors,
+)
+
+DIM = 4
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Two tight groups far apart, plus an exact duplicate pair inside
+    group A (ids 3 and 7) and a near-duplicate pair in group B (ids 12
+    and 15)."""
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 0.0, 1.0, 0.0]
+    rows = [
+        (3, a),
+        (7, a),  # exact dup of 3 (cos = 1.0) -> dropped (higher id)
+        (5, [0.9, 0.1, 0.0, 0.0]),  # cos(5,3) ~ 0.994 < tau -> kept
+        (12, b),
+        (15, [0.02, 0.0, 0.999, 0.0]),  # cos ~ 0.9996 > tau -> dropped
+        (20, [0.0, 1.0, 0.0, 0.0]),  # isolated direction
+    ]
+    return _emb(spark, rows)
+
+
+def test_semdedup_drops_higher_id_of_planted_dups(planted):
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semdedup_survivors(
+            planted, "vec_id", "embedding", DIM, n_clusters=2, tau=0.995
+        ).collect()
+    }
+    assert len(out) == 6  # one row per input, kept flag either way
+    assert out[3] == 1 and out[7] == 0  # lowest id anchors the group
+    assert out[12] == 1 and out[15] == 0
+    assert out[5] == 1 and out[20] == 1  # below tau / isolated survive
+
+
+def test_semdedup_same_cluster_only(spark):
+    """A near-dup pair STRADDLING the cluster boundary is NOT pruned
+    (the documented SemDeDup miss mode): ids 5 and 6 have cosine
+    ~0.996 > tau but sit just either side of the A/B boundary, so each
+    lands in its own cluster and both survive."""
+    df = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),  # init seed / anchor A
+            (1, [0.0, 1.0, 0.0, 0.0]),  # init seed / anchor B
+            (2, [0.95, 0.05, 0.0, 0.0]),  # anchor A
+            (3, [0.05, 0.95, 0.0, 0.0]),  # anchor B
+            (5, [0.74, 0.67, 0.0, 0.0]),  # boundary, A side
+            (6, [0.67, 0.74, 0.0, 0.0]),  # boundary, B side
+        ],
+    )
+    res = semdedup_survivors(
+        df, "vec_id", "embedding", DIM, n_clusters=2, tau=0.9
+    ).collect()
+    out = {r["vec_id"]: r for r in res}
+    assert out[5]["cluster_id"] != out[6]["cluster_id"]  # straddle
+    assert out[5]["kept"] == 1 and out[6]["kept"] == 1  # miss mode
+    # while genuinely intra-cluster near-dups were pruned as usual
+    assert out[2]["kept"] == 0 and out[3]["kept"] == 0
+
+
+def test_kmeans_corpus_init_deterministic(planted):
+    c1 = kmeans_corpus_init(planted, "vec_id", "embedding", DIM, 2)
+    c2 = kmeans_corpus_init(planted, "vec_id", "embedding", DIM, 2)
+    assert c1 == c2
+    assert [cid for cid, _ in c1] == [0, 1]
+    assert all(len(v) == DIM for _, v in c1)
+    # quantization contract: every coordinate is round(x, 9)-stable
+    assert all(x == round(x, 9) for _, v in c1 for x in v)
+
+
+def test_kmeans_empty_cluster_keeps_init_position(spark):
+    """If a cluster loses all members in a round, its centroid must
+    carry over (not NaN / not dropped): one far outlier seeds cluster
+    1 but everything assigns to cluster 0's side after round 1."""
+    df = _emb(
+        spark,
+        [
+            (0, [0.0, 0.0, 0.0, 0.0]),
+            (1, [10.0, 10.0, 10.0, 10.0]),
+            (2, [0.1, 0.0, 0.0, 0.0]),
+            (3, [0.0, 0.1, 0.0, 0.0]),
+        ],
+    )
+    cents = kmeans_corpus_init(df, "vec_id", "embedding", DIM, 2, n_iter=3)
+    assert len(cents) == 2
+    assert all(all(x == x for x in v) for _, v in cents)  # no NaN
+    # every row still assignable
+    assert assign_to_centroid(df, cents, "embedding").count() == 4
+
+
+def test_semdedup_pair_pass_is_equi_join_not_cartesian(planted):
+    plan = semdedup_survivors(
+        planted, "vec_id", "embedding", DIM, n_clusters=2, tau=0.9
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_kept_partition_counts(spark, sf_dir):
+    """Fixture-scale smoke: every vec_id appears exactly once and the
+    kept flag is 0/1 — the survivors plus dropped partition the corpus."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semdedup_survivors(e, "vec_id", "embedding", 64, 8, tau=0.4)
+    total = e.count()
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("d"),
+        F.min("kept").alias("lo"),
+        F.max("kept").alias("hi"),
+    ).collect()[0]
+    assert agg["n"] == total and agg["d"] == total
+    assert 0 <= agg["lo"] <= agg["hi"] <= 1
