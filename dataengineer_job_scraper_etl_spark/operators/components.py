@@ -1,16 +1,21 @@
 """Connected components over an edge list — the step that turns
 near-duplicate PAIRS into dedup CLUSTERS (keep one doc per component).
 
-Algorithm: iterative min-label propagation (a DataFrame rendering of
-the classic large-star/small-star idea). Each node starts labeled
-with itself; every round each node takes the minimum label among
-itself and its neighbors; converged when no label changes. Rounds
-needed = graph diameter (near-dup clusters are tiny and dense, so
-2-4 rounds in practice; ``max_iter`` bounds pathological chains).
+Algorithm: iterative min-label propagation PLUS per-round pointer
+doubling (path compression): after taking the minimum label among
+itself and its neighbors, each node also jumps to its current label's
+label (labels only ever decrease, so label(label(n)) <= label(n)).
+The neighbor step alone needs diameter rounds; the doubling step
+squares the propagation distance covered per round, so convergence is
+O(log diameter) — the difference between 10 rounds handling a
+1000-node chain vs a ~10-node one. (Near-dup clusters are usually
+tiny and dense, but tiled/templated corpora produce exactly the long
+chains that hit an O(diameter) budget — the sf1 sweep did.)
 
 Scale posture:
 - state is one (node, label) row per node; each round is one join
-  edges><labels + one min-agg — both keyed shuffles, no collect().
+  edges><labels + one min-agg + one labels><labels shortcut join —
+  all keyed shuffles, no collect().
 - the convergence check is an AGGREGATE (count of changed labels),
   i.e. one tiny action per round on an intermediate the round already
   computed — not a full result comparison.
@@ -57,19 +62,29 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", F.col("component"))
+            ).alias("c1"),
+            F.col("component").alias("c_prev"),
+        )
+        # Pointer doubling: jump to the label OF the label. Labels only
+        # decrease, so this can only tighten; it is what turns
+        # O(diameter) rounds into O(log diameter).
+        ptr = stepped.select(
+            F.col("node").alias("p_node"), F.col("c1").alias("p_c")
+        )
         new_labels = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(ptr, stepped["c1"] == ptr["p_node"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                    F.col("c1"), F.coalesce("p_c", F.col("c1"))
                 ).alias("component"),
                 (
-                    F.least(
-                        F.col("component"),
-                        F.coalesce("nbr_min", F.col("component")),
-                    )
-                    != F.col("component")
+                    F.least(F.col("c1"), F.coalesce("p_c", F.col("c1")))
+                    != F.col("c_prev")
                 ).alias("__changed"),
             )
             .localCheckpoint(eager=False)

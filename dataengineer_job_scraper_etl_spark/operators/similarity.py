@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dataengineer_job_scraper_etl_spark.functions.vector_math import cosine, dot
@@ -401,34 +401,151 @@ def semdedup_survivors(
     Returns (id_col, cluster_id, kept: int 1/0). Plan shape: centroid
     train (bounded collects) -> literal-argmin assignment (no join) ->
     ONE equi-self-join on cluster_id for the pair pass -> left-anti
-    mark. At 100 TB the self-join shuffles each cluster to one task
-    pair-set; a degenerate giant cluster (skew) is the known SemDeDup
-    failure mode — raise n_clusters so max |cluster| stays bounded, or
-    pre-split hot clusters (AQE skew-join splits the sort-merge side
+    mark. Vectors are L2-NORMALIZED once per row BEFORE the join, so
+    the per-pair predicate is a single dot-product fold — cosine()
+    inline would re-fold both norms per candidate pair, tripling the
+    quadratic stage's cost (measured 3x at sf1). At 100 TB the
+    self-join shuffles each cluster to one task pair-set; a degenerate
+    giant cluster (skew) is the known SemDeDup failure mode — raise
+    n_clusters so max |cluster| stays bounded, or pre-split hot
+    clusters (AQE skew-join splits the sort-merge side
     automatically)."""
-    emb = emb.select(F.col(id_col), F.col(vec_col))
-    cents = kmeans_corpus_init(
-        emb, id_col, vec_col, dim, n_clusters, n_iter=n_iter
+    _, assigned = _assigned_normalized(
+        emb, id_col, vec_col, dim, n_clusters, n_iter
     )
-    assigned = assign_to_centroid(emb, cents, vec_col).select(
-        id_col, "cluster_id", _as_double(F.col(vec_col)).alias("v")
-    )
-    # Stage the assignment once: the pair join consumes it twice (both
-    # sides) and the final mark a third time — without this, the argmin
-    # + upstream scan would recompute per consumer.
-    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.alias("a")
     b = assigned.alias("b")
     dropped = (
         a.join(b, on="cluster_id")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .filter(cosine(F.col("a.v"), F.col("b.v")) > tau)
+        .filter(dot(F.col("a.nv"), F.col("b.nv")) > tau)
         .select(F.col(f"b.{id_col}").alias(id_col), F.lit(0).alias("kept"))
         .distinct()
     )
     return assigned.join(dropped, on=id_col, how="left").select(
         id_col, "cluster_id", F.coalesce(F.col("kept"), F.lit(1)).alias("kept")
     )
+
+
+def _assigned_normalized(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_clusters: int,
+    n_iter: int,
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Shared SemDeDup front half: train (data-derived init), assign,
+    L2-normalize each vector ONCE, and stage the result — the pair
+    join consumes it on both sides and the survivor mark a third time,
+    so without the lazy localCheckpoint the argmin + upstream scan
+    would recompute per consumer. Keeps the raw double vector ``v``
+    (centroid distances need it) beside the unit vector ``nv``.
+    Returns (trained centroids, staged frame)."""
+    emb = emb.select(F.col(id_col), F.col(vec_col))
+    cents = kmeans_corpus_init(
+        emb, id_col, vec_col, dim, n_clusters, n_iter=n_iter
+    )
+    vd = _as_double(F.col(vec_col))
+    norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
+    # The norm fold is MATERIALIZED as a checkpointed column — deriving
+    # nv inside the same projection would inline the fold into the
+    # transform lambda and re-evaluate it per element. Post-checkpoint,
+    # nv is 64 divisions per row against the stored scalar.
+    base = (
+        assign_to_centroid(emb, cents, vec_col)
+        .select(id_col, "cluster_id", vd.alias("v"), norm.alias("vnorm"))
+        .localCheckpoint(eager=False)
+    )
+    return cents, base.select(
+        id_col,
+        "cluster_id",
+        "v",
+        F.transform(F.col("v"), lambda x: x / F.col("vnorm")).alias("nv"),
+    )
+
+
+def semdedup_centroid_survivors(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_clusters: int,
+    n_iter: int = 2,
+    tau: float = 0.4,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Paper-faithful SemDeDup survivor rule (Abbas et al. 2023 §3):
+    near-dup GROUPS are the connected components of the within-cluster
+    cosine>tau graph, and each group keeps the member with the LOWEST
+    similarity to its cluster centroid — i.e. the farthest-out example
+    — because near the centroid the group is most redundant with the
+    rest of the cluster. ``semdedup_survivors`` is the cheap
+    lowest-id-anchor variant (no component pass); this one matches the
+    paper at the cost of the iterative label propagation
+    (operators/components.py, bounded by ``max_iter`` rounds over the
+    PAIR set only — never the corpus).
+
+    Distances are quantized to 9 decimals before ranking (same
+    rationale as the centroid quantization: a last-ulp distance
+    difference must not flip survivor choice across engines); exact
+    ties fall back to lowest id. Returns (id_col, cluster_id, kept)."""
+    from dataengineer_job_scraper_etl_spark.operators.components import (
+        connected_components,
+    )
+
+    cents, assigned = _assigned_normalized(
+        emb, id_col, vec_col, dim, n_clusters, n_iter
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = (
+        a.join(b, on="cluster_id")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(dot(F.col("a.nv"), F.col("b.nv")) > tau)
+        .select(
+            F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst")
+        )
+    )
+    comp = connected_components(pairs, max_iter=max_iter)
+    # distance of every grouped member to its own centroid, quantized
+    cdf = F.broadcast(
+        assigned.sparkSession.createDataFrame(
+            cents, "cluster_id int, centroid array<double>"
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("v"), F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, vv: acc + vv,
+    )
+    grouped = (
+        assigned.join(comp, assigned[id_col] == comp["node"])
+        .join(cdf, on="cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            "component",
+            F.round(F.sqrt(d2), 9).alias("cdist"),
+        )
+    )
+    # survivor per component: farthest from centroid, tie -> lowest id
+    w_best = Window.partitionBy("component").orderBy(
+        F.desc("cdist"), F.asc(id_col)
+    )
+    survivors = (
+        grouped.withColumn("rn", F.row_number().over(w_best))
+        .select(
+            id_col,
+            "cluster_id",
+            F.when(F.col("rn") == 1, F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+        )
+    )
+    # rows never touched by any pair keep themselves
+    untouched = assigned.join(
+        comp, assigned[id_col] == comp["node"], how="left_anti"
+    ).select(id_col, "cluster_id", F.lit(1).alias("kept"))
+    return survivors.unionByName(untouched)
 
 
 def pq_train(

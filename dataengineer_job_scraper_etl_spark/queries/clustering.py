@@ -41,9 +41,11 @@ TAU = 0.4  # same "near" regime as vec_neardup_cosine_pairs
 # trajectory is bit-identical across engines (summation-order ulp
 # drift is ~1e-16, far below the quantum). Assignment tie-break is
 # (distance, cluster_id) on both sides; sqrt is monotone so DuckDB's
-# list_distance orders identically to Spark's d2 fold.
-_KMEANS_CTES = f"""
-WITH emb AS (
+# list_distance orders identically to Spark's d2 fold. _KMEANS_BODY
+# carries no WITH so the component-based entry can prepend
+# WITH RECURSIVE (DuckDB wants the keyword once, up front).
+_KMEANS_BODY = f"""
+emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 init AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
@@ -80,6 +82,20 @@ a2 AS (
            row_number() OVER (PARTITION BY emb.vec_id
              ORDER BY list_distance(emb.e, c2.c), c2.cid) AS rn
     FROM emb CROSS JOIN c2) WHERE rn = 1)
+"""
+
+_KMEANS_CTES = "WITH " + _KMEANS_BODY
+
+# The pair predicate mirrors the Spark operators EXACTLY: vectors are
+# L2-normalized first (sqrt of the same sequential sum of squares),
+# then a single dot product is compared to tau — not
+# list_cosine_similarity, whose different op order could flip a pair
+# sitting within an ulp of the threshold between engines.
+_NORMALIZED_CTE = """,
+a2n AS (
+  SELECT vec_id, cid,
+         list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS ne
+  FROM a2)
 """
 
 
@@ -133,11 +149,12 @@ def vec_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "vec_semdedup_survivors",
     _KMEANS_CTES
+    + _NORMALIZED_CTE
     + f""",
 pairs AS (
   SELECT b.vec_id
-  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE list_cosine_similarity(a.e, b.e) > {TAU}
+  FROM a2n a JOIN a2n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_inner_product(a.ne, b.ne) > {TAU}
   GROUP BY b.vec_id)
 SELECT a2.vec_id, a2.cid AS cluster_id,
        CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS kept
@@ -155,4 +172,106 @@ def vec_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return semdedup_survivors(
         e, "vec_id", "embedding", DIM, N_CLUSTERS, n_iter=N_ITER, tau=TAU
+    )
+
+
+@register(
+    "vec_semdedup_centroid_survivors",
+    "WITH RECURSIVE "
+    + _KMEANS_BODY
+    + _NORMALIZED_CTE
+    + f""",
+pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM a2n a JOIN a2n b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_inner_product(a.ne, b.ne) > {TAU}),
+edges AS (SELECT src AS a, dst AS b FROM pairs
+          UNION SELECT dst, src FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+gm AS (
+  SELECT a2.vec_id, a2.cid, comp.component,
+         round(list_distance(a2.e, c2.c), 9) AS cdist
+  FROM a2 JOIN comp ON a2.vec_id = comp.node
+  JOIN c2 ON a2.cid = c2.cid),
+ranked AS (
+  SELECT vec_id, cid, row_number() OVER (
+      PARTITION BY component ORDER BY cdist DESC, vec_id ASC) AS rn
+  FROM gm)
+SELECT vec_id, cid AS cluster_id,
+       CASE WHEN rn = 1 THEN 1 ELSE 0 END AS kept
+FROM ranked
+UNION ALL
+SELECT a2.vec_id, a2.cid AS cluster_id, 1 AS kept
+FROM a2 LEFT JOIN comp ON a2.vec_id = comp.node WHERE comp.node IS NULL
+""",
+    doc="Paper-faithful SemDeDup: near-dup groups = connected "
+    "components of the within-cluster cosine graph (iterative label "
+    "propagation over the PAIR set only); each group keeps the member "
+    "FARTHEST from its cluster centroid (the paper's "
+    "lowest-centroid-similarity rule; 9-decimal distance quantization "
+    "pins the ranking cross-engine, ties to lowest id). Oracle "
+    "replays the full chain — Lloyd rounds, pair graph, recursive "
+    "reachability, survivor ranking — as one RECURSIVE CTE.",
+)
+def vec_semdedup_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        semdedup_centroid_survivors,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup_centroid_survivors(
+        e, "vec_id", "embedding", DIM, N_CLUSTERS, n_iter=N_ITER, tau=TAU
+    )
+
+
+_BALANCED_PER_CLUSTER = 25
+
+
+@register(
+    "vec_cluster_balanced_sample",
+    _KMEANS_CTES
+    + f""",
+ranked AS (
+  SELECT cid, vec_id, row_number() OVER (
+    PARTITION BY cid ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM a2)
+SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(vec_id) AS BIGINT) AS id_checksum
+FROM ranked WHERE rn <= {_BALANCED_PER_CLUSTER} GROUP BY cid
+""",
+    doc=f"Cluster-balanced selection: EXACTLY {_BALANCED_PER_CLUSTER} "
+    "rows per LEARNED k-means cluster (strata from the embedding "
+    "space, not a static column — the curation move behind "
+    "cluster-balanced data mixes), chosen by the same md5 hash-rank "
+    "trick as docs_balanced_eval_sample so membership is "
+    "deterministic, engine-portable, and exact-n (fractional "
+    "sampleBy can't pin counts). One window per cluster over "
+    "(cluster_id, vec_id) pairs only; id_checksum pins membership.",
+)
+def vec_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_corpus_init(
+        e, "vec_id", "embedding", DIM, N_CLUSTERS, n_iter=N_ITER
+    )
+    assigned = assign_to_centroid(e, cents, "embedding")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.select("cluster_id", "vec_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BALANCED_PER_CLUSTER)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("vec_id").cast("bigint").alias("id_checksum"),
+        )
     )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from dataengineer_job_scraper_etl_spark.operators.similarity import (
     assign_to_centroid,
     kmeans_corpus_init,
+    semdedup_centroid_survivors,
     semdedup_survivors,
 )
 
@@ -123,6 +124,47 @@ def test_semdedup_pair_pass_is_equi_join_not_cartesian(planted):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_centroid_keeps_farthest_member(spark):
+    """Paper rule: a 3-member near-dup component keeps the member
+    FARTHEST from its cluster centroid. Group centroid ~[0.93, 0.07]:
+    id 6 ([0.8, 0.2]) is clearly the outlier -> kept; ids 0, 4
+    dropped."""
+    df = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),  # init seed, cluster A
+            (1, [0.0, 0.0, 1.0, 0.0]),  # init seed, cluster B
+            (4, [0.99, 0.01, 0.0, 0.0]),  # near dup of 0
+            (6, [0.8, 0.2, 0.0, 0.0]),  # near dup, farthest out
+            (9, [0.0, 0.0, 0.99, 0.1]),  # near dup of 1
+        ],
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semdedup_centroid_survivors(
+            df, "vec_id", "embedding", DIM, n_clusters=2, tau=0.95
+        ).collect()
+    }
+    assert len(out) == 5  # every row present exactly once
+    assert out[6]["kept"] == 1 and out[0]["kept"] == 0 and out[4]["kept"] == 0
+    # cluster B's 2-member group keeps exactly one (symmetric pair —
+    # which one is a quantization detail; the oracle pins it)
+    assert out[1]["kept"] + out[9]["kept"] == 1
+
+
+def test_semdedup_centroid_untouched_rows_survive(planted):
+    """Rows in no near-dup pair are all kept, and per-component
+    exactly one survivor emerges."""
+    out = semdedup_centroid_survivors(
+        planted, "vec_id", "embedding", DIM, n_clusters=2, tau=0.995
+    ).collect()
+    kept = {r["vec_id"]: r["kept"] for r in out}
+    assert len(kept) == 6
+    assert kept[5] == 1 and kept[20] == 1  # untouched
+    assert kept[3] + kept[7] == 1  # exact-dup pair: one survivor
+    assert kept[12] + kept[15] == 1
 
 
 def test_semdedup_kept_partition_counts(spark, sf_dir):
