@@ -18,6 +18,7 @@ from dataengineer_job_scraper_etl_spark.operators.similarity import (
     assign_to_centroid,
     kmeans_corpus_init,
     semdedup_centroid_survivors,
+    semdedup_incremental_status,
     semdedup_survivors,
 )
 
@@ -165,6 +166,42 @@ def test_semdedup_centroid_untouched_rows_survive(planted):
     assert kept[5] == 1 and kept[20] == 1  # untouched
     assert kept[3] + kept[7] == 1  # exact-dup pair: one survivor
     assert kept[12] + kept[15] == 1
+
+
+def test_semdedup_incremental_statuses(spark):
+    """Planted batch classification against a frozen index: a near-dup
+    of the existing corpus -> dup_existing (and it wins over a
+    simultaneous batch match); a pair new to the corpus -> lower id
+    unique, higher id dup_batch; a novel direction -> unique."""
+    existing = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),  # seeds cluster 0
+            (1, [0.0, 0.0, 1.0, 0.0]),  # seeds cluster 1
+            (2, [0.95, 0.05, 0.0, 0.0]),
+        ],
+    )
+    batch = _emb(
+        spark,
+        [
+            (10, [1.0, 0.01, 0.0, 0.0]),  # ~dup of existing 0
+            (11, [1.0, 0.012, 0.0, 0.0]),  # dup of existing AND of 10
+            (20, [0.0, 0.2, 0.95, 0.0]),  # new to corpus, anchor
+            (21, [0.0, 0.21, 0.95, 0.0]),  # dup of 20 only
+            (30, [0.0, 0.9, 0.0, 0.44]),  # novel direction
+        ],
+    )
+    out = {
+        r["vec_id"]: r["status"]
+        for r in semdedup_incremental_status(
+            existing, batch, "vec_id", "embedding", DIM, 2, tau=0.99
+        ).collect()
+    }
+    assert out[10] == "dup_existing"
+    assert out[11] == "dup_existing"  # precedence over dup_batch
+    assert out[20] == "unique" and out[21] == "dup_batch"
+    assert out[30] == "unique"
+    assert len(out) == 5  # statuses for the batch only
 
 
 def test_semdedup_kept_partition_counts(spark, sf_dir):
