@@ -446,18 +446,29 @@ def _assigned_normalized(
     cents = kmeans_corpus_init(
         emb, id_col, vec_col, dim, n_clusters, n_iter=n_iter
     )
+    return cents, normalize_assigned(emb, cents, id_col, vec_col)
+
+
+def normalize_assigned(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Assign rows to the given (frozen) centroids and L2-normalize
+    each vector once, staged: (id, cluster_id, v, nv). The norm fold
+    is MATERIALIZED as a checkpointed column — deriving nv inside the
+    same projection would inline the fold into the transform lambda
+    and re-evaluate it per element. Post-checkpoint, nv is dim
+    divisions per row against the stored scalar."""
     vd = _as_double(F.col(vec_col))
     norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
-    # The norm fold is MATERIALIZED as a checkpointed column — deriving
-    # nv inside the same projection would inline the fold into the
-    # transform lambda and re-evaluate it per element. Post-checkpoint,
-    # nv is 64 divisions per row against the stored scalar.
     base = (
         assign_to_centroid(emb, cents, vec_col)
         .select(id_col, "cluster_id", vd.alias("v"), norm.alias("vnorm"))
         .localCheckpoint(eager=False)
     )
-    return cents, base.select(
+    return base.select(
         id_col,
         "cluster_id",
         "v",
@@ -546,6 +557,76 @@ def semdedup_centroid_survivors(
         comp, assigned[id_col] == comp["node"], how="left_anti"
     ).select(id_col, "cluster_id", F.lit(1).alias("kept"))
     return survivors.unionByName(untouched)
+
+
+def semdedup_incremental_status(
+    existing: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_clusters: int,
+    n_iter: int = 2,
+    tau: float = 0.4,
+) -> DataFrame:
+    """Incremental SemDeDup: classify a NEW batch of vectors against an
+    already-deduped corpus WITHOUT retraining or rescanning it
+    quadratically — the production ingest shape (same contract family
+    as dedup.py's incremental_ingest_status for text digests).
+
+    The cluster index is FROZEN: centroids train on ``existing`` only
+    (in production they'd be loaded from the persisted index; the
+    train-once cache keys apply). Each new row is assigned by
+    literal-argmin and compared only against same-cluster rows:
+
+    - 'dup_existing'  — some existing same-cluster row has dot > tau
+    - 'dup_batch'     — else some LOWER-id batch row does (the same
+                        lowest-id-anchor rule as semdedup_survivors,
+                        applied within the arriving batch)
+    - 'unique'        — otherwise; only these enter the corpus
+
+    Per-batch cost is |batch| x avg-cluster-occupancy dot products —
+    proportional to the batch, never to the corpus squared. Returns
+    (id_col, cluster_id, status) for batch rows only."""
+    cents = kmeans_corpus_init(
+        existing, id_col, vec_col, dim, n_clusters, n_iter=n_iter
+    )
+    ex = normalize_assigned(existing, cents, id_col, vec_col).select(
+        F.col(id_col).alias("ex_id"), "cluster_id", F.col("nv").alias("ex_nv")
+    )
+    nb = normalize_assigned(batch, cents, id_col, vec_col).select(
+        id_col, "cluster_id", F.col("nv").alias("b_nv")
+    )
+    hit_existing = (
+        nb.join(ex, on="cluster_id")
+        .filter(dot(F.col("b_nv"), F.col("ex_nv")) > tau)
+        .select(id_col)
+        .distinct()
+        .withColumn("hit_ex", F.lit(1))
+    )
+    n2 = nb.select(
+        F.col(id_col).alias("p_id"), "cluster_id", F.col("b_nv").alias("p_nv")
+    )
+    hit_batch = (
+        nb.join(n2, on="cluster_id")
+        .filter(F.col("p_id") < F.col(id_col))
+        .filter(dot(F.col("b_nv"), F.col("p_nv")) > tau)
+        .select(id_col)
+        .distinct()
+        .withColumn("hit_b", F.lit(1))
+    )
+    return (
+        nb.join(hit_existing, on=id_col, how="left")
+        .join(hit_batch, on=id_col, how="left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.when(F.col("hit_ex") == 1, F.lit("dup_existing"))
+            .when(F.col("hit_b") == 1, F.lit("dup_batch"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+        )
+    )
 
 
 def pq_train(

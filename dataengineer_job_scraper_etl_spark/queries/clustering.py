@@ -43,10 +43,15 @@ TAU = 0.4  # same "near" regime as vec_neardup_cosine_pairs
 # (distance, cluster_id) on both sides; sqrt is monotone so DuckDB's
 # list_distance orders identically to Spark's d2 fold. _KMEANS_BODY
 # carries no WITH so the component-based entry can prepend
-# WITH RECURSIVE (DuckDB wants the keyword once, up front).
-_KMEANS_BODY = f"""
+# WITH RECURSIVE (DuckDB wants the keyword once, up front); the
+# ``where`` parameter restricts the TRAINING set (incremental entry
+# trains on the existing corpus only — frozen index).
+
+
+def _kmeans_body(where: str = "") -> str:
+    return f"""
 emb AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings{where}),
 init AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
   FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {N_CLUSTERS})),
@@ -84,6 +89,8 @@ a2 AS (
     FROM emb CROSS JOIN c2) WHERE rn = 1)
 """
 
+
+_KMEANS_BODY = _kmeans_body()
 _KMEANS_CTES = "WITH " + _KMEANS_BODY
 
 # The pair predicate mirrors the Spark operators EXACTLY: vectors are
@@ -274,4 +281,73 @@ def vec_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
             F.sum("vec_id").cast("bigint").alias("id_checksum"),
         )
+    )
+
+
+# Incremental split: ~80% of rows (by id residue — sf-independent,
+# engine-portable) are the already-ingested corpus; the rest arrive as
+# the new batch. The cluster index is trained on EXISTING ONLY.
+_EXISTING_WHERE = " WHERE vec_id % 10 < 8"
+_BATCH_PRED = "vec_id % 10 >= 8"
+
+
+@register(
+    "vec_semdedup_incremental",
+    "WITH "
+    + _kmeans_body(_EXISTING_WHERE)
+    + f""",
+a2n AS (
+  SELECT vec_id, cid,
+         list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS ne
+  FROM a2),
+nb AS (
+  SELECT vec_id, e FROM (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+  WHERE {_BATCH_PRED}),
+ab AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT nb.vec_id, nb.e, c2.cid,
+           row_number() OVER (PARTITION BY nb.vec_id
+             ORDER BY list_distance(nb.e, c2.c), c2.cid) AS rn
+    FROM nb CROSS JOIN c2) WHERE rn = 1),
+abn AS (
+  SELECT vec_id, cid,
+         list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS ne
+  FROM ab),
+hit_ex AS (
+  SELECT b.vec_id FROM abn b JOIN a2n x ON b.cid = x.cid
+  WHERE list_inner_product(b.ne, x.ne) > {TAU}
+  GROUP BY b.vec_id),
+hit_b AS (
+  SELECT b.vec_id FROM abn b JOIN abn p
+    ON b.cid = p.cid AND p.vec_id < b.vec_id
+  WHERE list_inner_product(b.ne, p.ne) > {TAU}
+  GROUP BY b.vec_id)
+SELECT abn.vec_id, abn.cid AS cluster_id,
+       CASE WHEN hx.vec_id IS NOT NULL THEN 'dup_existing'
+            WHEN hb.vec_id IS NOT NULL THEN 'dup_batch'
+            ELSE 'unique' END AS status
+FROM abn LEFT JOIN hit_ex hx ON abn.vec_id = hx.vec_id
+         LEFT JOIN hit_b hb ON abn.vec_id = hb.vec_id
+""",
+    doc="Incremental SemDeDup ingest: the cluster index is FROZEN "
+    "(trained on the existing ~80% of the corpus only); each arriving "
+    "row is argmin-assigned and compared against same-cluster rows "
+    "only — dup_existing / dup_batch (lower-id anchor within the "
+    "batch) / unique. Per-batch cost is |batch| x cluster occupancy, "
+    "never corpus-quadratic — the production streaming-ingest shape "
+    "for semantic dedup, mirroring dedup.py's digest-based "
+    "incremental_ingest_status.",
+)
+def vec_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        semdedup_incremental_status,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    existing = e.filter(F.col("vec_id") % 10 < 8)
+    batch = e.filter(F.col("vec_id") % 10 >= 8)
+    return semdedup_incremental_status(
+        existing, batch, "vec_id", "embedding", DIM, N_CLUSTERS,
+        n_iter=N_ITER, tau=TAU,
     )
