@@ -62,12 +62,21 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        stepped = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce("nbr_min", F.col("component"))
-            ).alias("c1"),
-            F.col("component").alias("c_prev"),
+        # Staged: the doubling join consumes stepped on BOTH sides —
+        # without the checkpoint each side would re-execute the
+        # edges><labels join + min-agg (the per-round cost claim in
+        # PLANS.md is one neighbor pass + one shortcut join, not two
+        # neighbor passes).
+        stepped = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("c1"),
+                F.col("component").alias("c_prev"),
+            )
+            .localCheckpoint(eager=False)
         )
         # Pointer doubling: jump to the label OF the label. Labels only
         # decrease, so this can only tighten; it is what turns

@@ -29,13 +29,29 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from dataengineer_job_scraper_etl_spark.functions.vector_math import cosine, dot
+from dataengineer_job_scraper_etl_spark.functions.vector_math import (
+    cosine,
+    dot,
+    l2_norm,
+)
 from dataengineer_job_scraper_etl_spark.operators.topk import grouped_topk
 from dataengineer_job_scraper_etl_spark.session import ensure_min_parallelism
 
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance as ONE sequential left-to-right fold —
+    deterministic given identical inputs, which is what lets oracles
+    replay it bit-identically. Shared by centroid assignment, the
+    SemDeDup survivor ranking, and the profile query."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def brute_force_topk(
@@ -221,13 +237,16 @@ def _kmeans_rounds(
     ``round_decimals`` quantizes every centroid coordinate after each
     mean update. Two reasons: (a) cross-engine determinism — an oracle
     replaying the same rounds in another engine accumulates means in a
-    different summation order, and quantizing well above ulp scale
-    (e.g. 9 decimals vs ~1e-16 drift) makes the round's OUTPUT
-    bit-identical on both sides so assignment argmins can't diverge;
-    (b) it is the same centroid-quantization trade serving systems
-    make. None (default) keeps full precision for the IVF/PQ
-    internal-cache paths, whose contracts are recall floors, not
-    hash equality."""
+    different summation order; for a per-coordinate mean over ~10^6
+    members the order-dependent drift is around 1e-13..1e-12, so the
+    quantum must sit far ABOVE that (6 decimals = 5e-7 half-step,
+    a ~5x10^5 safety factor; 9 decimals would leave only ~500x —
+    thin for a hash contract that cascades through assignment).
+    Quantizing makes the round's OUTPUT bit-identical on both sides
+    so assignment argmins can't diverge. (b) It is the same
+    centroid-quantization trade serving systems make. None (default)
+    keeps full precision for the IVF/PQ internal-cache paths, whose
+    contracts are recall floors, not hash equality."""
     for _ in range(n_iter):
         assigned = assign_to_centroid(corpus, cents, vec_col)
         if dim <= 256:
@@ -319,19 +338,12 @@ def assign_to_centroid(
     structs — per-row, no join, no shuffle, no extra job at all. Cost
     O(n_clusters x dim) per row."""
     cents = F.expr(_centroids_sql(centroids))
-    d2 = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(
-            _as_double(F.col(vec_col)),
-            c,
-            lambda x, cc: (x - cc) * (x - cc),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
     scored = F.transform(
         cents,
         lambda s: F.struct(
-            d2(s.getField("centroid")).alias("d2"),
+            _sq_dist(_as_double(F.col(vec_col)), s.getField("centroid")).alias(
+                "d2"
+            ),
             s.getField("cluster_id").alias("cluster_id"),
         ),
     )
@@ -346,7 +358,7 @@ def kmeans_corpus_init(
     dim: int,
     n_clusters: int,
     n_iter: int = 2,
-    round_decimals: int | None = 9,
+    round_decimals: int | None = 6,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's k-means with DATA-DERIVED init: cluster ``cid`` starts at
     the vector of the ``cid``-th lowest ``id_col`` row. Unlike the
@@ -462,10 +474,20 @@ def normalize_assigned(
     and re-evaluate it per element. Post-checkpoint, nv is dim
     divisions per row against the stored scalar."""
     vd = _as_double(F.col(vec_col))
-    norm = F.sqrt(F.aggregate(vd, F.lit(0.0), lambda acc, x: acc + x * x))
+    # nullif guard: an all-zero vector has norm 0 — dividing raises
+    # under ANSI mode (on by default) and yields NaN otherwise, where
+    # Spark's NaN > tau is TRUE but DuckDB's 0/0 is NULL (engines
+    # diverge). NULL-norm -> NULL elements -> NULL dot -> every
+    # comparison false on BOTH engines: zero vectors never match
+    # anything and never anchor. Same formula on the oracle side.
     base = (
         assign_to_centroid(emb, cents, vec_col)
-        .select(id_col, "cluster_id", vd.alias("v"), norm.alias("vnorm"))
+        .select(
+            id_col,
+            "cluster_id",
+            vd.alias("v"),
+            F.nullif(l2_norm(vd), F.lit(0.0)).alias("vnorm"),
+        )
         .localCheckpoint(eager=False)
     )
     return base.select(
@@ -525,11 +547,7 @@ def semdedup_centroid_survivors(
             cents, "cluster_id int, centroid array<double>"
         )
     )
-    d2 = F.aggregate(
-        F.zip_with(F.col("v"), F.col("centroid"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, vv: acc + vv,
-    )
+    d2 = _sq_dist(F.col("v"), F.col("centroid"))
     grouped = (
         assigned.join(comp, assigned[id_col] == comp["node"])
         .join(cdf, on="cluster_id")

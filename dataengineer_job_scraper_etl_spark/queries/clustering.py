@@ -3,7 +3,7 @@
 
 Two oracle-checked entries built on ``operators/similarity.py``'s
 data-derived-init k-means (``kmeans_corpus_init``): because init =
-the k lowest-id vectors and every centroid update is quantized to 9
+the k lowest-id vectors and every centroid update is quantized to 6
 decimals, BOTH engines replay the identical Lloyd trajectory — the
 clustering itself is hash-checked, not just a recall floor. This is
 the missing piece next to the recall-floor ANN entries: those prove
@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from dataengineer_job_scraper_etl_spark.catalog import register
 from dataengineer_job_scraper_etl_spark.operators.similarity import (
     _as_double,
+    _sq_dist,
     assign_to_centroid,
     kmeans_corpus_init,
     semdedup_survivors,
@@ -37,9 +38,11 @@ TAU = 0.4  # same "near" regime as vec_neardup_cosine_pairs
 
 # Shared oracle scaffold: data-derived init (k lowest vec_ids), then
 # n_iter=2 unrolled Lloyd rounds. Every centroid coordinate is
-# round(avg, 9) — matching kmeans_corpus_init's quantization — so the
-# trajectory is bit-identical across engines (summation-order ulp
-# drift is ~1e-16, far below the quantum). Assignment tie-break is
+# round(avg, 6) — matching kmeans_corpus_init's quantization — so the
+# trajectory is bit-identical across engines (order-dependent mean
+# drift reaches ~1e-12 for million-member clusters; the 5e-7
+# half-step leaves a ~5x10^5 margin where 9 decimals would leave only
+# ~500x). Assignment tie-break is
 # (distance, cluster_id) on both sides; sqrt is monotone so DuckDB's
 # list_distance orders identically to Spark's d2 fold. _KMEANS_BODY
 # carries no WITH so the component-based entry can prepend
@@ -65,7 +68,7 @@ c1 AS (
   SELECT init.cid, coalesce(mm.c, init.c) AS c
   FROM init LEFT JOIN (
     SELECT cid, list(m ORDER BY i) AS c FROM (
-      SELECT cid, i, round(avg(e[i]), 9) AS m
+      SELECT cid, i, round(avg(e[i]), 6) AS m
       FROM a0, range(1, {DIM + 1}) r(i) GROUP BY cid, i) GROUP BY cid) mm
   ON init.cid = mm.cid),
 a1 AS (
@@ -78,7 +81,7 @@ c2 AS (
   SELECT c1.cid, coalesce(mm.c, c1.c) AS c
   FROM c1 LEFT JOIN (
     SELECT cid, list(m ORDER BY i) AS c FROM (
-      SELECT cid, i, round(avg(e[i]), 9) AS m
+      SELECT cid, i, round(avg(e[i]), 6) AS m
       FROM a1, range(1, {DIM + 1}) r(i) GROUP BY cid, i) GROUP BY cid) mm
   ON c1.cid = mm.cid),
 a2 AS (
@@ -94,16 +97,25 @@ _KMEANS_BODY = _kmeans_body()
 _KMEANS_CTES = "WITH " + _KMEANS_BODY
 
 # The pair predicate mirrors the Spark operators EXACTLY: vectors are
-# L2-normalized first (sqrt of the same sequential sum of squares),
-# then a single dot product is compared to tau — not
-# list_cosine_similarity, whose different op order could flip a pair
-# sitting within an ulp of the threshold between engines.
-_NORMALIZED_CTE = """,
-a2n AS (
+# L2-normalized first (sqrt of the same sequential sum of squares,
+# nullif-guarded so an all-zero vector propagates NULL and never
+# matches — same as normalize_assigned), then a single dot product is
+# compared to tau — not list_cosine_similarity, whose different op
+# order could flip a pair sitting within an ulp of the threshold
+# between engines.
+
+
+def _normalized_cte(src: str, name: str) -> str:
+    return f""",
+{name} AS (
   SELECT vec_id, cid,
-         list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS ne
-  FROM a2)
+         list_transform(e, x -> x / nullif(sqrt(list_inner_product(e, e)), 0))
+           AS ne
+  FROM {src})
 """
+
+
+_NORMALIZED_CTE = _normalized_cte("a2", "a2n")
 
 
 @register(
@@ -116,7 +128,7 @@ FROM a2 JOIN c2 ON a2.cid = c2.cid
 GROUP BY a2.cid
 """,
     doc="Distributed Lloyd k-means (k=8, 2 rounds, data-derived init, "
-    "9-decimal centroid quantization) hash-checked end to end: the "
+    "6-decimal centroid quantization) hash-checked end to end: the "
     "oracle replays the identical trajectory as unrolled CTEs. Per "
     "round: literal-centroid argmin (no join) + ONE shuffle of "
     "k x dim partial means; init collect is k rows. Profile = cluster "
@@ -133,15 +145,7 @@ def vec_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdf = F.broadcast(
         spark.createDataFrame(cents, "cluster_id int, centroid array<double>")
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            _as_double(F.col("embedding")),
-            F.col("centroid"),
-            lambda x, c: (x - c) * (x - c),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    d2 = _sq_dist(_as_double(F.col("embedding")), F.col("centroid"))
     return (
         assigned.join(cdf, on="cluster_id")
         .select("cluster_id", F.sqrt(d2).alias("dist"))
@@ -295,11 +299,8 @@ _BATCH_PRED = "vec_id % 10 >= 8"
     "vec_semdedup_incremental",
     "WITH "
     + _kmeans_body(_EXISTING_WHERE)
+    + _normalized_cte("a2", "a2n")
     + f""",
-a2n AS (
-  SELECT vec_id, cid,
-         list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS ne
-  FROM a2),
 nb AS (
   SELECT vec_id, e FROM (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
@@ -309,11 +310,10 @@ ab AS (
     SELECT nb.vec_id, nb.e, c2.cid,
            row_number() OVER (PARTITION BY nb.vec_id
              ORDER BY list_distance(nb.e, c2.c), c2.cid) AS rn
-    FROM nb CROSS JOIN c2) WHERE rn = 1),
-abn AS (
-  SELECT vec_id, cid,
-         list_transform(e, x -> x / sqrt(list_inner_product(e, e))) AS ne
-  FROM ab),
+    FROM nb CROSS JOIN c2) WHERE rn = 1)
+"""
+    + _normalized_cte("ab", "abn")
+    + f""",
 hit_ex AS (
   SELECT b.vec_id FROM abn b JOIN a2n x ON b.cid = x.cid
   WHERE list_inner_product(b.ne, x.ne) > {TAU}

@@ -95,8 +95,8 @@ def test_kmeans_corpus_init_deterministic(planted):
     assert c1 == c2
     assert [cid for cid, _ in c1] == [0, 1]
     assert all(len(v) == DIM for _, v in c1)
-    # quantization contract: every coordinate is round(x, 9)-stable
-    assert all(x == round(x, 9) for _, v in c1 for x in v)
+    # quantization contract: every coordinate is round(x, 6)-stable
+    assert all(x == round(x, 6) for _, v in c1 for x in v)
 
 
 def test_kmeans_empty_cluster_keeps_init_position(spark):
