@@ -112,8 +112,10 @@ HEADLINE += [
 ]
 HEADLINE += [
     # round-6: cluster-bounded semantic dedup (k-means + within-cluster
-    # cosine prune) — the SemDeDup scale path end to end
+    # cosine prune) — the SemDeDup scale path end to end, batch and
+    # always-on
     "vec_semdedup_survivors",
+    "streaming_semdedup_ingest",
 ]
 
 # Bumped whenever the warm-up methodology changes (what is excluded

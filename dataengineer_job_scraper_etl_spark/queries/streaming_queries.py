@@ -491,3 +491,149 @@ def streaming_ingest_dedup_status(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+def _stage_vec_ingest_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A 2-file queue of INCOMING embedding rows for the streaming
+    SemDeDup entry: the vec_id%10>=8 batch slice split across two
+    micro-batches, batch 2 additionally carrying planted EXACT COPIES
+    of index vectors (vec_id%25==3 rows of the existing slice,
+    re-keyed +2000000) so the dup_existing classification provably
+    occurs in the stream at every sf. Shared staging protocol
+    (staging.py): fingerprint-keyed, rename-published, mtime-ordered."""
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+
+    def build(staged: str) -> None:
+        e = spark.read.parquet(src).select("vec_id", "embedding")
+        batch = e.filter(F.col("vec_id") % 10 >= 8)
+        planted = (
+            e.filter((F.col("vec_id") % 10 < 8) & (F.col("vec_id") % 25 == 3))
+            .select((F.col("vec_id") + 2000000).alias("vec_id"), "embedding")
+        )
+        b1 = batch.filter(F.col("vec_id") % 2 == 0)
+        b2 = batch.filter(F.col("vec_id") % 2 == 1).unionByName(planted)
+        write_ordered_batches(staged, [b1, b2])
+
+    return stage_once(src, "vecingest", build)
+
+
+def _semdedup_stream_oracle() -> str:
+    from dataengineer_job_scraper_etl_spark.queries.clustering import (
+        TAU,
+        _kmeans_body,
+        _normalized_cte,
+    )
+
+    return (
+        "WITH "
+        + _kmeans_body(" WHERE vec_id % 10 < 8")
+        + _normalized_cte("a2", "a2n")
+        + f""",
+incoming AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id % 10 >= 8
+  UNION ALL
+  SELECT vec_id + 2000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+  WHERE vec_id % 10 < 8 AND vec_id % 25 = 3),
+ab AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT incoming.vec_id, incoming.e, c2.cid,
+           row_number() OVER (PARTITION BY incoming.vec_id
+             ORDER BY list_distance(incoming.e, c2.c), c2.cid) AS rn
+    FROM incoming CROSS JOIN c2) WHERE rn = 1)
+"""
+        + _normalized_cte("ab", "abn")
+        + f""",
+hit AS (
+  SELECT b.vec_id FROM abn b JOIN a2n x ON b.cid = x.cid
+  WHERE list_inner_product(b.ne, x.ne) > {TAU}
+  GROUP BY b.vec_id)
+SELECT abn.cid AS cluster_id,
+       CASE WHEN h.vec_id IS NOT NULL THEN 'dup_existing'
+            ELSE 'new' END AS status,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(abn.vec_id) AS BIGINT) AS id_checksum
+FROM abn LEFT JOIN hit h ON abn.vec_id = h.vec_id
+GROUP BY 1, 2
+"""
+    )
+
+
+@register(
+    "streaming_semdedup_ingest",
+    _semdedup_stream_oracle(),
+    doc="CONTINUOUS semantic-dedup ingestion: a 2-batch queue of "
+    "incoming embedding rows (batch 2 carries planted exact copies of "
+    "index vectors) is classified per micro-batch against a FROZEN "
+    "cluster index — literal-argmin centroid assignment is a pure "
+    "projection (streaming-safe, no state), then a stream-static "
+    "broadcast join against the normalized per-cluster members: "
+    "dup_existing / new. The always-on twin of vec_semdedup_"
+    "incremental, mirroring streaming_ingest_dedup_status's digest "
+    "shape; intra-batch (dup_batch) pruning stays in the batch "
+    "operator — a stream-stream self-join would add watermark "
+    "machinery the per-batch operator already covers. Memory-sink "
+    "rows are aggregated after the drain and hash-checked against "
+    "the batch oracle.",
+)
+def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        assign_to_centroid,
+        kmeans_corpus_init,
+        normalize_assigned,
+    )
+    from dataengineer_job_scraper_etl_spark.functions.vector_math import l2_norm
+    from dataengineer_job_scraper_etl_spark.queries.clustering import (
+        DIM,
+        N_CLUSTERS,
+        N_ITER,
+        TAU,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    existing = e.filter(F.col("vec_id") % 10 < 8).select("vec_id", "embedding")
+    cents = kmeans_corpus_init(
+        existing, "vec_id", "embedding", DIM, N_CLUSTERS, n_iter=N_ITER
+    )
+    index = normalize_assigned(existing, cents, "vec_id", "embedding").select(
+        "cluster_id", F.col("nv").alias("ex_nv")
+    )
+    d = _stage_vec_ingest_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # Inline normalization on the STREAM side (no checkpoint boundary
+    # in a streaming plan): the loop-invariant norm fold re-evaluates
+    # per element — O(dim^2) flops per incoming row, which is noise
+    # next to the per-pair join work; the static side IS staged.
+    nv = F.transform(vd, lambda x: x / F.nullif(l2_norm(vd), F.lit(0.0)))
+    assigned = assign_to_centroid(stream, cents, "embedding").select(
+        "vec_id", "cluster_id", nv.alias("b_nv")
+    )
+    from dataengineer_job_scraper_etl_spark.functions.vector_math import dot
+
+    classified = (
+        assigned.join(F.broadcast(index), on="cluster_id", how="left")
+        .withColumn(
+            "__hit",
+            F.when(dot(F.col("b_nv"), F.col("ex_nv")) > TAU, 1),
+        )
+        .groupBy("vec_id", "cluster_id")
+        .agg(F.max("__hit").alias("__hit"))
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.when(F.col("__hit").isNotNull(), "dup_existing")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )
+    rows = _drain(classified, spark, output_mode="complete")
+    return rows.groupBy("cluster_id", "status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("vec_id").cast("bigint").alias("id_checksum"),
+    )

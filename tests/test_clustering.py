@@ -204,6 +204,32 @@ def test_semdedup_incremental_statuses(spark):
     assert len(out) == 5  # statuses for the batch only
 
 
+def test_streaming_semdedup_ingest_classifies_planted_dups(spark, sf_dir):
+    """The streaming twin drains its 2-batch queue and the planted
+    copies (re-keyed +2000000) all come back dup_existing; genuine
+    batch rows appear exactly once with a valid status."""
+    from dataengineer_job_scraper_etl_spark.queries.streaming_queries import (
+        _stage_vec_ingest_dir,  # staged queue is fixture plumbing
+    )
+    from dataengineer_job_scraper_etl_spark.catalog import all_queries
+
+    _stage_vec_ingest_dir(spark, sf_dir)
+    out = all_queries()["streaming_semdedup_ingest"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    assert out, "stream drained no rows"
+    assert {r["status"] for r in out} <= {"dup_existing", "new"}
+    # planted copies exist at every sf -> dup_existing must occur
+    assert any(r["status"] == "dup_existing" for r in out)
+    total = sum(r["n_vecs"] for r in out)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_batch = e.filter(F.col("vec_id") % 10 >= 8).count()
+    n_planted = e.filter(
+        (F.col("vec_id") % 10 < 8) & (F.col("vec_id") % 25 == 3)
+    ).count()
+    assert total == n_batch + n_planted
+
+
 def test_semdedup_kept_partition_counts(spark, sf_dir):
     """Fixture-scale smoke: every vec_id appears exactly once and the
     kept flag is 0/1 — the survivors plus dropped partition the corpus."""
