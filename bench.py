@@ -116,6 +116,7 @@ HEADLINE += [
     # always-on
     "vec_semdedup_survivors",
     "streaming_semdedup_ingest",
+    "docs_chunk_hashtf_retrieval",
 ]
 
 # Bumped whenever the warm-up methodology changes (what is excluded

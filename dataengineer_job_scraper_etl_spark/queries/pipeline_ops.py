@@ -645,3 +645,153 @@ def events_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("total_cents"),
         )
     )
+
+
+HASHTF_DIM = 16  # one md5 hex nibble -> bucket, engine-portable
+RETRIEVAL_TOPK = 5
+N_QUERY_DOCS = 5
+
+
+@register(
+    "docs_chunk_hashtf_retrieval",
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, len(t), {CHUNK_STRIDE}),
+                (st, i) -> struct_pack(
+                  chunk_no := CAST(i - 1 AS INT),
+                  toks := list_slice(t, st + 1, st + {CHUNK_SIZE}))),
+                recursive := true)
+  FROM s),
+cnt AS (
+  SELECT doc_id, chunk_no,
+         position(substring(md5(tk), 1, 1) IN '0123456789abcdef') - 1 AS bk,
+         count(*) AS c
+  FROM (SELECT doc_id, chunk_no, unnest(toks) AS tk FROM chunks)
+  GROUP BY ALL),
+vec AS (
+  SELECT ch.doc_id, ch.chunk_no,
+         list(CAST(coalesce(cnt.c, 0) AS DOUBLE) ORDER BY r.i) AS v
+  FROM (SELECT DISTINCT doc_id, chunk_no FROM chunks) ch
+  CROSS JOIN range(0, {HASHTF_DIM}) r(i)
+  LEFT JOIN cnt ON cnt.doc_id = ch.doc_id AND cnt.chunk_no = ch.chunk_no
+              AND cnt.bk = r.i
+  GROUP BY ch.doc_id, ch.chunk_no),
+nvec AS (
+  SELECT doc_id, chunk_no,
+         list_transform(v, x -> x / nullif(sqrt(list_inner_product(v, v)), 0))
+           AS nv
+  FROM vec),
+q AS (
+  SELECT doc_id AS q_doc, nv AS qn FROM nvec
+  WHERE chunk_no = 0 AND doc_id < {N_QUERY_DOCS}),
+scored AS (
+  SELECT q.q_doc, c.doc_id, c.chunk_no,
+         round(list_inner_product(q.qn, c.nv), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY q.q_doc
+           ORDER BY list_inner_product(q.qn, c.nv) DESC,
+                    c.doc_id ASC, c.chunk_no ASC) AS rnk
+  FROM q CROSS JOIN nvec c
+  WHERE c.doc_id <> q.q_doc AND list_inner_product(q.qn, c.nv) IS NOT NULL)
+SELECT q_doc, doc_id, chunk_no, cos_sim, rnk
+FROM scored WHERE rnk <= {RETRIEVAL_TOPK}
+""",
+    doc="End-to-end retrieval-index build, composed entirely from "
+    "proven pieces and hash-checked as ONE query: sliding-window "
+    f"chunking (all-JVM posexplode twin of the UDTF entry) -> hashed "
+    f"bag-of-words featurization ({HASHTF_DIM} buckets via one md5 "
+    "nibble per token — the feature-hashing trick, engine-portable "
+    "like the sampling entries) -> L2 normalization (staged once, "
+    "nullif zero-guard) -> brute-force cosine top-"
+    f"{RETRIEVAL_TOPK} chunks per query chunk (two-stage grouped "
+    "top-k, no single-task sort; queries broadcast, corpus never "
+    "shuffles). The ANN entries swap the last stage for IVF/LSH at "
+    "scale; the featurizer slot is where a real embedding model "
+    "plugs in (same schema contract as operators/multimodal.py's "
+    "injected decoder).",
+)
+def docs_chunk_hashtf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.functions.vector_math import (
+        dot,
+        l2_norm,
+    )
+    from dataengineer_job_scraper_etl_spark.operators.topk import grouped_topk
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(F.col("t")) - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunks = (
+        d.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda st: F.slice(F.col("t"), st + 1, CHUNK_SIZE),
+                )
+            ).alias("chunk_no", "ctoks"),
+        )
+    )
+    bucket = lambda tk: (  # noqa: E731 - one md5 nibble, 0..15
+        F.conv(F.substring(F.md5(tk), 1, 1), 16, 10).cast("int")
+    )
+    bks = F.transform(F.col("ctoks"), bucket)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(HASHTF_DIM - 1)),
+        lambda i: F.size(F.filter(bks, lambda b: b == i)).cast("double"),
+    )
+    # Stage vectors + norm once (same checkpoint pattern as SemDeDup:
+    # the scoring join reads nv per pair, and deriving it beside the
+    # norm fold would inline the fold per element).
+    base = (
+        chunks.select(
+            "doc_id",
+            "chunk_no",
+            vec.alias("v"),
+        )
+        .withColumn("vnorm", F.nullif(l2_norm(F.col("v")), F.lit(0.0)))
+        .localCheckpoint(eager=False)
+    )
+    nvec = base.select(
+        "doc_id",
+        "chunk_no",
+        F.transform(F.col("v"), lambda x: x / F.col("vnorm")).alias("nv"),
+    )
+    q = (
+        nvec.filter((F.col("chunk_no") == 0) & (F.col("doc_id") < N_QUERY_DOCS))
+        .select(F.col("doc_id").alias("q_doc"), F.col("nv").alias("qn"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(nvec)
+        .filter(F.col("doc_id") != F.col("q_doc"))
+        .select(
+            "q_doc",
+            "doc_id",
+            "chunk_no",
+            dot(F.col("qn"), F.col("nv")).alias("sim"),
+        )
+        .filter(F.col("sim").isNotNull())
+    )
+    return grouped_topk(
+        scored,
+        ["q_doc"],
+        [F.desc("sim"), F.asc("doc_id"), F.asc("chunk_no")],
+        RETRIEVAL_TOPK,
+    ).select(
+        "q_doc",
+        "doc_id",
+        "chunk_no",
+        F.round("sim", 6).alias("cos_sim"),
+        "rnk",
+    )
