@@ -594,7 +594,8 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     existing = e.filter(F.col("vec_id") % 10 < 8).select("vec_id", "embedding")
     cents = kmeans_corpus_init(
-        existing, "vec_id", "embedding", DIM, N_CLUSTERS, n_iter=N_ITER
+        existing, "vec_id", "embedding", DIM, N_CLUSTERS, n_iter=N_ITER,
+        cache_key=sf_dir,  # FROZEN index: train once, serve every batch
     )
     index = normalize_assigned(existing, cents, "vec_id", "embedding").select(
         "cluster_id", F.col("nv").alias("ex_nv")
