@@ -118,6 +118,14 @@ HEADLINE += [
     "streaming_semdedup_ingest",
     "docs_chunk_hashtf_retrieval",
 ]
+HEADLINE += [
+    # round-7 asks: the Arrow trie pandas-UDF skills path (the lane a
+    # real-cluster spaCy slot-in rides — tracks the Python-boundary
+    # cost vs the native n-gram join in jobs_skills), and the
+    # pre-split SemDeDup pair pass (its overhead vs the plain join)
+    "jobs_skills_trie_udf",
+    "vec_semdedup_presplit",
+]
 
 # Bumped whenever the warm-up methodology changes (what is excluded
 # from the timed region), so bench_compare can distinguish
@@ -346,6 +354,17 @@ def main() -> None:
 
     timings = {n: round(statistics.median(v), 3) for n, v in runs.items()}
     spread = {n: round(max(v) - min(v), 3) for n, v in runs.items()}
+    # Per-rep raw runs + spread go to a SIDE FILE: round 6's driver could
+    # not parse the bench artifact because appending the raw `runs` arrays
+    # pushed the single stdout JSON line past the driver's tail-capture
+    # window, clipping the front (headline + medians). The last stdout
+    # line must stay compact — headline + medians only.
+    side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs.json")
+    try:
+        with open(side, "w") as f:
+            json.dump({"runs": runs, "spread": spread, "reps": reps}, f, indent=1)
+    except OSError as e:
+        print(f"WARN bench: could not write {side}: {e!r}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -353,11 +372,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "spread": spread,
-                "runs": runs,
                 "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warmup_version": WARMUP_VERSION,
+                "runs_file": "bench_runs.json",
             }
         )
     )

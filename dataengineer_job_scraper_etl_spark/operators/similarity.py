@@ -405,14 +405,39 @@ def kmeans_corpus_init(
     return trained
 
 
+def semdedup_n_clusters(
+    n_rows: int, target_occupancy: int = 256
+) -> int:
+    """The SemDeDup cluster-count sizing rule (VERDICT r6 ask #4):
+    k = ceil(n_rows / target_occupancy), floor 2. Mean occupancy is
+    then <= target_occupancy, so the quadratic within-cluster pair
+    pass does ~target_occupancy^2 / 2 comparisons per cluster — the
+    number that must stay bounded as the corpus grows. At 100 TB with
+    1e9 embeddings and the default target, k ~= 4M clusters: centroid
+    training cost grows with k*dim (one shuffle of partial means per
+    Lloyd round), which is the right trade — training is linear,
+    the pair pass is quadratic in occupancy. The rule bounds the
+    MEAN; an adversarial dense blob can still concentrate into one
+    cluster (k-means cannot split points nearer one centroid than any
+    other) — that residual skew is what ``max_occupancy`` pre-split
+    in semdedup_survivors bounds."""
+    if n_rows < 0:
+        raise ValueError("n_rows must be >= 0")
+    if target_occupancy <= 0:
+        raise ValueError("target_occupancy must be > 0")
+    return max(2, -(-n_rows // target_occupancy))
+
+
 def semdedup_survivors(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
     dim: int,
-    n_clusters: int,
+    n_clusters: int | None,
     n_iter: int = 2,
     tau: float = 0.4,
+    target_occupancy: int = 256,
+    max_occupancy: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic dedup by clustering the
     embedding space, then pruning near-identical pairs WITHIN each
@@ -437,24 +462,106 @@ def semdedup_survivors(
     inline would re-fold both norms per candidate pair, tripling the
     quadratic stage's cost (measured 3x at sf1). At 100 TB the
     self-join shuffles each cluster to one task pair-set; a degenerate
-    giant cluster (skew) is the known SemDeDup failure mode — raise
-    n_clusters so max |cluster| stays bounded, or pre-split hot
-    clusters (AQE skew-join splits the sort-merge side
-    automatically)."""
+    giant cluster (skew) is the known SemDeDup failure mode, bounded
+    two ways here (VERDICT r6 ask #4):
+
+    - ``n_clusters=None`` derives k from the corpus via
+      semdedup_n_clusters(count, target_occupancy) — one count()
+      action — so MEAN occupancy never outgrows the target as the
+      corpus scales (fixed k was the unenforced failure mode).
+    - ``max_occupancy`` (opt-in) pre-splits hot clusters for the pair
+      join with triangle-join replication: a cluster of occupancy O >
+      max_occupancy is hashed into s = ceil(O / max_occupancy)
+      groups, each row replicated to the s tasks (g1 <= g2) that
+      contain its group, and the join runs on (cluster_id, g1, g2) —
+      every within-cluster pair lands in EXACTLY one task (cross-
+      group pairs in (min,max); same-group pairs kept only in (g,g)),
+      so the RESULT IS IDENTICAL to the plain path (the
+      vec_semdedup_presplit catalog entry pins this against the same
+      oracle) while per-task pair work is bounded by ~max_occupancy^2
+      regardless of skew. Cost: s-way replication of hot-cluster rows
+      only; occupancy <= max_occupancy clusters have s=1 (no
+      overhead)."""
+    if n_clusters is None:
+        n_clusters = semdedup_n_clusters(emb.count(), target_occupancy)
     _, assigned = _assigned_normalized(
         emb, id_col, vec_col, dim, n_clusters, n_iter
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    dropped = (
-        a.join(b, on="cluster_id")
+    if max_occupancy is not None:
+        dropped = _presplit_dropped(assigned, id_col, tau, max_occupancy)
+    else:
+        a = assigned.alias("a")
+        b = assigned.alias("b")
+        dropped = (
+            a.join(b, on="cluster_id")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .filter(dot(F.col("a.nv"), F.col("b.nv")) > tau)
+            .select(
+                F.col(f"b.{id_col}").alias(id_col), F.lit(0).alias("kept")
+            )
+            .distinct()
+        )
+    return assigned.join(dropped, on=id_col, how="left").select(
+        id_col, "cluster_id", F.coalesce(F.col("kept"), F.lit(1)).alias("kept")
+    )
+
+
+def _presplit_dropped(
+    assigned: DataFrame, id_col: str, tau: float, max_occupancy: int
+) -> DataFrame:
+    """Hot-cluster-bounded dropped-row set, pair-semantics-identical
+    to the plain cluster self-join. Triangle-join replication: with a
+    cluster split into s hash groups, the s*(s+1)/2 group pairs
+    (g1 <= g2) are the join tasks; a row in group g joins under task
+    keys {(min(g,h), max(g,h)) : h in 0..s-1} (s copies). A cross-
+    group pair {gi != gj} meets in exactly task (min, max); a same-
+    group pair {g, g} would meet in every task containing g, so it is
+    filtered to task (g, g) only — each unordered pair is therefore
+    examined exactly once and the distinct() below dedups nothing new
+    (it mirrors the plain path's). Per-task work is
+    ~(occupancy/s)^2 <= ~max_occupancy^2 comparisons; the join key
+    (cluster_id, t1, t2) spreads a hot cluster over s*(s+1)/2 tasks
+    instead of one."""
+    occ = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("__occ")
+    )
+    splits = occ.select(
+        "cluster_id",
+        F.ceil(F.col("__occ") / F.lit(max_occupancy))
+        .cast("int")
+        .alias("__s"),
+    )
+    # k rows — always broadcastable (k is the cluster count).
+    g = assigned.join(F.broadcast(splits), "cluster_id").withColumn(
+        "__g", F.pmod(F.xxhash64(F.col(id_col)), F.col("__s")).cast("int")
+    )
+    tasks = g.select(
+        id_col,
+        "cluster_id",
+        "nv",
+        "__g",
+        F.explode(F.sequence(F.lit(0), F.col("__s") - 1)).alias("__h"),
+    ).select(
+        id_col,
+        "cluster_id",
+        "nv",
+        "__g",
+        F.least("__g", "__h").alias("__t1"),
+        F.greatest("__g", "__h").alias("__t2"),
+    )
+    a = tasks.alias("a")
+    b = tasks.alias("b")
+    same_group_once = (F.col("a.__g") != F.col("b.__g")) | (
+        (F.col("a.__t1") == F.col("a.__g"))
+        & (F.col("a.__t2") == F.col("a.__g"))
+    )
+    return (
+        a.join(b, on=["cluster_id", "__t1", "__t2"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(same_group_once)
         .filter(dot(F.col("a.nv"), F.col("b.nv")) > tau)
         .select(F.col(f"b.{id_col}").alias(id_col), F.lit(0).alias("kept"))
         .distinct()
-    )
-    return assigned.join(dropped, on=id_col, how="left").select(
-        id_col, "cluster_id", F.coalesce(F.col("kept"), F.lit(1)).alias("kept")
     )
 
 

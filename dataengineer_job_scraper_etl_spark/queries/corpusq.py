@@ -239,6 +239,75 @@ def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- all-source mixture contract (VERDICT r6 ask #3) -----------------
+# corpus_pipeline_full is rows-only by design (engine-specific LSH),
+# which left the ALL-SOURCE mixture composition without a hash
+# contract: corpus_pipeline_survivors proves the chain with a 4-source
+# weight map. This entry re-runs the SAME proven recursive-CTE chain
+# with the full 20-source dimension and deliberately unequal weights
+# (w_i = i+1, unnormalized — mixture_rates is scale-invariant in w),
+# so every source's rate derivation, the scarcest-source total, and
+# the per-source downsampling all cross the hash check. doc_id < 500
+# is the ENTIRE table at the driver's sf0.01 audit scale (500 rows,
+# 25/source), so this is the full-corpus mixture, bounded only at
+# larger rungs for recursion cost.
+_ALLSRC_WEIGHTS = {f"src{i}": float(i + 1) for i in range(20)}
+
+_ALLSRC_VALUES = ", ".join(
+    f"('src{i}', {float(i + 1)})" for i in range(20)
+)
+
+_PIPE_ORACLE_ALLSRC = _PIPE_ORACLE.replace(
+    """wts AS (SELECT * FROM (VALUES
+  ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)) w(source, w)),""",
+    f"""wts AS (SELECT * FROM (VALUES
+  {_ALLSRC_VALUES}) w(source, w)),""",
+)
+assert _PIPE_ORACLE_ALLSRC != _PIPE_ORACLE  # replace() must have hit
+
+
+@register(
+    "corpus_pipeline_allsource_mixture",
+    _PIPE_ORACLE_ALLSRC,
+    doc="The composed pipeline with the ALL-SOURCE mixture: the same "
+    "gate -> exact dedup -> near-dup clusters -> canonical -> mixture "
+    "-> split -> pack chain as corpus_pipeline_survivors, but the "
+    "mixture stage runs over all 20 sources with deliberately unequal "
+    "weights (w_i = i+1), so every per-source keep rate — scarcest-"
+    "source total, least(1.0, ...) clamp, 16-bit md5-window sampler — "
+    "is derived and hash-checked for the full source dimension. This "
+    "closes the gap VERDICT r6 #3 named: corpus_pipeline_full's "
+    "all-source composition now has an oracle-checked twin (the LSH "
+    "pair generator remains the only engine-specific swap, contracted "
+    "separately by the planted-recall entries).",
+)
+def corpus_pipeline_allsource_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.plans.corpus import (
+        build_pretraining_corpus,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "source", "text")
+    )
+    out = build_pretraining_corpus(
+        docs,
+        mixture_weights=_ALLSRC_WEIGHTS,
+        context_tokens=_PIPE_CONTEXT,
+        pair_fn=exact_jaccard_pair_fn,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "split",
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+    )
+
+
 def exact_jaccard_cross_pairs(batch: DataFrame, index: DataFrame) -> DataFrame:
     """(id_a = batch doc, id_b = index doc) pairs with exact
     distinct-token Jaccard >= 0.8 — the SQL-expressible cross-side

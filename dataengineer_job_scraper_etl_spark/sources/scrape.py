@@ -65,8 +65,14 @@ def default_fetcher(
     timeout: float = 30.0,
 ) -> Fetcher:
     """requests-based fetcher with the reference's retry envelope:
-    <=5 attempts, randomized backoff, give-up returns None
-    (main.py:120-125)."""
+    <=``retries`` attempts, a randomized backoff sleep BETWEEN
+    attempts only (the reference sleeps under ``attempt <
+    max_retries - 1``, main.py:120-123 — no sleep after the final
+    failure before giving up), give-up returns None (main.py:124-125).
+    Non-200 responses and transport errors retry identically. The
+    envelope is pinned network-free by
+    tests/test_scrape.py::test_default_fetcher_* (fake clock/fake
+    transport)."""
     import requests
 
     def fetch(url: str) -> str | None:
@@ -77,7 +83,8 @@ def default_fetcher(
                     return resp.text
             except requests.RequestException:
                 pass
-            time.sleep(random.uniform(*backoff))
+            if attempt < retries - 1:
+                time.sleep(random.uniform(*backoff))
         return None
 
     return fetch

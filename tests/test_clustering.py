@@ -267,3 +267,126 @@ def test_semdedup_kept_partition_counts(spark, sf_dir):
     ).collect()[0]
     assert agg["n"] == total and agg["d"] == total
     assert 0 <= agg["lo"] <= agg["hi"] <= 1
+
+
+# --- occupancy sizing + hot-cluster pre-split (VERDICT r6 ask #4) ----
+
+
+def test_semdedup_n_clusters_sizing_rule():
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        semdedup_n_clusters,
+    )
+
+    assert semdedup_n_clusters(0) == 2  # floor
+    assert semdedup_n_clusters(256, 256) == 2  # floor still binds
+    assert semdedup_n_clusters(257, 256) == 2
+    assert semdedup_n_clusters(1024, 256) == 4
+    assert semdedup_n_clusters(1025, 256) == 5  # ceil, not round
+    assert semdedup_n_clusters(10**9, 256) == 3906250
+    with pytest.raises(ValueError):
+        semdedup_n_clusters(-1)
+    with pytest.raises(ValueError):
+        semdedup_n_clusters(10, 0)
+
+
+def test_semdedup_auto_k_from_corpus_count(planted):
+    """n_clusters=None derives k via the sizing rule (6 rows /
+    target_occupancy 3 -> k=2) and the result still partitions the
+    input with the planted survivorship."""
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in semdedup_survivors(
+            planted,
+            "vec_id",
+            "embedding",
+            DIM,
+            n_clusters=None,
+            tau=0.995,
+            target_occupancy=3,
+        ).collect()
+    }
+    assert len(out) == 6
+    assert out[3] == 1 and out[7] == 0
+
+
+@pytest.fixture(scope="module")
+def skewed_blob(spark):
+    """An adversarial dense blob k-means CANNOT split (60 near-
+    identical vectors all nearest the same centroid) plus two far
+    rows: one cluster ends up with ~60 members regardless of k."""
+    rows = [(1, [0.0, 0.0, 1.0, 0.0]), (2, [0.0, 0.0, 0.9, 0.1])]
+    rows += [
+        (10 + i, [1.0, 1e-4 * i, 0.0, 0.0]) for i in range(60)
+    ]
+    return _emb(spark, rows)
+
+
+def test_presplit_matches_plain_on_skewed_blob(skewed_blob):
+    """The pre-split pair pass is pair-semantics-identical: same
+    survivors as the plain cluster self-join on a fixture where the
+    hot cluster genuinely splits (occupancy ~60 >> max_occupancy 8,
+    s = 8 groups)."""
+    plain = sorted(
+        semdedup_survivors(
+            skewed_blob, "vec_id", "embedding", DIM, 2, tau=0.9
+        ).collect()
+    )
+    split = sorted(
+        semdedup_survivors(
+            skewed_blob,
+            "vec_id",
+            "embedding",
+            DIM,
+            2,
+            tau=0.9,
+            max_occupancy=8,
+        ).collect()
+    )
+    assert plain == split
+    # the blob collapses to its lowest id; far rows survive
+    kept = {r["vec_id"] for r in plain if r["kept"] == 1}
+    assert 10 in kept and not any(v in kept for v in range(11, 70))
+
+
+def test_presplit_bounds_per_task_pair_count(spark, skewed_blob):
+    """Pin the scale contract: with max_occupancy=8 the hot cluster's
+    pair work spreads over group-pair tasks, and NO task holds more
+    than ~max_occupancy^2 candidate pairs (hash-imbalance slack 4x),
+    vs C(60,2)=1770 for the single-task plain join. Reconstructs the
+    task layout with the same xxhash64 grouping the operator uses."""
+    max_occ = 8
+    assigned = semdedup_survivors(
+        skewed_blob, "vec_id", "embedding", DIM, 2, tau=0.9
+    ).select("vec_id", "cluster_id")
+    occ = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    g = (
+        assigned.join(F.broadcast(occ), "cluster_id")
+        .withColumn(
+            "s", F.ceil(F.col("occ") / F.lit(max_occ)).cast("int")
+        )
+        .withColumn(
+            "g", F.pmod(F.xxhash64(F.col("vec_id")), F.col("s")).cast("int")
+        )
+    )
+    sizes = {
+        (r["cluster_id"], r["g"]): r["n"]
+        for r in g.groupBy("cluster_id", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    svals = {
+        r["cluster_id"]: r["s"]
+        for r in g.select("cluster_id", "s").distinct().collect()
+    }
+    worst = 0
+    for cid, s in svals.items():
+        for g1 in range(s):
+            for g2 in range(g1, s):
+                n1 = sizes.get((cid, g1), 0)
+                n2 = sizes.get((cid, g2), 0)
+                pairs = n1 * (n1 - 1) // 2 if g1 == g2 else n1 * n2
+                worst = max(worst, pairs)
+    assert max(r["occ"] for r in occ.collect()) >= 55  # skew is real
+    assert worst <= 4 * max_occ * max_occ  # bounded per task

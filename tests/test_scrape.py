@@ -160,3 +160,98 @@ def test_pipeline_empty_scrape_writes_nothing(spark, tmp_path):
 
 def test_detail_url_template_shape():
     assert DETAIL_URL_TEMPLATE.format(jobid="42").endswith("/jobPosting/42")
+
+
+# --- retry/backoff politeness envelope (VERDICT r6 ask #8) -----------
+# Network-free: fake transport (requests.get), fake clock (time.sleep),
+# pinned RNG (random.uniform). Pins the reference's contract
+# (main.py:120-125): <=5 attempts, randomized 2-12s sleep BETWEEN
+# attempts only (none after the final failure), give-up returns None,
+# non-200 and transport errors retried identically.
+
+
+class _Resp:
+    def __init__(self, status_code, text=""):
+        self.status_code = status_code
+        self.text = text
+
+
+def _fake_env(monkeypatch, responses):
+    """Install fakes; returns (calls, sleeps, uniform_bounds) logs.
+    ``responses`` items are status codes or Exception instances."""
+    import requests
+
+    from dataengineer_job_scraper_etl_spark.sources import scrape
+
+    calls, sleeps, bounds = [], [], []
+    it = iter(responses)
+
+    def fake_get(url, timeout):
+        calls.append((url, timeout))
+        r = next(it)
+        if isinstance(r, Exception):
+            raise r
+        return _Resp(r, text=f"body-{len(calls)}")
+
+    monkeypatch.setattr(requests, "get", fake_get)
+    monkeypatch.setattr(scrape.time, "sleep", sleeps.append)
+    monkeypatch.setattr(
+        scrape.random,
+        "uniform",
+        lambda a, b: bounds.append((a, b)) or 7.25,
+    )
+    return calls, sleeps, bounds
+
+
+def test_default_fetcher_gives_up_after_five_attempts(monkeypatch):
+    import requests
+
+    from dataengineer_job_scraper_etl_spark.sources.scrape import (
+        default_fetcher,
+    )
+
+    calls, sleeps, bounds = _fake_env(
+        monkeypatch,
+        [500, 503, requests.RequestException("reset"), 500, 500],
+    )
+    assert default_fetcher()("http://x") is None
+    assert len(calls) == 5  # <=5 attempts (main.py:79)
+    # sleeps happen BETWEEN attempts only: 4 for 5 attempts, none
+    # appended after the final failure before the give-up return
+    assert sleeps == [7.25] * 4
+    assert bounds == [(2.0, 12.0)] * 4  # the randomized 2-12s window
+
+
+def test_default_fetcher_stops_on_first_success(monkeypatch):
+    from dataengineer_job_scraper_etl_spark.sources.scrape import (
+        default_fetcher,
+    )
+
+    calls, sleeps, _ = _fake_env(monkeypatch, [200, 500, 500])
+    assert default_fetcher()("http://x") == "body-1"
+    assert len(calls) == 1 and sleeps == []  # no sleep on success
+
+
+def test_default_fetcher_recovers_mid_retry(monkeypatch):
+    import requests
+
+    from dataengineer_job_scraper_etl_spark.sources.scrape import (
+        default_fetcher,
+    )
+
+    calls, sleeps, _ = _fake_env(
+        monkeypatch, [requests.RequestException("timeout"), 404, 200]
+    )
+    assert default_fetcher()("http://x") == "body-3"
+    assert len(calls) == 3
+    assert sleeps == [7.25] * 2  # one backoff per failed attempt
+
+def test_default_fetcher_custom_envelope(monkeypatch):
+    from dataengineer_job_scraper_etl_spark.sources.scrape import (
+        default_fetcher,
+    )
+
+    calls, sleeps, bounds = _fake_env(monkeypatch, [500, 500])
+    assert default_fetcher(retries=2, backoff=(0.5, 1.5))("u") is None
+    assert len(calls) == 2
+    assert sleeps == [7.25] and bounds == [(0.5, 1.5)]
