@@ -339,6 +339,17 @@ def main() -> None:
     # pass between repetitions keeps per-query block-manager/GC context
     # realistic and spreads any transient system noise across queries.
     for rep in range(reps):
+        # Compact the JVM heap at the pass boundary: the r6 outlier
+        # reps (two ADJACENT queries spiking 5-7x in the same pass,
+        # clean in 10x isolated reruns, GC logs <100ms in neighborhood
+        # replays) point at a JVM/system-global stall accumulating
+        # across a ~50-query pass, not at any query's plan. A forced
+        # full GC between passes moves that debt to the boundary
+        # instead of landing it mid-query.
+        try:
+            spark._jvm.System.gc()  # noqa: SLF001 - no public API for this
+        except Exception:  # noqa: BLE001 - best-effort hygiene only
+            pass
         for name in HEADLINE:
             q = qs.get(name)
             if q is None:

@@ -246,7 +246,20 @@ def _kmeans_rounds(
     so assignment argmins can't diverge. (b) It is the same
     centroid-quantization trade serving systems make. None (default)
     keeps full precision for the IVF/PQ internal-cache paths, whose
-    contracts are recall floors, not hash equality."""
+    contracts are recall floors, not hash equality.
+
+    Rounding-MODE assumption (ADVICE r6): Python round() here is
+    banker's (half-to-even) while DuckDB's round() is half-away-from-
+    zero (and Spark's F.round is HALF_UP) — the modes differ ONLY at
+    exact decimal halves (x.xxxxx5 as a binary double). A float64
+    mean of float inputs landing exactly on a representable decimal
+    half is measure-zero in practice, and the drift-margin analysis
+    above already requires means to sit >>5e-7-half-step away from
+    quantum boundaries for the contract to hold at all; the same
+    margin covers the mode seam. If a future caller feeds
+    exact-decimal vectors (where halves ARE reachable), switch both
+    sides to one explicit rule, e.g. floor(x*10^d + 0.5)/10^d
+    mirrored in SQL."""
     for _ in range(n_iter):
         assigned = assign_to_centroid(corpus, cents, vec_col)
         if dim <= 256:
@@ -360,6 +373,7 @@ def kmeans_corpus_init(
     n_iter: int = 2,
     round_decimals: int | None = 6,
     cache_key: str | None = None,
+    slice_tag: str | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's k-means with DATA-DERIVED init: cluster ``cid`` starts at
     the vector of the ``cid``-th lowest ``id_col`` row. Unlike the
@@ -380,10 +394,19 @@ def kmeans_corpus_init(
     pass it for FROZEN-index semantics — the incremental/streaming
     ingest entries, where training once and serving many batches IS
     the production contract. Batch dedup entries leave it None so
-    each run honestly pays its own training."""
+    each run honestly pays its own training.
+
+    ``cache_key`` must uniquely name the CORPUS; ``slice_tag`` must
+    name the training SUBSET within it (ADVICE r6: the key carries no
+    fingerprint of the frame's contents, so two callers sharing a
+    cache_key but training on different filters of the same corpus
+    would silently share centroids). Callers that train on a slice
+    pass a tag naming the predicate (the incremental/streaming
+    entries use "mod10_lt8" for their vec_id %% 10 < 8 split); None
+    means whole-corpus training."""
     ckey = (
-        (cache_key, "corpus_init", id_col, vec_col, dim, n_clusters,
-         n_iter, round_decimals)
+        (cache_key, slice_tag, "corpus_init", id_col, vec_col, dim,
+         n_clusters, n_iter, round_decimals)
         if cache_key is not None
         else None
     )
@@ -713,11 +736,16 @@ def semdedup_incremental_status(
     n_iter: int = 2,
     tau: float = 0.4,
     cache_key: str | None = None,
+    slice_tag: str | None = None,
 ) -> DataFrame:
-    """Incremental SemDeDup: classify a NEW batch of vectors against an
-    already-deduped corpus WITHOUT retraining or rescanning it
+    """Incremental SemDeDup: classify a NEW batch of vectors against
+    the EXISTING corpus WITHOUT retraining or rescanning it
     quadratically — the production ingest shape (same contract family
-    as dedup.py's incremental_ingest_status for text digests).
+    as dedup.py's incremental_ingest_status for text digests). The
+    comparison set is ALL existing same-cluster rows as given — if
+    dedup-survivor semantics are wanted, pass a pre-filtered
+    survivors frame as ``existing`` (ADVICE r6: this function does
+    not itself dedup the corpus side).
 
     The cluster index is FROZEN: centroids train on ``existing`` only
     (in production they'd be loaded from the persisted index; the
@@ -735,7 +763,7 @@ def semdedup_incremental_status(
     (id_col, cluster_id, status) for batch rows only."""
     cents = kmeans_corpus_init(
         existing, id_col, vec_col, dim, n_clusters, n_iter=n_iter,
-        cache_key=cache_key,
+        cache_key=cache_key, slice_tag=slice_tag,
     )
     ex = normalize_assigned(existing, cents, id_col, vec_col).select(
         F.col(id_col).alias("ex_id"), "cluster_id", F.col("nv").alias("ex_nv")

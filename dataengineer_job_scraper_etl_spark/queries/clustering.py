@@ -42,9 +42,13 @@ TAU = 0.4  # same "near" regime as vec_neardup_cosine_pairs
 # trajectory is bit-identical across engines (order-dependent mean
 # drift reaches ~1e-12 for million-member clusters; the 5e-7
 # half-step leaves a ~5x10^5 margin where 9 decimals would leave only
-# ~500x). Assignment tie-break is
-# (distance, cluster_id) on both sides; sqrt is monotone so DuckDB's
-# list_distance orders identically to Spark's d2 fold. _KMEANS_BODY
+# ~500x). Assignment tie-break is (SQUARED distance, cluster_id) on
+# both sides — the oracle computes the raw d2 sum (list_sum over
+# squared element diffs), not list_distance: sqrt is monotone (order-
+# preserving) but NOT tie-preserving — it can collapse two distinct
+# d2 doubles to one value and engage the cid tie-break in DuckDB only
+# (ADVICE r6). Both engines now order by the identical quantity, so
+# tie SETS match, not just order. _KMEANS_BODY
 # carries no WITH so the component-based entry can prepend
 # WITH RECURSIVE (DuckDB wants the keyword once, up front); the
 # ``where`` parameter restricts the TRAINING set (incremental entry
@@ -62,7 +66,7 @@ a0 AS (
   SELECT vec_id, e, cid FROM (
     SELECT emb.vec_id, emb.e, init.cid,
            row_number() OVER (PARTITION BY emb.vec_id
-             ORDER BY list_distance(emb.e, init.c), init.cid) AS rn
+             ORDER BY list_sum(list_transform(list_zip(emb.e, init.c), x -> (x[1]-x[2])**2)), init.cid) AS rn
     FROM emb CROSS JOIN init) WHERE rn = 1),
 c1 AS (
   SELECT init.cid, coalesce(mm.c, init.c) AS c
@@ -75,7 +79,7 @@ a1 AS (
   SELECT vec_id, e, cid FROM (
     SELECT emb.vec_id, emb.e, c1.cid,
            row_number() OVER (PARTITION BY emb.vec_id
-             ORDER BY list_distance(emb.e, c1.c), c1.cid) AS rn
+             ORDER BY list_sum(list_transform(list_zip(emb.e, c1.c), x -> (x[1]-x[2])**2)), c1.cid) AS rn
     FROM emb CROSS JOIN c1) WHERE rn = 1),
 c2 AS (
   SELECT c1.cid, coalesce(mm.c, c1.c) AS c
@@ -88,7 +92,7 @@ a2 AS (
   SELECT vec_id, e, cid FROM (
     SELECT emb.vec_id, emb.e, c2.cid,
            row_number() OVER (PARTITION BY emb.vec_id
-             ORDER BY list_distance(emb.e, c2.c), c2.cid) AS rn
+             ORDER BY list_sum(list_transform(list_zip(emb.e, c2.c), x -> (x[1]-x[2])**2)), c2.cid) AS rn
     FROM emb CROSS JOIN c2) WHERE rn = 1)
 """
 
@@ -295,14 +299,16 @@ SELECT cid AS cluster_id, CAST(count(*) AS BIGINT) AS n_sampled,
        CAST(sum(vec_id) AS BIGINT) AS id_checksum
 FROM ranked WHERE rn <= {_BALANCED_PER_CLUSTER} GROUP BY cid
 """,
-    doc=f"Cluster-balanced selection: EXACTLY {_BALANCED_PER_CLUSTER} "
-    "rows per LEARNED k-means cluster (strata from the embedding "
-    "space, not a static column — the curation move behind "
-    "cluster-balanced data mixes), chosen by the same md5 hash-rank "
-    "trick as docs_balanced_eval_sample so membership is "
-    "deterministic, engine-portable, and exact-n (fractional "
-    "sampleBy can't pin counts). One window per cluster over "
-    "(cluster_id, vec_id) pairs only; id_checksum pins membership.",
+    doc=f"Cluster-balanced selection: up to {_BALANCED_PER_CLUSTER} "
+    "rows per LEARNED k-means cluster — exact-n whenever a cluster's "
+    "occupancy allows (a cluster with fewer members yields all of "
+    "them; ADVICE r6) — strata from the embedding space, not a "
+    "static column (the curation move behind cluster-balanced data "
+    "mixes), chosen by the same md5 hash-rank trick as "
+    "docs_balanced_eval_sample so membership is deterministic, "
+    "engine-portable, and count-pinned where fractional sampleBy "
+    "can't pin counts. One window per cluster over (cluster_id, "
+    "vec_id) pairs only; id_checksum pins membership.",
 )
 def vec_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -390,5 +396,5 @@ def vec_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = e.filter(F.col("vec_id") % 10 >= 8)
     return semdedup_incremental_status(
         existing, batch, "vec_id", "embedding", DIM, N_CLUSTERS,
-        n_iter=N_ITER, tau=TAU, cache_key=sf_dir,
+        n_iter=N_ITER, tau=TAU, cache_key=sf_dir, slice_tag="mod10_lt8",
     )

@@ -596,6 +596,7 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = kmeans_corpus_init(
         existing, "vec_id", "embedding", DIM, N_CLUSTERS, n_iter=N_ITER,
         cache_key=sf_dir,  # FROZEN index: train once, serve every batch
+        slice_tag="mod10_lt8",  # names the vec_id % 10 < 8 training slice
     )
     index = normalize_assigned(existing, cents, "vec_id", "embedding").select(
         "cluster_id", F.col("nv").alias("ex_nv")
