@@ -705,3 +705,111 @@ def docs_balanced_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("bigint").alias("id_checksum"),
         )
     )
+
+
+# --- training order + token budget (round 7) -------------------------
+
+_ORDER_SEED = "epoch0"
+_ORDER_SHARDS = 8
+
+
+@register(
+    "docs_training_order",
+    f"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('{_ORDER_SEED}:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents),
+sharded AS (
+  SELECT doc_id, k,
+         ((position(substring(k, 1, 1) in '0123456789abcdef') - 1) * 16
+          + position(substring(k, 2, 1) in '0123456789abcdef') - 1)
+           % {_ORDER_SHARDS} AS shard_id
+  FROM keyed)
+SELECT doc_id, shard_id,
+       CAST(row_number() OVER (
+         PARTITION BY shard_id ORDER BY k, doc_id) AS BIGINT)
+         AS pos_in_shard
+FROM sharded
+""",
+    doc="Deterministic seeded TRAINING ORDER — the epoch-shuffle a "
+    "pretraining data loader consumes: every doc gets a shard and an "
+    "intra-shard position from md5(seed:doc_id) alone, so the "
+    "'random' order is rerun-stable, engine-portable, and re-seedable "
+    "per epoch (change the seed literal, get an independent "
+    "permutation). Scale shape: shard assignment is a stateless "
+    "projection (first two hash nibbles mod n_shards -> statistically "
+    "balanced shards); position is a row_number window PARTITIONED BY "
+    "shard — parallel across shards, never a single global sort (a "
+    "Window.orderBy with no partition would collapse 100 TB onto one "
+    "task; hash-sharding is how real loaders parallelize the epoch "
+    "order). Hash equality pins the ENTIRE permutation, not a sample.",
+)
+def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    k = F.md5(
+        F.concat(F.lit(_ORDER_SEED + ":"), F.col("doc_id").cast("string"))
+    )
+    nib = (
+        "(position(substring(__k, 1, 1) in '0123456789abcdef') - 1) * 16"
+        " + position(substring(__k, 2, 1) in '0123456789abcdef') - 1"
+    )
+    sharded = d.withColumn("__k", k).withColumn(
+        "shard_id", F.expr(f"({nib}) % {_ORDER_SHARDS}")
+    )
+    w = Window.partitionBy("shard_id").orderBy("__k", "doc_id")
+    return sharded.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )
+
+
+_CLIP_BUDGET = 48  # tokens; the fixture's docs run ~20-90 tokens
+
+
+@register(
+    "docs_token_budget_clip",
+    f"""
+WITH sig AS (
+  SELECT source,
+         len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+             ' ')) AS n
+  FROM documents)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n > {_CLIP_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped,
+       CAST(sum(n) AS BIGINT) AS tokens_raw,
+       CAST(sum(least(n, {_CLIP_BUDGET})) AS BIGINT) AS tokens_kept,
+       CAST(sum(n - least(n, {_CLIP_BUDGET})) AS BIGINT) AS tokens_dropped
+FROM sig GROUP BY source
+""",
+    doc="Per-source context-budget clipping audit: clip every doc at "
+    f"{_CLIP_BUDGET} tokens (the max-sequence-length truncation every "
+    "tokenized pretraining pipeline applies) and account for exactly "
+    "how many tokens each source loses — the number that decides "
+    "whether truncation or packing is eating a source's long-form "
+    "data. ONE scan, token counts and clip arithmetic in the same "
+    "projection, one partial-agg groupBy(source); the text column "
+    "never shuffles.",
+)
+def docs_token_budget_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.functions.strings import ws_tokens
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = F.size(ws_tokens(F.col("text"))).cast("long")
+    kept = F.least(n, F.lit(_CLIP_BUDGET))
+    sig = d.select(
+        "source",
+        n.alias("__n"),
+        kept.alias("__kept"),
+        (n > _CLIP_BUDGET).cast("long").alias("__clipped"),
+    )
+    return sig.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__clipped").cast("bigint").alias("n_clipped"),
+        F.sum("__n").cast("bigint").alias("tokens_raw"),
+        F.sum("__kept").cast("bigint").alias("tokens_kept"),
+        (F.sum("__n") - F.sum("__kept")).cast("bigint").alias("tokens_dropped"),
+    )
