@@ -499,6 +499,77 @@ def docs_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "docs_cluster_safe_split",
+    f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+full_map AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+  LEFT JOIN comp c ON d.doc_id = c.node),
+tagged AS (
+  SELECT doc_id, cluster,
+         CASE WHEN b < 12 THEN 'train'
+              WHEN b < 14 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, cluster,
+               position(substring(md5(CAST(cluster AS VARCHAR)), 1, 1)
+                        in '0123456789abcdef') - 1 AS b
+        FROM full_map))
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM tagged GROUP BY split
+""",
+    doc="LEAKAGE-SAFE train/val/test split: documents are split at the "
+    "near-dup-CLUSTER grain, not the doc grain — the split label comes "
+    "from md5(cluster), where cluster = connected-components min-label "
+    "over the Jaccard>=0.8 pair graph (singletons = own doc_id). A "
+    "per-doc hash split leaks: two near-duplicates hash independently "
+    "and ~25% of dup pairs straddle train/test, inflating eval. "
+    "Splitting on the cluster id makes straddling IMPOSSIBLE by "
+    "construction (same cluster -> same nibble -> same split); "
+    "tests/test_pipeline_ops.py asserts zero straddling pairs. At "
+    "100 TB this is components (keyed joins, O(log d) rounds) + one "
+    "stateless projection — no extra shuffle beyond the cluster map "
+    "join. id_checksum pins exact per-split membership cross-engine.",
+)
+def docs_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.components import (
+        connected_components,
+    )
+    from dataengineer_job_scraper_etl_spark.queries.sampling import hash_split
+
+    pairs = _jaccard_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select("doc_id")
+    full = docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id"))
+        .cast("bigint")
+        .alias("cluster"),
+    )
+    return (
+        hash_split(full, "cluster")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )
+
+
 def _trigrams(toks):
     """Space-joined 3-grams of a token array (empty if < 3 tokens).
 

@@ -176,6 +176,46 @@ def test_dedup_canonical_keeps_exactly_one_per_cluster(spark, sf_dir):
         assert sum(r["is_kept"] for r in members) == 1
 
 
+def test_cluster_safe_split_never_straddles_pairs(spark, sf_dir):
+    # The leakage property the entry exists for: every near-dup pair's
+    # two docs land in the SAME split (split is a function of the
+    # shared cluster id), and the per-split doc counts partition the
+    # bounded corpus.
+    from dataengineer_job_scraper_etl_spark.operators.components import (
+        connected_components,
+    )
+    from dataengineer_job_scraper_etl_spark.queries.sampling import hash_split
+    from dataengineer_job_scraper_etl_spark.queries.text import (
+        _jaccard_pairs,
+        docs_cluster_safe_split,
+    )
+
+    pairs = _jaccard_pairs(spark, sf_dir)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    split_of = {
+        r["node"]: r["split"]
+        for r in hash_split(
+            cc.select("node", F.col("component").alias("cluster")), "cluster"
+        ).collect()
+    }
+    straddled = [
+        (r["doc_a"], r["doc_b"])
+        for r in pairs.collect()
+        if split_of[r["doc_a"]] != split_of[r["doc_b"]]
+    ]
+    assert straddled == []
+
+    agg = docs_cluster_safe_split(spark, sf_dir).collect()
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .count()
+    )
+    assert sum(r["n_docs"] for r in agg) == n_docs
+    for r in agg:
+        assert r["n_docs"] >= r["n_clusters"] >= 1
+
+
 def test_gapfill_spine_is_dense_and_locf_carries(spark, sf_dir):
     from dataengineer_job_scraper_etl_spark.queries.pipeline_ops import (
         events_user_daily_gapfill,
