@@ -126,6 +126,11 @@ HEADLINE += [
     "jobs_skills_trie_udf",
     "vec_semdedup_presplit",
 ]
+HEADLINE += [
+    # round-7 addition: distributed PCA (one-pass Gram via mapInPandas
+    # partials + driver-side 64x64 power iteration + codegen projection)
+    "vec_pca_pc1_scores",
+]
 
 # Bumped whenever the warm-up methodology changes (what is excluded
 # from the timed region), so bench_compare can distinguish

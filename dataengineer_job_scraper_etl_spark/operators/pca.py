@@ -1,0 +1,158 @@
+"""Distributed PCA top-component via one-pass Gram + power iteration.
+
+The scalable shape (same as Spark MLlib's ``RowMatrix.
+computeGramianMatrix`` / ``computePrincipalComponents``, which
+tree-aggregates per-partition outer-product partials): each Arrow
+batch contributes a d x d partial Gram ``X^T X`` computed by numpy
+(the one place Python belongs — BLAS flops on a dense block), emitted
+as (i, j, partial) triplets whose count is d(d+1)/2 PER BATCH
+regardless of batch row count. Spark then sums the triplets — a
+shuffle of n_batches x d^2/2 tiny rows, nothing proportional to the
+corpus — and the driver holds exactly one d x d covariance matrix
+(d=64 -> 32 KiB, a bounded collect like k-means' k centroids).
+
+Power iteration then runs DRIVER-SIDE on the d x d matrix (64 x 64 —
+iterating distributedly would be absurd), with every iterate
+quantized to ``round_decimals`` via an EXPLICIT half-up rule
+``floor(x * 10^d + 0.5) / 10^d`` that DuckDB replays verbatim —
+unlike Python's banker's round(), this has one cross-engine tie rule
+(the mode seam ADVICE r6 flagged on the k-means quantizer). The
+fixed-iteration quantized trajectory is therefore bit-identical on
+both engines, so the ORACLE CAN HASH-CHECK THE WHOLE ALGORITHM, not
+just a variance floor: same Gram (order-independent up to ~1e-12
+summation drift, absorbed by the 5e-7 half-step with a ~5x10^5
+margin — same analysis as _kmeans_rounds), same covariance
+quantization, same 8 matrix-vector products.
+
+Reference scope: the reference repo (366-LoC Polars ETL) has no
+linear algebra; this extends the LLM-curation block (SURVEY §2.10+) —
+PCA whitening/projection is the standard precursor to OPQ/IVF index
+builds and embedding-drift monitoring over training corpora.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (n, means, top eigenvector, eigenvalue) keyed by caller tag — same
+# train-once/serve-many contract as similarity._CENTROID_CACHE.
+_PCA_CACHE: dict[object, tuple[int, list[float], list[float], float]] = {}
+
+
+def half_up(x: float, decimals: int) -> float:
+    """floor(x * 10^d + 0.5) / 10^d — the explicit quantization rule
+    shared with the SQL oracle (one tie rule on both engines)."""
+    q = 10.0**decimals
+    return math.floor(x * q + 0.5) / q
+
+
+def gram_triplets(
+    vectors: DataFrame, vec_col: str, dim: int
+) -> DataFrame:
+    """Upper-triangle Gram partials: one (i, j, g) triplet per batch
+    per (i <= j) pair, plus (i, -1, s_i) column-sum rows and a single
+    (-1, -1, n) count row per batch — everything the driver needs for
+    the covariance in ONE corpus pass. Lazy; callers aggregate with
+    groupBy(i, j).sum and collect d(d+1)/2 + d + 1 rows."""
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu0, iu1 = np.triu_indices(dim)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            G = X.T @ X
+            s = X.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    # 1-based dims to match SQL range(1, dim+1)
+                    "i": np.concatenate(
+                        [iu0 + 1, np.arange(1, dim + 1), [-1]]
+                    ),
+                    "j": np.concatenate(
+                        [iu1 + 1, np.full(dim, -1), [-1]]
+                    ),
+                    "g": np.concatenate(
+                        [G[iu0, iu1], s, [float(len(X))]]
+                    ),
+                }
+            )
+
+    return (
+        vectors.select(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+                vec_col
+            )
+        )
+        .mapInPandas(part, "i int, j int, g double")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+    )
+
+
+def pca_top_component(
+    vectors: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_iter: int = 8,
+    round_decimals: int = 6,
+    cache_key: object = None,
+) -> tuple[int, list[float], list[float], float]:
+    """(n, means, loadings, eigval): top principal component of the
+    MEAN-CENTERED vector column after ``n_iter`` quantized power-
+    iteration steps from the start vector 1/sqrt(dim). The start must
+    be exactly representable for the oracle replay: dim=64 gives
+    0.125, a dyadic rational, bit-identical as a literal in both
+    engines (asserted below for other dims).
+
+    Covariance entries are quantized half-up to ``round_decimals``
+    BEFORE iterating, and each normalized iterate after, so the whole
+    trajectory replays bit-identically in SQL (module docstring)."""
+    v0 = 1.0 / math.sqrt(dim)
+    assert v0 == half_up(v0, round_decimals), (
+        f"start vector {v0} not exact at {round_decimals} decimals; "
+        "pick a dim whose 1/sqrt(dim) is dyadic (powers of 4) or seed "
+        "the oracle with the quantized literal instead"
+    )
+    if cache_key is not None and cache_key in _PCA_CACHE:
+        return _PCA_CACHE[cache_key]
+    rows = gram_triplets(vectors, vec_col, dim).collect()
+    g = {(r["i"], r["j"]): r["g"] for r in rows}
+    n = int(g[(-1, -1)])
+    # Means are quantized BEFORE the covariance uses them: the raw
+    # column sum carries ~1e-13 summation-order drift vs the oracle's
+    # sum(e[i]) while the half-step is 5e-7 (~5x10^6 margin), and a
+    # quantized mean makes m_i*m_j bit-identical on both engines — so
+    # the only drift entering the covariance is G/n's, absorbed by the
+    # covariance quantization below with the same margin.
+    m = [half_up(g[(i, -1)] / n, round_decimals) for i in range(1, dim + 1)]
+    cov = [
+        [
+            half_up(
+                g[(min(i, j) + 1, max(i, j) + 1)] / n - m[i] * m[j],
+                round_decimals,
+            )
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+    v = [v0] * dim
+    lam = 0.0
+    for _ in range(n_iter):
+        w = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        lam = math.sqrt(sum(x * x for x in w))
+        if lam == 0.0:  # degenerate: C v = 0, keep previous direction
+            break
+        v = [half_up(x / lam, round_decimals) for x in w]
+    out = (n, m, v, half_up(lam, round_decimals))
+    if cache_key is not None:
+        _PCA_CACHE[cache_key] = out
+    return out

@@ -15,6 +15,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     layout,
     multimodal,
     neardup,
+    pca,
     pipeline_ops,
     sampling,
     sinks,

@@ -1,0 +1,301 @@
+"""PCA top-component scores over the ``embeddings`` fixture
+(LLM-curation extension, SURVEY §2.16).
+
+The whole algorithm is hash-checked, not just a variance floor: the
+distributed one-pass Gram (``operators/pca.py``) quantizes the column
+means, every covariance entry, and every power-iteration iterate with
+the EXPLICIT half-up rule ``floor(x * 1e6 + 0.5) / 1e6`` that DuckDB
+replays verbatim — one tie rule on both engines (the rounding-mode
+seam ADVICE r6 flagged on the k-means quantizer is designed out here).
+The oracle recomputes means -> covariance -> 8 unrolled matvec CTEs ->
+the per-vector projection, so a drift anywhere in the trajectory flips
+the hash.
+
+Why it belongs in the curation block: PCA projection/whitening is the
+standard precursor to OPQ/IVF index builds (the ann_* entries) and the
+1-D score is the classic embedding-drift monitor statistic. The
+reference repo (366-LoC Polars ETL) has no linear algebra; this is
+north-star scope like the k-means/SemDeDup family.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+from dataengineer_job_scraper_etl_spark.operators.pca import (
+    pca_top_component,
+)
+
+DIM = 64
+N_ITER = 8
+_Q = 1_000_000  # 6-decimal half-up quantum, shared with operators/pca.py
+
+
+def _pca_chain(train_where: str = "") -> str:
+    """CTE chain: means -> upper-triangle Gram -> quantized covariance
+    -> {N_ITER} unrolled power-iteration rounds, every stage quantized
+    with the shared explicit half-up rule. ``train_where`` restricts
+    the TRAINING rows (frozen-baseline monitor entries train on the
+    reference slice only); ``emb`` always holds the full corpus so
+    downstream CTEs can score everything against the trained axes.
+
+    Every multiply-referenced CTE is AS MATERIALIZED: DuckDB 1.0
+    INLINES plain CTEs per reference, and each ``v{{t}}`` references
+    ``w{{t}}`` twice (matvec + norm subquery), so without
+    materialization the plan tree doubles per unrolled round —
+    2^{N_ITER} re-evaluations of the Gram scan (observed: minutes
+    instead of milliseconds)."""
+    parts = [
+        f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+tr AS MATERIALIZED (SELECT vec_id, e FROM emb{train_where}),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM tr),
+mean AS MATERIALIZED (
+  SELECT i, floor(sum(e[i]) / (SELECT n FROM nn) * {_Q} + 0.5) / {_Q} AS m
+  FROM tr, range(1, {DIM + 1}) r(i) GROUP BY i),
+gram AS (
+  SELECT i, j, sum(e[i] * e[j]) AS g
+  FROM tr, range(1, {DIM + 1}) r(i), range(1, {DIM + 1}) r2(j)
+  WHERE i <= j GROUP BY i, j),
+covu AS (
+  SELECT g.i, g.j,
+         floor((g.g / (SELECT n FROM nn) - mi.m * mj.m) * {_Q} + 0.5)
+           / {_Q} AS c
+  FROM gram g JOIN mean mi ON g.i = mi.i JOIN mean mj ON g.j = mj.i),
+cov AS MATERIALIZED (
+  SELECT i, j, c FROM covu
+  UNION ALL SELECT j AS i, i AS j, c FROM covu WHERE i < j),
+v0 AS (SELECT i AS j, {1.0 / (DIM ** 0.5)!r} AS x
+       FROM range(1, {DIM + 1}) r(i))"""
+    ]
+    for t in range(1, N_ITER + 1):
+        parts.append(
+            f""",
+w{t} AS MATERIALIZED (
+  SELECT cov.i AS j, sum(cov.c * v.x) AS w
+  FROM cov JOIN v{t - 1} v ON cov.j = v.j GROUP BY cov.i),
+v{t} AS MATERIALIZED (
+  SELECT j, floor(w / sqrt((SELECT sum(w * w) FROM w{t}))
+                * {_Q} + 0.5) / {_Q} AS x FROM w{t})"""
+        )
+    parts.append(
+        f""",
+scores AS MATERIALIZED (
+  SELECT emb.vec_id,
+         floor(sum((emb.e[v.j] - mn.m) * v.x) * {_Q} + 0.5) / {_Q} AS pc1
+  FROM emb CROSS JOIN v{N_ITER} v JOIN mean mn ON v.j = mn.i
+  GROUP BY emb.vec_id)"""
+    )
+    return "".join(parts)
+
+
+def _pca_oracle() -> str:
+    return _pca_chain() + "\nSELECT vec_id, pc1 FROM scores\n"
+
+
+# Frozen-baseline drift monitor: the PCA axes AND the decile edges are
+# learned on the reference slice only (vec_id % 10 < 8 — the repo's
+# incremental-ingest convention), then the arriving slice is scored
+# against them. Population Stability Index per decile bucket, with
+# Laplace-style smoothing (n + 0.5) / (N + 5) so an empty bucket never
+# hits ln(0) — emitted in ppm as an integer so the only doubles in the
+# hash are engine-shared.
+_REF_WHERE = " WHERE vec_id % 10 < 8"
+_CUR_PRED = "vec_id % 10 >= 8"
+_N_BUCKETS = 10
+
+
+def _psi_oracle() -> str:
+    # Outer parens are load-bearing: these strings are substituted into
+    # `ln({smooth_c} / {smooth_r}}` — without them SQL's left-
+    # associative division turns the ratio into a/(b*c*d).
+    smooth_r = "((n_ref + 0.5) / ((SELECT n FROM nr) + 5.0))"
+    smooth_c = "((n_cur + 0.5) / ((SELECT n FROM nc) + 5.0))"
+    return (
+        _pca_chain(_REF_WHERE)
+        + f""",
+ref AS MATERIALIZED (
+  SELECT vec_id, pc1 FROM scores WHERE NOT ({_CUR_PRED})),
+cur AS MATERIALIZED (
+  SELECT vec_id, pc1 FROM scores WHERE {_CUR_PRED}),
+nr AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
+nc AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM cur),
+hist AS (SELECT pc1, count(*) AS c FROM ref GROUP BY pc1),
+cum AS MATERIALIZED (
+  SELECT pc1, sum(c) OVER (ORDER BY pc1) AS cum FROM hist),
+edges AS MATERIALIZED (
+  SELECT k, min(pc1) AS e
+  FROM range(1, {_N_BUCKETS}) r(k) JOIN cum
+    ON cum.cum >= (k * (SELECT n FROM nr) + {_N_BUCKETS - 1})
+                  // {_N_BUCKETS}
+  GROUP BY k),
+bref AS (
+  SELECT r.vec_id, 1 + count(e.k) AS b
+  FROM ref r LEFT JOIN edges e ON e.e < r.pc1 GROUP BY r.vec_id),
+bcur AS (
+  SELECT r.vec_id, 1 + count(e.k) AS b
+  FROM cur r LEFT JOIN edges e ON e.e < r.pc1 GROUP BY r.vec_id),
+cref AS (SELECT b, count(*) AS n FROM bref GROUP BY b),
+ccur AS (SELECT b, count(*) AS n FROM bcur GROUP BY b),
+joined AS (
+  SELECT k AS bucket,
+         coalesce(cr.n, 0) AS n_ref, coalesce(cc.n, 0) AS n_cur
+  FROM range(1, {_N_BUCKETS + 1}) r(k)
+  LEFT JOIN cref cr ON cr.b = k LEFT JOIN ccur cc ON cc.b = k)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_ref AS BIGINT) AS n_ref,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(floor(({smooth_c} - {smooth_r})
+                  * ln({smooth_c} / {smooth_r}) * {_Q} + 0.5)
+            AS BIGINT) AS psi_contrib_ppm
+FROM joined
+"""
+    )
+
+
+@register(
+    "vec_pc1_drift_psi",
+    _psi_oracle(),
+    doc="Embedding-drift monitor: PCA axes AND decile edges are frozen "
+    "on the reference slice (vec_id%10<8), the arriving slice is "
+    "scored against them, and the Population Stability Index "
+    "contribution per decile comes out in integer ppm (smoothed "
+    "(n+0.5)/(N+5) proportions, so empty buckets are finite). Edges "
+    "are rank-exact from a distinct-score histogram + cumulative sum "
+    "(combiner-friendly groupBy; the ordered prefix sum runs over the "
+    "COMPRESSED histogram, and becomes a two-stage parallel prefix at "
+    "real scale), edge_k = min score with cum >= ceil(k*N/10) — an "
+    "engine-portable rank rule where percentile_disc/approx semantics "
+    "diverge. Bucketing is a 9-edge literal expression (bounded "
+    "collect, same shape as the k-means literal argmin).",
+)
+def vec_pc1_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ref_rows = e.filter(~F.expr(_CUR_PRED))
+    _, m, v, _ = pca_top_component(
+        ref_rows, "embedding", DIM, n_iter=N_ITER,
+        cache_key=("pca-ref", sf_dir),
+    )
+    emb = F.col("embedding")
+    raw = reduce(
+        add,
+        [
+            (emb[j].cast("double") - F.lit(m[j])) * F.lit(v[j])
+            for j in range(DIM)
+        ],
+    )
+    pc1 = F.floor(raw * F.lit(float(_Q)) + F.lit(0.5)) / F.lit(float(_Q))
+    scored = e.select(
+        "vec_id", pc1.alias("pc1"), F.expr(_CUR_PRED).alias("is_cur")
+    ).localCheckpoint(eager=False)
+
+    ref = scored.filter(~F.col("is_cur"))
+    n_ref = ref.count()
+    n_cur = scored.count() - n_ref
+
+    cum = (
+        ref.groupBy("pc1")
+        .count()
+        .withColumn(
+            "cum",
+            F.sum("count").over(
+                Window.orderBy("pc1").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    thresholds = [
+        (k * n_ref + _N_BUCKETS - 1) // _N_BUCKETS
+        for k in range(1, _N_BUCKETS)
+    ]
+    edge_row = cum.agg(
+        *[
+            F.min(F.when(F.col("cum") >= t, F.col("pc1"))).alias(f"e{k}")
+            for k, t in enumerate(thresholds, start=1)
+        ]
+    ).collect()[0]
+    edges = [edge_row[f"e{k}"] for k in range(1, _N_BUCKETS)]
+
+    bucket = reduce(
+        add,
+        [
+            F.when(F.col("pc1") > F.lit(ek), 1).otherwise(0)
+            for ek in edges
+        ],
+    ) + F.lit(1)
+    counts = (
+        scored.select("is_cur", bucket.alias("b"))
+        .groupBy("is_cur", "b")
+        .count()
+    )
+    base = spark.range(1, _N_BUCKETS + 1).select(
+        F.col("id").alias("bucket")
+    )
+    cref = counts.filter(~F.col("is_cur")).select(
+        F.col("b").alias("bucket"), F.col("count").alias("n_ref")
+    )
+    ccur = counts.filter(F.col("is_cur")).select(
+        F.col("b").alias("bucket"), F.col("count").alias("n_cur")
+    )
+    joined = (
+        base.join(F.broadcast(cref), "bucket", "left")
+        .join(F.broadcast(ccur), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    p_r = (F.col("n_ref") + F.lit(0.5)) / F.lit(float(n_ref + 5))
+    p_c = (F.col("n_cur") + F.lit(0.5)) / F.lit(float(n_cur + 5))
+    psi = F.floor(
+        (p_c - p_r) * F.log(p_c / p_r) * F.lit(float(_Q)) + F.lit(0.5)
+    ).cast("bigint")
+    return joined.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        psi.alias("psi_contrib_ppm"),
+    )
+
+
+@register(
+    "vec_pca_pc1_scores",
+    _pca_oracle(),
+    doc="Distributed PCA top component, hash-checked end to end: ONE "
+    "corpus pass emits d(d+1)/2+d+1 Gram/mean/count partials per Arrow "
+    "batch (numpy BLAS on the dense block — batch-count-proportional, "
+    "never corpus-proportional), one tiny triplet shuffle, a bounded "
+    "2145-row collect, then driver-side 64x64 power iteration with "
+    "every iterate quantized by the explicit half-up rule the oracle "
+    "replays. Output = each vector's mean-centered projection onto "
+    "PC1 (the embedding-drift monitor statistic / OPQ rotation seed).",
+)
+def vec_pca_pc1_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    _, m, v, _ = pca_top_component(
+        e, "embedding", DIM, n_iter=N_ITER, cache_key=("pca", sf_dir)
+    )
+    emb = F.col("embedding")
+    score = reduce(
+        add,
+        [
+            (emb[j].cast("double") - F.lit(m[j])) * F.lit(v[j])
+            for j in range(DIM)
+        ],
+    )
+    pc1 = (F.floor(score * F.lit(float(_Q)) + F.lit(0.5)) / F.lit(float(_Q)))
+    return e.select("vec_id", pc1.alias("pc1"))
