@@ -159,33 +159,10 @@ FROM joined
     )
 
 
-@register(
-    "vec_pc1_drift_psi",
-    _psi_oracle(),
-    doc="Embedding-drift monitor: PCA axes AND decile edges are frozen "
-    "on the reference slice (vec_id%10<8), the arriving slice is "
-    "scored against them, and the Population Stability Index "
-    "contribution per decile comes out in integer ppm (smoothed "
-    "(n+0.5)/(N+5) proportions, so empty buckets are finite). Edges "
-    "are rank-exact from a distinct-score histogram + cumulative sum "
-    "(combiner-friendly groupBy; the ordered prefix sum runs over the "
-    "COMPRESSED histogram, and becomes a two-stage parallel prefix at "
-    "real scale), edge_k = min score with cum >= ceil(k*N/10) — an "
-    "engine-portable rank rule where percentile_disc/approx semantics "
-    "diverge. Bucketing is a 9-edge literal expression (bounded "
-    "collect, same shape as the k-means literal argmin).",
-)
-def vec_pc1_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding"
-    )
-    ref_rows = e.filter(~F.expr(_CUR_PRED))
-    _, m, v, _ = pca_top_component(
-        ref_rows, "embedding", DIM, n_iter=N_ITER,
-        cache_key=("pca-ref", sf_dir),
-    )
+def pc1_score_expr(m: list[float], v: list[float]):
+    """Quantized mean-centered PC1 projection of ``embedding`` as a
+    pure codegen column (64 literal terms — the k-means literal-argmin
+    shape; streaming-safe: no state, no join)."""
     emb = F.col("embedding")
     raw = reduce(
         add,
@@ -194,15 +171,52 @@ def vec_pc1_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(DIM)
         ],
     )
-    pc1 = F.floor(raw * F.lit(float(_Q)) + F.lit(0.5)) / F.lit(float(_Q))
-    scored = e.select(
-        "vec_id", pc1.alias("pc1"), F.expr(_CUR_PRED).alias("is_cur")
-    ).localCheckpoint(eager=False)
+    return F.floor(raw * F.lit(float(_Q)) + F.lit(0.5)) / F.lit(float(_Q))
 
-    ref = scored.filter(~F.col("is_cur"))
+
+def bucket_expr(edges: list[float]):
+    """1 + number of frozen decile edges strictly below the score."""
+    return reduce(
+        add,
+        [
+            F.when(F.col("pc1") > F.lit(ek), 1).otherwise(0)
+            for ek in edges
+        ],
+    ) + F.lit(1)
+
+
+# (means, loadings, edges, n_ref) keyed by sf_dir: the frozen monitor
+# is trained once on the reference slice and served to both the batch
+# and the streaming entry (same train-once contract as the centroid
+# caches; the key names the corpus AND the slice convention).
+_MONITOR_CACHE: dict[object, tuple] = {}
+
+
+def frozen_pc1_monitor(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[float], list[float], list[float], int]:
+    """(means, loadings, decile_edges, n_ref), all learned on the
+    REFERENCE slice only (``vec_id % 10 < 8``). Edges are rank-exact:
+    distinct-score histogram -> cumulative sum -> min score whose
+    cumulative count reaches ceil(k*N/10). The ordered prefix sum runs
+    over the COMPRESSED histogram (distinct quantized scores), and
+    becomes a two-stage parallel prefix at real scale; the 9-edge
+    collect is bounded."""
+    from pyspark.sql import Window
+
+    key = ("pc1-monitor", sf_dir)
+    if key in _MONITOR_CACHE:
+        return _MONITOR_CACHE[key]
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ref_rows = e.filter(~F.expr(_CUR_PRED))
+    _, m, v, _ = pca_top_component(
+        ref_rows, "embedding", DIM, n_iter=N_ITER,
+        cache_key=("pca-ref", sf_dir),
+    )
+    ref = ref_rows.select(pc1_score_expr(m, v).alias("pc1"))
     n_ref = ref.count()
-    n_cur = scored.count() - n_ref
-
     cum = (
         ref.groupBy("pc1")
         .count()
@@ -226,14 +240,40 @@ def vec_pc1_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     ).collect()[0]
     edges = [edge_row[f"e{k}"] for k in range(1, _N_BUCKETS)]
+    out = (m, v, edges, n_ref)
+    _MONITOR_CACHE[key] = out
+    return out
 
-    bucket = reduce(
-        add,
-        [
-            F.when(F.col("pc1") > F.lit(ek), 1).otherwise(0)
-            for ek in edges
-        ],
-    ) + F.lit(1)
+
+@register(
+    "vec_pc1_drift_psi",
+    _psi_oracle(),
+    doc="Embedding-drift monitor: PCA axes AND decile edges are frozen "
+    "on the reference slice (vec_id%10<8), the arriving slice is "
+    "scored against them, and the Population Stability Index "
+    "contribution per decile comes out in integer ppm (smoothed "
+    "(n+0.5)/(N+5) proportions, so empty buckets are finite). Edges "
+    "are rank-exact from a distinct-score histogram + cumulative sum "
+    "(combiner-friendly groupBy; the ordered prefix sum runs over the "
+    "COMPRESSED histogram, and becomes a two-stage parallel prefix at "
+    "real scale), edge_k = min score with cum >= ceil(k*N/10) — an "
+    "engine-portable rank rule where percentile_disc/approx semantics "
+    "diverge. Bucketing is a 9-edge literal expression (bounded "
+    "collect, same shape as the k-means literal argmin).",
+)
+def vec_pc1_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m, v, edges, n_ref = frozen_pc1_monitor(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    scored = e.select(
+        "vec_id",
+        pc1_score_expr(m, v).alias("pc1"),
+        F.expr(_CUR_PRED).alias("is_cur"),
+    )
+    n_cur = e.count() - n_ref
+
+    bucket = bucket_expr(edges)
     counts = (
         scored.select("is_cur", bucket.alias("b"))
         .groupBy("is_cur", "b")

@@ -639,3 +639,104 @@ def streaming_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
         F.sum("vec_id").cast("bigint").alias("id_checksum"),
     )
+
+
+def _pc1_drift_stream_oracle() -> str:
+    """Batch replay of the streamed drift monitor: the full PCA chain
+    trained on the reference slice, the streamed rows (current slice
+    plus the stager's planted re-keyed copies of existing vectors —
+    re-sends are exactly what a drift monitor sees in production),
+    bucketed by the frozen rank-exact decile edges."""
+    from dataengineer_job_scraper_etl_spark.queries.pca import (
+        _N_BUCKETS,
+        _REF_WHERE,
+        _pca_chain,
+    )
+
+    return (
+        _pca_chain(_REF_WHERE)
+        + f""",
+ref AS MATERIALIZED (
+  SELECT vec_id, pc1 FROM scores WHERE vec_id % 10 < 8),
+nr AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
+hist AS (SELECT pc1, count(*) AS c FROM ref GROUP BY pc1),
+cum AS MATERIALIZED (
+  SELECT pc1, sum(c) OVER (ORDER BY pc1) AS cum FROM hist),
+edges AS MATERIALIZED (
+  SELECT k, min(pc1) AS e
+  FROM range(1, {_N_BUCKETS}) r(k) JOIN cum
+    ON cum.cum >= (k * (SELECT n FROM nr) + {_N_BUCKETS - 1})
+                  // {_N_BUCKETS}
+  GROUP BY k),
+curstream AS MATERIALIZED (
+  SELECT vec_id, pc1 FROM scores WHERE vec_id % 10 >= 8
+  UNION ALL
+  SELECT s.vec_id + 2000000 AS vec_id, s.pc1 FROM scores s
+  WHERE s.vec_id % 10 < 8 AND s.vec_id % 25 = 3),
+bcur AS (
+  SELECT r.vec_id, 1 + count(e.k) AS b
+  FROM curstream r LEFT JOIN edges e ON e.e < r.pc1
+  GROUP BY r.vec_id),
+agg AS (SELECT b, count(*) AS n, sum(vec_id) AS s FROM bcur GROUP BY b)
+SELECT CAST(k AS BIGINT) AS bucket,
+       CAST(coalesce(agg.n, 0) AS BIGINT) AS n_cur,
+       CAST(coalesce(agg.s, 0) AS BIGINT) AS id_checksum
+FROM range(1, {_N_BUCKETS + 1}) r(k) LEFT JOIN agg ON agg.b = k
+"""
+    )
+
+
+@register(
+    "streaming_pc1_drift_monitor",
+    _pc1_drift_stream_oracle(),
+    doc="ALWAYS-ON embedding-drift monitor: the PCA axes and decile "
+    "edges are frozen on the reference slice (trained once, served "
+    "every batch — same contract as the frozen SemDeDup index), and "
+    "each arriving micro-batch is scored and bucketed by a PURE "
+    "stateless projection (64-term literal PC1 expression + 9-edge "
+    "literal bucketer: no join, no state — streaming-safe by "
+    "construction), feeding a complete-mode per-bucket count. The "
+    "stream re-uses the SemDeDup ingest queue (batch 2 carries "
+    "re-keyed copies of existing vectors — producer re-sends), so "
+    "multi-batch handoff and re-sent rows cross the verified path; "
+    "the oracle replays training, edges, and bucket counts in batch "
+    "SQL. id_checksum pins per-bucket membership, not just counts.",
+)
+def streaming_pc1_drift_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.queries.pca import (
+        _N_BUCKETS,
+        bucket_expr,
+        frozen_pc1_monitor,
+        pc1_score_expr,
+    )
+
+    m, v, edges, _ = frozen_pc1_monitor(spark, sf_dir)
+    d = _stage_vec_ingest_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    bucketed = stream.select(
+        "vec_id", pc1_score_expr(m, v).alias("pc1")
+    ).select("vec_id", bucket_expr(edges).alias("bucket"))
+    counted = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_cur"),
+        F.sum("vec_id").alias("id_checksum"),
+    )
+    rows = _drain(counted, spark, output_mode="complete")
+    base = spark.range(1, _N_BUCKETS + 1).select(
+        F.col("id").alias("bucket")
+    )
+    return (
+        base.join(F.broadcast(rows), "bucket", "left")
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+            F.coalesce("id_checksum", F.lit(0))
+            .cast("bigint")
+            .alias("id_checksum"),
+        )
+    )
