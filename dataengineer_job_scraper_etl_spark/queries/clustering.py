@@ -398,3 +398,157 @@ def vec_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         existing, batch, "vec_id", "embedding", DIM, N_CLUSTERS,
         n_iter=N_ITER, tau=TAU, cache_key=sf_dir, slice_tag="mod10_lt8",
     )
+
+
+@register(
+    "vec_centroid_outlier_flags",
+    _KMEANS_CTES
+    + """,
+d AS MATERIALIZED (
+  SELECT a2.vec_id, a2.cid,
+         floor(sqrt(list_sum(list_transform(list_zip(a2.e, c2.c),
+                x -> (x[1]-x[2])**2))) * 1000000 + 0.5) / 1000000 AS dq
+  FROM a2 JOIN c2 ON a2.cid = c2.cid),
+st AS (
+  SELECT cid,
+         floor((avg(dq) + 2 * stddev(dq)) * 1000000 + 0.5) / 1000000
+           AS thr
+  FROM d GROUP BY cid)
+SELECT d.vec_id, d.cid AS cluster_id,
+       CASE WHEN d.dq > st.thr THEN 1 ELSE 0 END AS is_outlier
+FROM d JOIN st ON d.cid = st.cid
+""",
+    doc="Embedding-space outlier pruning (the CLIP-filtering-style "
+    "'drop far-from-centroid noise' curation op): each vector's "
+    "distance to its learned k-means centroid is quantized, per-"
+    "cluster mean + 2*stddev_samp forms the flag threshold (also "
+    "quantized, so the compare is between engine-shared doubles; a "
+    "singleton cluster has NULL stddev -> NULL threshold -> never "
+    "flagged, on both engines). Stats are one combiner-friendly "
+    "groupBy over (cluster, dist) pairs; the k-row stats frame "
+    "broadcasts back — no second shuffle of the corpus.",
+)
+def vec_centroid_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_corpus_init(
+        e, "vec_id", "embedding", DIM, N_CLUSTERS, n_iter=N_ITER
+    )
+    assigned = assign_to_centroid(e, cents, "embedding")
+    cdf = F.broadcast(
+        spark.createDataFrame(cents, "cluster_id int, centroid array<double>")
+    )
+    q = F.lit(1000000.0)
+    dq = F.floor(
+        F.sqrt(_sq_dist(_as_double(F.col("embedding")), F.col("centroid")))
+        * q
+        + F.lit(0.5)
+    ) / q
+    d = assigned.join(cdf, on="cluster_id").select(
+        "vec_id", "cluster_id", dq.alias("dq")
+    )
+    st = d.groupBy("cluster_id").agg(
+        (
+            F.floor(
+                (F.avg("dq") + 2 * F.stddev_samp("dq")) * q + F.lit(0.5)
+            )
+            / q
+        ).alias("thr")
+    )
+    return d.join(F.broadcast(st), on="cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        F.when(F.col("dq") > F.col("thr"), 1).otherwise(0).alias(
+            "is_outlier"
+        ),
+    )
+
+
+_TAU_HN = TAU  # same "near" regime: close in space, wrong in label
+
+
+@register(
+    "vec_hard_negative_mining",
+    _KMEANS_CTES
+    + _NORMALIZED_CTE
+    + f""",
+lab AS (SELECT vec_id, label FROM embeddings),
+hn AS (
+  SELECT a.vec_id AS anchor, b.vec_id AS neg,
+         floor(list_inner_product(a.ne, b.ne) * 1000000 + 0.5)
+           / 1000000 AS sim_q
+  FROM a2n a JOIN a2n b
+    ON a.cid = b.cid AND a.vec_id != b.vec_id
+  JOIN lab la ON la.vec_id = a.vec_id
+  JOIN lab lb ON lb.vec_id = b.vec_id
+  WHERE la.label != lb.label),
+ranked AS (
+  SELECT anchor, neg, sim_q, row_number() OVER (
+    PARTITION BY anchor ORDER BY sim_q DESC, neg ASC) AS rn
+  FROM hn WHERE sim_q > {_TAU_HN})
+SELECT anchor AS vec_id, neg AS hard_neg_id, sim_q
+FROM ranked WHERE rn = 1
+""",
+    doc="Contrastive hard-negative mining: for every anchor, the most "
+    f"similar SAME-CLUSTER vector of a DIFFERENT label above cosine "
+    f"{_TAU_HN} — close in embedding space, wrong in class: the pair "
+    "a contrastive/metric-learning run wants most. The quadratic pass "
+    "is bounded per k-means cluster exactly like SemDeDup (never "
+    "corpus all-pairs); ranking is on the QUANTIZED similarity with "
+    "lowest-id tie-break, so the winner set is engine-portable. "
+    "Cross-cluster hard negatives are missed by design — the same "
+    "documented trade as SemDeDup's miss mode.",
+)
+def vec_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dataengineer_job_scraper_etl_spark.functions.vector_math import dot
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        normalize_assigned,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_corpus_init(
+        e.select("vec_id", "embedding"), "vec_id", "embedding",
+        DIM, N_CLUSTERS, n_iter=N_ITER,
+    )
+    nv = normalize_assigned(
+        e.select("vec_id", "embedding"), cents, "vec_id", "embedding"
+    ).join(e.select("vec_id", "label"), on="vec_id")
+    a = nv.select(
+        F.col("vec_id").alias("anchor"),
+        F.col("cluster_id").alias("a_cid"),
+        F.col("nv").alias("a_nv"),
+        F.col("label").alias("a_label"),
+    )
+    b = nv.select(
+        F.col("vec_id").alias("neg"),
+        F.col("cluster_id").alias("b_cid"),
+        F.col("nv").alias("b_nv"),
+        F.col("label").alias("b_label"),
+    )
+    q = F.lit(1000000.0)
+    sim_q = F.floor(dot(F.col("a_nv"), F.col("b_nv")) * q + F.lit(0.5)) / q
+    pairs = (
+        a.join(
+            b,
+            (F.col("a_cid") == F.col("b_cid"))
+            & (F.col("anchor") != F.col("neg"))
+            & (F.col("a_label") != F.col("b_label")),
+        )
+        .select("anchor", "neg", sim_q.alias("sim_q"))
+        .filter(F.col("sim_q") > F.lit(_TAU_HN))
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.col("sim_q").desc(), F.col("neg").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("anchor").alias("vec_id"),
+            F.col("neg").alias("hard_neg_id"),
+            "sim_q",
+        )
+    )
