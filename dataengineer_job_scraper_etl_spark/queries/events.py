@@ -840,3 +840,71 @@ def events_user_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("total_cents"),
         gini.alias("gini_ppm"),
     )
+
+
+@register(
+    "events_value_ks_drift",
+    """
+WITH h AS (
+  SELECT value,
+         sum(CASE WHEN event_id % 10 < 8 THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_id % 10 >= 8 THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE value IS NOT NULL GROUP BY value),
+n AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb FROM h),
+c AS (
+  SELECT CAST(sum(ca) OVER (ORDER BY value) AS BIGINT) AS cum_a,
+         CAST(sum(cb) OVER (ORDER BY value) AS BIGINT) AS cum_b
+  FROM h),
+m AS (SELECT max(abs(cum_a * (SELECT nb FROM n)
+                   - cum_b * (SELECT na FROM n))) AS mx FROM c)
+SELECT na AS n_a, nb AS n_b,
+       CAST((SELECT mx FROM m) * 1000000 // (na * nb) AS BIGINT)
+         AS ks_ppm
+FROM n
+""",
+    doc="Two-sample Kolmogorov-Smirnov drift statistic between the "
+    "baseline slice (event_id%10<8) and the arriving slice, over "
+    "event values: D = max |F_a(x) - F_b(x)| across the merged "
+    "empirical CDFs. The whole computation is INTEGER-EXACT — the "
+    "max runs over |cum_a*n_b - cum_b*n_a| (cross-multiplied counts, "
+    "no float CDFs), and ks_ppm = that max scaled by 1e6 and "
+    "integer-divided by n_a*n_b — so the hash contract carries zero "
+    "float drift (int64 bound: safe to ~3e9 rows per slice; beyond "
+    "that swap to doubles with a tolerance contract like the approx_* "
+    "entries). One combiner-friendly per-value histogram groupBy, "
+    "then a prefix sum over the COMPRESSED histogram (two-stage "
+    "parallel prefix at real scale; cf. the PSI edge pass) and a "
+    "1-row max — the corpus is scanned once and never re-shuffled.",
+)
+def events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    in_a = (F.col("event_id") % 10 < 8).cast("long")
+    h = e.groupBy("value").agg(
+        F.sum(in_a).alias("ca"),
+        F.sum(1 - in_a).alias("cb"),
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    totals = h.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    ).collect()[0]
+    na, nb = totals["na"], totals["nb"]
+    mx = c.agg(
+        F.max(
+            F.abs(F.col("cum_a") * F.lit(nb) - F.col("cum_b") * F.lit(na))
+        ).alias("mx")
+    )
+    return mx.select(
+        F.lit(na).cast("bigint").alias("n_a"),
+        F.lit(nb).cast("bigint").alias("n_b"),
+        F.expr(f"CAST(mx * 1000000L div ({na}L * {nb}L) AS BIGINT)").alias(
+            "ks_ppm"
+        ),
+    )
