@@ -98,6 +98,91 @@ def gram_triplets(
     )
 
 
+def _power_iterate(
+    cov: list[list[float]], dim: int, n_iter: int, dec: int
+) -> tuple[list[float], float]:
+    """n_iter quantized power-iteration rounds from 1/sqrt(dim):
+    (loadings, quantized eigenvalue)."""
+    v = [1.0 / math.sqrt(dim)] * dim
+    lam = 0.0
+    for _ in range(n_iter):
+        w = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        lam = math.sqrt(sum(x * x for x in w))
+        if lam == 0.0:  # degenerate: C v = 0, keep previous direction
+            break
+        v = [half_up(x / lam, dec) for x in w]
+    return v, half_up(lam, dec)
+
+
+def pca_top_components(
+    vectors: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_components: int = 1,
+    n_iter: int = 8,
+    round_decimals: int = 6,
+    cache_key: object = None,
+) -> tuple[int, list[float], list[list[float]], list[float]]:
+    """(n, means, loadings_per_component, eigvals): top principal
+    components of the MEAN-CENTERED vector column by quantized power
+    iteration + HOTELLING DEFLATION — after each component converges,
+    the covariance is deflated ``C <- quantize(C - lam * v v^T)``
+    (lam and v both already quantized, so the deflated matrix is made
+    of engine-shared doubles and the NEXT component's trajectory
+    replays bit-identically too). The start vector 1/sqrt(dim) must be
+    exactly representable for the oracle replay: dim=64 gives 0.125, a
+    dyadic rational, bit-identical as a literal in both engines
+    (asserted below for other dims).
+
+    Means are quantized BEFORE the covariance uses them: the raw
+    column sum carries ~1e-13 summation-order drift vs the oracle's
+    sum(e[i]) while the half-step is 5e-7 (~5x10^6 margin), and a
+    quantized mean makes m_i*m_j bit-identical on both engines — so
+    the only drift entering the covariance is G/n's, absorbed by the
+    covariance quantization with the same margin."""
+    dec = round_decimals
+    v0 = 1.0 / math.sqrt(dim)
+    assert v0 == half_up(v0, dec), (
+        f"start vector {v0} not exact at {dec} decimals; pick a dim "
+        "whose 1/sqrt(dim) is dyadic (powers of 4) or seed the oracle "
+        "with the quantized literal instead"
+    )
+    key = None if cache_key is None else (cache_key, n_components)
+    if key is not None and key in _PCA_CACHE:
+        return _PCA_CACHE[key]
+    rows = gram_triplets(vectors, vec_col, dim).collect()
+    g = {(r["i"], r["j"]): r["g"] for r in rows}
+    n = int(g[(-1, -1)])
+    m = [half_up(g[(i, -1)] / n, dec) for i in range(1, dim + 1)]
+    cov = [
+        [
+            half_up(
+                g[(min(i, j) + 1, max(i, j) + 1)] / n - m[i] * m[j],
+                dec,
+            )
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+    comps: list[list[float]] = []
+    lams: list[float] = []
+    for _ in range(n_components):
+        v, lam = _power_iterate(cov, dim, n_iter, dec)
+        comps.append(v)
+        lams.append(lam)
+        cov = [
+            [
+                half_up(cov[i][j] - lam * v[i] * v[j], dec)
+                for j in range(dim)
+            ]
+            for i in range(dim)
+        ]
+    out = (n, m, comps, lams)
+    if key is not None:
+        _PCA_CACHE[key] = out
+    return out
+
+
 def pca_top_component(
     vectors: DataFrame,
     vec_col: str,
@@ -106,53 +191,8 @@ def pca_top_component(
     round_decimals: int = 6,
     cache_key: object = None,
 ) -> tuple[int, list[float], list[float], float]:
-    """(n, means, loadings, eigval): top principal component of the
-    MEAN-CENTERED vector column after ``n_iter`` quantized power-
-    iteration steps from the start vector 1/sqrt(dim). The start must
-    be exactly representable for the oracle replay: dim=64 gives
-    0.125, a dyadic rational, bit-identical as a literal in both
-    engines (asserted below for other dims).
-
-    Covariance entries are quantized half-up to ``round_decimals``
-    BEFORE iterating, and each normalized iterate after, so the whole
-    trajectory replays bit-identically in SQL (module docstring)."""
-    v0 = 1.0 / math.sqrt(dim)
-    assert v0 == half_up(v0, round_decimals), (
-        f"start vector {v0} not exact at {round_decimals} decimals; "
-        "pick a dim whose 1/sqrt(dim) is dyadic (powers of 4) or seed "
-        "the oracle with the quantized literal instead"
+    """(n, means, loadings, eigval): the n_components=1 case."""
+    n, m, comps, lams = pca_top_components(
+        vectors, vec_col, dim, 1, n_iter, round_decimals, cache_key
     )
-    if cache_key is not None and cache_key in _PCA_CACHE:
-        return _PCA_CACHE[cache_key]
-    rows = gram_triplets(vectors, vec_col, dim).collect()
-    g = {(r["i"], r["j"]): r["g"] for r in rows}
-    n = int(g[(-1, -1)])
-    # Means are quantized BEFORE the covariance uses them: the raw
-    # column sum carries ~1e-13 summation-order drift vs the oracle's
-    # sum(e[i]) while the half-step is 5e-7 (~5x10^6 margin), and a
-    # quantized mean makes m_i*m_j bit-identical on both engines — so
-    # the only drift entering the covariance is G/n's, absorbed by the
-    # covariance quantization below with the same margin.
-    m = [half_up(g[(i, -1)] / n, round_decimals) for i in range(1, dim + 1)]
-    cov = [
-        [
-            half_up(
-                g[(min(i, j) + 1, max(i, j) + 1)] / n - m[i] * m[j],
-                round_decimals,
-            )
-            for j in range(dim)
-        ]
-        for i in range(dim)
-    ]
-    v = [v0] * dim
-    lam = 0.0
-    for _ in range(n_iter):
-        w = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
-        lam = math.sqrt(sum(x * x for x in w))
-        if lam == 0.0:  # degenerate: C v = 0, keep previous direction
-            break
-        v = [half_up(x / lam, round_decimals) for x in w]
-    out = (n, m, v, half_up(lam, round_decimals))
-    if cache_key is not None:
-        _PCA_CACHE[cache_key] = out
-    return out
+    return n, m, comps[0], lams[0]

@@ -36,7 +36,7 @@ N_ITER = 8
 _Q = 1_000_000  # 6-decimal half-up quantum, shared with operators/pca.py
 
 
-def _pca_chain(train_where: str = "") -> str:
+def _pca_common(train_where: str = "") -> str:
     """CTE chain: means -> upper-triangle Gram -> quantized covariance
     -> {N_ITER} unrolled power-iteration rounds, every stage quantized
     with the shared explicit half-up rule. ``train_where`` restricts
@@ -84,13 +84,61 @@ v{t} AS MATERIALIZED (
   SELECT j, floor(w / sqrt((SELECT sum(w * w) FROM w{t}))
                 * {_Q} + 0.5) / {_Q} AS x FROM w{t})"""
         )
-    parts.append(
-        f""",
+    return "".join(parts)
+
+
+def _pca_chain(train_where: str = "") -> str:
+    """_pca_common + the per-vector PC1 projection CTE."""
+    return (
+        _pca_common(train_where)
+        + f""",
 scores AS MATERIALIZED (
   SELECT emb.vec_id,
          floor(sum((emb.e[v.j] - mn.m) * v.x) * {_Q} + 0.5) / {_Q} AS pc1
   FROM emb CROSS JOIN v{N_ITER} v JOIN mean mn ON v.j = mn.i
   GROUP BY emb.vec_id)"""
+    )
+
+
+def _pca_top2_oracle() -> str:
+    """PC1 chain + Hotelling deflation (cov2 = quantize(cov - lam1 *
+    v v^T); lam1 and v are already quantized, so cov2 is made of
+    engine-shared doubles) + a second run of quantized power-iteration
+    rounds, then BOTH projections per vector."""
+    parts = [
+        _pca_common(),
+        f""",
+lam1 AS MATERIALIZED (
+  SELECT floor(sqrt(sum(w * w)) * {_Q} + 0.5) / {_Q} AS l FROM w{N_ITER}),
+cov2 AS MATERIALIZED (
+  SELECT c.i, c.j,
+         floor((c.c - (SELECT l FROM lam1) * vi.x * vj.x) * {_Q} + 0.5)
+           / {_Q} AS c
+  FROM cov c JOIN v{N_ITER} vi ON vi.j = c.i
+             JOIN v{N_ITER} vj ON vj.j = c.j),
+b0 AS (SELECT i AS j, {1.0 / (DIM ** 0.5)!r} AS x
+       FROM range(1, {DIM + 1}) r(i))""",
+    ]
+    for t in range(1, N_ITER + 1):
+        parts.append(
+            f""",
+y{t} AS MATERIALIZED (
+  SELECT cov2.i AS j, sum(cov2.c * v.x) AS w
+  FROM cov2 JOIN b{t - 1} v ON cov2.j = v.j GROUP BY cov2.i),
+b{t} AS MATERIALIZED (
+  SELECT j, floor(w / sqrt((SELECT sum(w * w) FROM y{t}))
+                * {_Q} + 0.5) / {_Q} AS x FROM y{t})"""
+        )
+    parts.append(
+        f"""
+SELECT emb.vec_id,
+       floor(sum((emb.e[v.j] - mn.m) * v.x) * {_Q} + 0.5) / {_Q} AS pc1,
+       floor(sum((emb.e[v.j] - mn.m) * b.x) * {_Q} + 0.5) / {_Q} AS pc2
+FROM emb CROSS JOIN v{N_ITER} v
+JOIN b{N_ITER} b ON b.j = v.j
+JOIN mean mn ON v.j = mn.i
+GROUP BY emb.vec_id
+"""
     )
     return "".join(parts)
 
@@ -339,3 +387,36 @@ def vec_pca_pc1_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pc1 = (F.floor(score * F.lit(float(_Q)) + F.lit(0.5)) / F.lit(float(_Q)))
     return e.select("vec_id", pc1.alias("pc1"))
+
+
+@register(
+    "vec_pca_top2_scores",
+    _pca_top2_oracle(),
+    doc="Top-2 PCA via Hotelling deflation, hash-checked end to end: "
+    "after PC1's quantized power iteration, the driver-side 64x64 "
+    "covariance is deflated C <- quantize(C - lam1 * v1 v1^T) — lam1 "
+    "and v1 are already quantized, so the deflated matrix is made of "
+    "engine-shared doubles and PC2's trajectory replays bit-"
+    "identically too. ONE corpus pass feeds both components (the Gram "
+    "is computed once; deflation is pure driver arithmetic), and the "
+    "projection emits both scores in one codegen expression — the 2-D "
+    "embedding map behind whitening, OPQ rotation seeds, and drift "
+    "dashboards.",
+)
+def vec_pca_top2_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.pca import (
+        pca_top_components,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    _, m, comps, _ = pca_top_components(
+        e, "embedding", DIM, n_components=2, n_iter=N_ITER,
+        cache_key=("pca", sf_dir),
+    )
+    return e.select(
+        "vec_id",
+        pc1_score_expr(m, comps[0]).alias("pc1"),
+        pc1_score_expr(m, comps[1]).alias("pc2"),
+    )

@@ -151,14 +151,43 @@ def test_psi_flags_planted_shift_and_not_same_distribution(spark, tmp_path):
 
 
 def test_cache_serves_and_is_keyed(spark):
+    from dataengineer_job_scraper_etl_spark.operators.pca import (
+        pca_top_components,
+    )
+
     mat = [[float(i == j) for j in range(DIM)] for i in range(DIM)]
     df = _emb(spark, mat)
     key = ("test-pca-cache", DIM)
-    _PCA_CACHE.pop(key, None)
-    first = pca_top_component(df, "embedding", DIM, cache_key=key)
-    assert key in _PCA_CACHE
+    _PCA_CACHE.pop((key, 1), None)
+    first = pca_top_components(df, "embedding", DIM, 1, cache_key=key)
+    assert (key, 1) in _PCA_CACHE  # keyed by (caller key, n_components)
     # Served from cache: same object, no recompute of a different frame.
     other = _emb(spark, [[9.0] * DIM] * 3)
-    again = pca_top_component(other, "embedding", DIM, cache_key=key)
+    again = pca_top_components(other, "embedding", DIM, 1, cache_key=key)
     assert again is first
-    _PCA_CACHE.pop(key, None)
+    # A different component count is a DIFFERENT cache slot.
+    assert (key, 2) not in _PCA_CACHE
+    _PCA_CACHE.pop((key, 1), None)
+
+
+def test_deflation_recovers_second_axis(spark):
+    from dataengineer_job_scraper_etl_spark.operators.pca import (
+        pca_top_components,
+    )
+
+    # Variance 100 on axis 2, variance ~25 on axis 1: PC1 -> axis 2,
+    # PC2 (after deflation) -> axis 1, near-orthogonal loadings.
+    mat = []
+    for i in range(48):
+        v = [0.0] * DIM
+        v[2] = 10.0 * (1 if i % 2 else -1)
+        v[1] = 5.0 * (1 if (i // 2) % 2 else -1)
+        v[3] = 0.01 * (i % 3)
+        mat.append(v)
+    _, _, comps, lams = pca_top_components(
+        _emb(spark, mat), "embedding", DIM, n_components=2
+    )
+    assert max(range(DIM), key=lambda j: abs(comps[0][j])) == 2
+    assert max(range(DIM), key=lambda j: abs(comps[1][j])) == 1
+    assert lams[0] > lams[1] > 10.0
+    assert abs(sum(a * b for a, b in zip(comps[0], comps[1]))) < 1e-3
