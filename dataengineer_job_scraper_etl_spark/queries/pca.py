@@ -100,11 +100,11 @@ scores AS MATERIALIZED (
     )
 
 
-def _pca_top2_oracle() -> str:
+def _pca_top2_common() -> str:
     """PC1 chain + Hotelling deflation (cov2 = quantize(cov - lam1 *
     v v^T); lam1 and v are already quantized, so cov2 is made of
     engine-shared doubles) + a second run of quantized power-iteration
-    rounds, then BOTH projections per vector."""
+    rounds, ending in a ``scores2`` CTE with BOTH projections."""
     parts = [
         _pca_common(),
         f""",
@@ -130,21 +130,25 @@ b{t} AS MATERIALIZED (
                 * {_Q} + 0.5) / {_Q} AS x FROM y{t})"""
         )
     parts.append(
-        f"""
-SELECT emb.vec_id,
-       floor(sum((emb.e[v.j] - mn.m) * v.x) * {_Q} + 0.5) / {_Q} AS pc1,
-       floor(sum((emb.e[v.j] - mn.m) * b.x) * {_Q} + 0.5) / {_Q} AS pc2
-FROM emb CROSS JOIN v{N_ITER} v
-JOIN b{N_ITER} b ON b.j = v.j
-JOIN mean mn ON v.j = mn.i
-GROUP BY emb.vec_id
-"""
+        f""",
+scores2 AS MATERIALIZED (
+  SELECT emb.vec_id,
+         floor(sum((emb.e[v.j] - mn.m) * v.x) * {_Q} + 0.5) / {_Q} AS pc1,
+         floor(sum((emb.e[v.j] - mn.m) * b.x) * {_Q} + 0.5) / {_Q} AS pc2
+  FROM emb CROSS JOIN v{N_ITER} v
+  JOIN b{N_ITER} b ON b.j = v.j
+  JOIN mean mn ON v.j = mn.i
+  GROUP BY emb.vec_id)"""
     )
     return "".join(parts)
 
 
 def _pca_oracle() -> str:
     return _pca_chain() + "\nSELECT vec_id, pc1 FROM scores\n"
+
+
+def _pca_top2_oracle() -> str:
+    return _pca_top2_common() + "\nSELECT vec_id, pc1, pc2 FROM scores2\n"
 
 
 # Frozen-baseline drift monitor: the PCA axes AND the decile edges are
@@ -222,15 +226,50 @@ def pc1_score_expr(m: list[float], v: list[float]):
     return F.floor(raw * F.lit(float(_Q)) + F.lit(0.5)) / F.lit(float(_Q))
 
 
-def bucket_expr(edges: list[float]):
-    """1 + number of frozen decile edges strictly below the score."""
+def bucket_expr(edges: list[float], col: str = "pc1"):
+    """1 + number of frozen edges strictly below the score."""
     return reduce(
         add,
         [
-            F.when(F.col("pc1") > F.lit(ek), 1).otherwise(0)
+            F.when(F.col(col) > F.lit(ek), 1).otherwise(0)
             for ek in edges
         ],
     ) + F.lit(1)
+
+
+def rank_exact_edges(
+    scored: DataFrame, col: str, n_buckets: int, n_total: int
+) -> list[float]:
+    """Rank-exact bucket edges: distinct-score histogram -> cumulative
+    sum over the COMPRESSED histogram (two-stage parallel prefix at
+    real scale) -> edge_k = min score with cum >= ceil(k*N/n_buckets).
+    Engine-portable where percentile_disc/approx semantics diverge;
+    the (n_buckets - 1)-row collect is bounded."""
+    from pyspark.sql import Window
+
+    cum = (
+        scored.groupBy(col)
+        .count()
+        .withColumn(
+            "cum",
+            F.sum("count").over(
+                Window.orderBy(col).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+    )
+    thresholds = [
+        (k * n_total + n_buckets - 1) // n_buckets
+        for k in range(1, n_buckets)
+    ]
+    row = cum.agg(
+        *[
+            F.min(F.when(F.col("cum") >= t, F.col(col))).alias(f"e{k}")
+            for k, t in enumerate(thresholds, start=1)
+        ]
+    ).collect()[0]
+    return [row[f"e{k}"] for k in range(1, n_buckets)]
 
 
 # (means, loadings, edges, n_ref) keyed by sf_dir: the frozen monitor
@@ -265,29 +304,7 @@ def frozen_pc1_monitor(
     )
     ref = ref_rows.select(pc1_score_expr(m, v).alias("pc1"))
     n_ref = ref.count()
-    cum = (
-        ref.groupBy("pc1")
-        .count()
-        .withColumn(
-            "cum",
-            F.sum("count").over(
-                Window.orderBy("pc1").rowsBetween(
-                    Window.unboundedPreceding, 0
-                )
-            ),
-        )
-    )
-    thresholds = [
-        (k * n_ref + _N_BUCKETS - 1) // _N_BUCKETS
-        for k in range(1, _N_BUCKETS)
-    ]
-    edge_row = cum.agg(
-        *[
-            F.min(F.when(F.col("cum") >= t, F.col("pc1"))).alias(f"e{k}")
-            for k, t in enumerate(thresholds, start=1)
-        ]
-    ).collect()[0]
-    edges = [edge_row[f"e{k}"] for k in range(1, _N_BUCKETS)]
+    edges = rank_exact_edges(ref, "pc1", _N_BUCKETS, n_ref)
     out = (m, v, edges, n_ref)
     _MONITOR_CACHE[key] = out
     return out
@@ -419,4 +436,112 @@ def vec_pca_top2_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         pc1_score_expr(m, comps[0]).alias("pc1"),
         pc1_score_expr(m, comps[1]).alias("pc2"),
+    )
+
+
+_GRID_BUCKETS = 4  # 4x4 = 16 cells over (pc1, pc2)
+_GRID_PER_CELL = 10
+
+
+def _grid_sample_oracle() -> str:
+    def axis_edges(src_col: str, tag: str) -> str:
+        return f""",
+h{tag} AS (SELECT {src_col} AS s, count(*) AS c
+           FROM scores2 GROUP BY {src_col}),
+c{tag} AS MATERIALIZED (
+  SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM h{tag}),
+e{tag} AS MATERIALIZED (
+  SELECT k, min(s) AS e
+  FROM range(1, {_GRID_BUCKETS}) r(k) JOIN c{tag}
+    ON c{tag}.cum >= (k * (SELECT n FROM n2) + {_GRID_BUCKETS - 1})
+                     // {_GRID_BUCKETS}
+  GROUP BY k)"""
+
+    return (
+        _pca_top2_common()
+        + f""",
+n2 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM scores2)"""
+        + axis_edges("pc1", "x")
+        + axis_edges("pc2", "y")
+        + f""",
+bxs AS (
+  SELECT s.vec_id, 1 + count(e.k) AS bin_x
+  FROM scores2 s LEFT JOIN ex e ON e.e < s.pc1 GROUP BY s.vec_id),
+bys AS (
+  SELECT s.vec_id, 1 + count(e.k) AS bin_y
+  FROM scores2 s LEFT JOIN ey e ON e.e < s.pc2 GROUP BY s.vec_id),
+cells AS (
+  SELECT bxs.vec_id, bxs.bin_x, bys.bin_y
+  FROM bxs JOIN bys ON bxs.vec_id = bys.vec_id),
+ranked AS (
+  SELECT vec_id, bin_x, bin_y, row_number() OVER (
+    PARTITION BY bin_x, bin_y
+    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+  FROM cells)
+SELECT CAST(bin_x AS BIGINT) AS bin_x, CAST(bin_y AS BIGINT) AS bin_y,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(vec_id) AS BIGINT) AS id_checksum
+FROM ranked WHERE rn <= {_GRID_PER_CELL} GROUP BY bin_x, bin_y
+"""
+    )
+
+
+@register(
+    "vec_pca_grid_sample",
+    _grid_sample_oracle(),
+    doc="Coverage-balanced (diversity) sampling in embedding space: "
+    f"the corpus is quartile-gridded on (PC1, PC2) — {_GRID_BUCKETS}x"
+    f"{_GRID_BUCKETS} cells from rank-exact per-axis edges — and up to "
+    f"{_GRID_PER_CELL} rows per cell are kept by the md5 hash-rank "
+    "trick (deterministic, engine-portable, exact-n where occupancy "
+    "allows). The curation move behind 'cover the embedding space, "
+    "don't oversample the dense blob': strata come from the LEARNED "
+    "2-D projection, not a static column. Same scale shape as the "
+    "PSI edges: per-axis compressed-histogram prefix sums, 3-edge "
+    "bounded collects, one window over (cell, id) pairs.",
+)
+def vec_pca_grid_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dataengineer_job_scraper_etl_spark.operators.pca import (
+        pca_top_components,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    _, m, comps, _ = pca_top_components(
+        e, "embedding", DIM, n_components=2, n_iter=N_ITER,
+        cache_key=("pca", sf_dir),
+    )
+    scored = e.select(
+        "vec_id",
+        pc1_score_expr(m, comps[0]).alias("pc1"),
+        pc1_score_expr(m, comps[1]).alias("pc2"),
+    ).localCheckpoint(eager=False)
+    n = scored.count()
+    ex = rank_exact_edges(scored, "pc1", _GRID_BUCKETS, n)
+    ey = rank_exact_edges(scored, "pc2", _GRID_BUCKETS, n)
+    cells = scored.select(
+        "vec_id",
+        bucket_expr(ex, "pc1").alias("bin_x"),
+        bucket_expr(ey, "pc2").alias("bin_y"),
+    )
+    w = Window.partitionBy("bin_x", "bin_y").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _GRID_PER_CELL)
+        .groupBy("bin_x", "bin_y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            F.sum("vec_id").cast("bigint").alias("id_checksum"),
+        )
+        .select(
+            F.col("bin_x").cast("bigint").alias("bin_x"),
+            F.col("bin_y").cast("bigint").alias("bin_y"),
+            "n_sampled",
+            "id_checksum",
+        )
     )

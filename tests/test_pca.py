@@ -191,3 +191,34 @@ def test_deflation_recovers_second_axis(spark):
     assert max(range(DIM), key=lambda j: abs(comps[1][j])) == 1
     assert lams[0] > lams[1] > 10.0
     assert abs(sum(a * b for a, b in zip(comps[0], comps[1]))) < 1e-3
+
+
+def test_half_up_rule_is_engine_shared_property():
+    """The explicit floor(x*1e6 + 0.5)/1e6 rule must produce the SAME
+    double in DuckDB as in Python for arbitrary inputs — this is the
+    entire cross-engine hash contract of the PCA/PSI family, so pin it
+    property-style (batched: one DuckDB query per example set)."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=1, max_size=200,
+        )
+    )
+    def check(xs):
+        con = duckdb.connect()
+        got = con.execute(
+            "SELECT floor(x * 1000000 + 0.5) / 1000000 "
+            "FROM (SELECT unnest(?) AS x)",
+            [xs],
+        ).fetchall()
+        for x, (y,) in zip(xs, got):
+            assert half_up(x, 6) == y, (x, half_up(x, 6), y)
+
+    check()
