@@ -552,3 +552,75 @@ def vec_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sim_q",
         )
     )
+
+
+@register(
+    "vec_cluster_label_purity",
+    _KMEANS_CTES
+    + """,
+lab AS (SELECT vec_id, label FROM embeddings),
+cl AS (
+  SELECT a2.cid, lab.label, count(*) AS n
+  FROM a2 JOIN lab ON a2.vec_id = lab.vec_id
+  GROUP BY a2.cid, lab.label),
+tot AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n_members FROM cl GROUP BY cid),
+win AS (
+  SELECT cid, label AS majority_label, n AS n_majority
+  FROM (SELECT cid, label, n, row_number() OVER (
+          PARTITION BY cid ORDER BY n DESC, label ASC) AS rn
+        FROM cl) WHERE rn = 1)
+SELECT win.cid AS cluster_id, tot.n_members,
+       CAST(win.majority_label AS BIGINT) AS majority_label,
+       CAST(win.n_majority AS BIGINT) AS n_majority,
+       CAST(win.n_majority * 1000000 // tot.n_members AS BIGINT)
+         AS purity_ppm
+FROM win JOIN tot ON win.cid = tot.cid
+""",
+    doc="Clustering-quality audit: per k-means cluster, the majority "
+    "ground-truth label (ties to lowest label id) and its share in "
+    "integer ppm — the standard purity metric for eyeballing whether "
+    "the learned clusters track the label structure (and hence "
+    "whether SemDeDup/balanced-sample strata are meaningful). "
+    "INTEGER-EXACT end to end: counts, a deterministic argmax, and an "
+    "integer division — zero float drift in the hash. One "
+    "(cluster, label) count groupBy (bounded by k x |labels|) plus "
+    "k-row windows; the corpus shuffles once.",
+)
+def vec_cluster_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_corpus_init(
+        e.select("vec_id", "embedding"), "vec_id", "embedding",
+        DIM, N_CLUSTERS, n_iter=N_ITER,
+    )
+    assigned = assign_to_centroid(
+        e.select("vec_id", "embedding", "label"), cents, "embedding"
+    )
+    cl = assigned.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cl.groupBy("cluster_id").agg(
+        F.sum("n").cast("bigint").alias("n_members")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    win = (
+        cl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").cast("bigint").alias("majority_label"),
+            F.col("n").cast("bigint").alias("n_majority"),
+        )
+    )
+    return win.join(F.broadcast(tot), on="cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "majority_label",
+        "n_majority",
+        F.expr("CAST(n_majority * 1000000L div n_members AS BIGINT)").alias(
+            "purity_ppm"
+        ),
+    )
