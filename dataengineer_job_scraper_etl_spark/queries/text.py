@@ -1091,3 +1091,134 @@ def docs_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_max",
         "id_checksum",
     )
+
+
+@register(
+    "docs_source_dedup_audit",
+    """
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents),
+keep AS (SELECT f, min(doc_id) AS k FROM fp GROUP BY f)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN fp.doc_id <> keep.k THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_rows,
+       CAST(sum(CASE WHEN fp.doc_id <> keep.k THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS dup_ppm
+FROM fp JOIN keep ON fp.f = keep.f
+GROUP BY source
+""",
+    doc="Per-source dedup-rate audit (the data-governance view of "
+    "exact dedup): for each source, how many rows are NON-CANONICAL "
+    "copies (same normalized-text digest as a lower doc_id — the "
+    "survivor rule of docs_exact_dedup) and the rate in integer ppm. "
+    "Same 100 TB shape as the dedup itself: only (digest, id) pairs "
+    "shuffle, text never moves, and the audit is one extra groupBy "
+    "over columns already in hand. INTEGER-EXACT output.",
+)
+def docs_source_dedup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = d.select("doc_id", "source", F.md5(norm).alias("f"))
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("k"))
+    dup = (F.col("doc_id") != F.col("k")).cast("long")
+    return (
+        fp.join(keep, on="f")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(dup).cast("bigint").alias("n_dup_rows"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_rows",
+            F.expr(
+                "CAST(n_dup_rows * 1000000L div n_docs AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
+_VOCAB_CUTOFFS = (10, 100, 1000, 10000)
+
+
+@register(
+    "text_vocab_coverage_curve",
+    f"""
+WITH terms AS (
+  SELECT unnest(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+           AS term
+  FROM documents),
+tf AS (SELECT term, count(*) AS n FROM terms
+       WHERE term <> '' GROUP BY term),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM tf),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term ASC) AS rnk
+  FROM tf),
+cum AS (
+  SELECT rnk, CAST(sum(n) OVER (ORDER BY rnk) AS BIGINT) AS c
+  FROM ranked)
+SELECT CAST(k AS BIGINT) AS vocab_size,
+       CAST(coalesce((SELECT max(c) FROM cum WHERE rnk <= k),
+                     (SELECT max(c) FROM cum))
+            * 1000000 // (SELECT t FROM tot) AS BIGINT) AS covered_ppm
+FROM (SELECT unnest({list(_VOCAB_CUTOFFS)}) AS k)
+""",
+    doc="Tokenizer-vocabulary coverage curve: the share of corpus "
+    "token OCCURRENCES covered by the top-N most frequent terms "
+    f"(N in {_VOCAB_CUTOFFS}) — the audit that decides vocab size "
+    "before a tokenizer train. Ranking is deterministic "
+    "(count DESC, term ASC); coverage is INTEGER-EXACT ppm. One "
+    "term-count groupBy (shuffle bounded by vocabulary, "
+    "combiner-friendly) + a prefix sum over the COMPRESSED "
+    "frequency table; cutoffs beyond the vocabulary saturate at "
+    "total coverage.",
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = tf.agg(F.sum("n").cast("bigint").alias("t")).collect()[0]["t"]
+    ranked = tf.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("term")))
+        .alias("rnk"),
+    )
+    cum = ranked.select(
+        "rnk",
+        F.sum("n")
+        .over(
+            Window.orderBy("rnk").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in _VOCAB_CUTOFFS], "vocab_size long"
+    )
+    cov = ks.join(
+        cum, cum["rnk"] <= ks["vocab_size"], "left"
+    ).groupBy("vocab_size").agg(F.max("c").alias("c"))
+    grand = cum.agg(F.max("c").alias("g")).collect()[0]["g"]
+    return cov.select(
+        "vocab_size",
+        # integer div, not floor(double /): an exactly-divisible
+        # c*1e6 could land an ulp below the true quotient in float
+        # and floor to q-1 where the oracle's // gives q
+        F.expr(
+            f"CAST(coalesce(c, {grand}L) * 1000000L"
+            f" div {total}L AS BIGINT)"
+        ).alias("covered_ppm"),
+    )
