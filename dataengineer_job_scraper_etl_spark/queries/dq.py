@@ -135,3 +135,48 @@ def dq_constraint_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tag(bad_qty, "lineitem_quantity_positive"))
         .unionByName(tag(neg_price, "orders_totalprice_nonnegative"))
     )
+
+
+@register(
+    "orders_incremental_rollup_refresh",
+    """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Incremental view maintenance: the Spark side maintains the "
+    "per-priority rollup as BASE STATE (the already-ingested "
+    "o_orderkey%10<9 slice, aggregated once) REFRESHED by a delta "
+    "batch (the remaining 10%) through the count/sum combine algebra "
+    "— union the state with the delta's partial aggregate and re-sum. "
+    "The ORACLE is the full recompute over all orders, so hash "
+    "equality IS the proof that the delta-refresh algebra produces "
+    "exactly the from-scratch answer (the correctness contract of "
+    "every streaming/MERGE rollup). Refresh cost is delta-"
+    "proportional: the base slice aggregates once into k rows and "
+    "only those k rows re-enter the combine.",
+)
+def orders_incremental_rollup_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("total_cents"),
+        )
+
+    base_state = agg(o.filter(F.col("o_orderkey") % 10 < 9))
+    delta = agg(o.filter(F.col("o_orderkey") % 10 >= 9))
+    return (
+        base_state.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("total_cents").cast("bigint").alias("total_cents"),
+        )
+    )

@@ -908,3 +908,75 @@ def events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_ppm"
         ),
     )
+
+
+@register(
+    "events_time_weighted_value",
+    """
+WITH seq AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(ts) // 1000 AS ms,
+         lead(epoch_us(ts) // 1000) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt_ms
+  FROM events),
+iv AS (
+  SELECT user_id, cents, nxt_ms - ms AS dur_ms
+  FROM seq WHERE nxt_ms IS NOT NULL)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+       CAST(sum(cents * dur_ms) AS BIGINT) AS weighted_cents_ms,
+       CAST(CASE WHEN sum(dur_ms) > 0
+                 THEN sum(cents * dur_ms) // sum(dur_ms) END
+            AS BIGINT) AS twap_cents
+FROM iv GROUP BY user_id
+""",
+    doc="Time-weighted average value per user over IRREGULARLY spaced "
+    "events (the TWAP/metering statistic uniform averages get wrong): "
+    "each value holds until the user's next event, so it is weighted "
+    "by that interval; the final open-ended event carries no weight. "
+    "INTEGER-EXACT: cents x exact epoch-millisecond durations "
+    "(epoch_us // 1000 on both engines — no double epochs), integer "
+    "division for the TWAP, NULL for users whose events all share one "
+    "timestamp. One window partitioned by user (parallel across "
+    "users, no global sort) + one groupBy.",
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    # unix_micros only accepts TIMESTAMP (LTZ); the NTZ fixture column
+    # is cast first — durations are offset-invariant, same idiom (and
+    # caveat) as events_sessionization's gap computation above.
+    ms = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        ms.alias("ms"),
+        F.lead(ms).over(w).alias("nxt_ms"),
+    )
+    iv = seq.filter(F.col("nxt_ms").isNotNull()).select(
+        "user_id", "cents", (F.col("nxt_ms") - F.col("ms")).alias("dur_ms")
+    )
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dur_ms").cast("bigint").alias("total_ms"),
+            F.sum(F.col("cents") * F.col("dur_ms"))
+            .cast("bigint")
+            .alias("weighted_cents_ms"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            "total_ms",
+            "weighted_cents_ms",
+            F.expr(
+                "CAST(CASE WHEN total_ms > 0 THEN"
+                " weighted_cents_ms div total_ms END AS BIGINT)"
+            ).alias("twap_cents"),
+        )
+    )
