@@ -940,7 +940,10 @@ FROM iv GROUP BY user_id
     "(epoch_us // 1000 on both engines — no double epochs), integer "
     "division for the TWAP, NULL for users whose events all share one "
     "timestamp. One window partitioned by user (parallel across "
-    "users, no global sort) + one groupBy.",
+    "users, no global sort) + one groupBy. int64 bound: "
+    "sum(cents x dur_ms) per user overflows around 9e18 — ~1e6 "
+    "intervals of $1k values spanning years each; for wider spans "
+    "drop to dur_s or per-user DECIMAL accumulation.",
 )
 def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -289,8 +289,6 @@ def frozen_pc1_monitor(
     over the COMPRESSED histogram (distinct quantized scores), and
     becomes a two-stage parallel prefix at real scale; the 9-edge
     collect is bounded."""
-    from pyspark.sql import Window
-
     key = ("pc1-monitor", sf_dir)
     if key in _MONITOR_CACHE:
         return _MONITOR_CACHE[key]
@@ -394,16 +392,7 @@ def vec_pca_pc1_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, m, v, _ = pca_top_component(
         e, "embedding", DIM, n_iter=N_ITER, cache_key=("pca", sf_dir)
     )
-    emb = F.col("embedding")
-    score = reduce(
-        add,
-        [
-            (emb[j].cast("double") - F.lit(m[j])) * F.lit(v[j])
-            for j in range(DIM)
-        ],
-    )
-    pc1 = (F.floor(score * F.lit(float(_Q)) + F.lit(0.5)) / F.lit(float(_Q)))
-    return e.select("vec_id", pc1.alias("pc1"))
+    return e.select("vec_id", pc1_score_expr(m, v).alias("pc1"))
 
 
 @register(
