@@ -32,6 +32,14 @@ ENTRIES = [
     "text_bpe_top_pairs",               # weighted pair argmax order
     "bloom_semi_prune_orders",          # driver-built broadcast bitmap
     "vec_cosine_topk",                  # float similarity top-k
+    # round-7 additions with order-sensitivity risk (the PCA training
+    # itself is separately proven partition-invariant in
+    # tests/test_pca.py::test_trajectory_invariant_to_partitioning —
+    # entry-level reruns hit the train-once cache by design):
+    "vec_hard_negative_mining",         # quantized-sim rank, pair join
+    "vec_pca_grid_sample",              # rank-exact edges + hash-rank
+    "events_value_ks_drift",            # cross-multiplied CDF max
+    "events_time_weighted_value",       # window lead + integer TWAP
 ]
 
 

@@ -193,6 +193,23 @@ def test_deflation_recovers_second_axis(spark):
     assert abs(sum(a * b for a, b in zip(comps[0], comps[1]))) < 1e-3
 
 
+def test_trajectory_invariant_to_partitioning(spark):
+    # The whole hash contract rests on this: the per-batch Gram
+    # partials sum in an arbitrary order that CHANGES with the
+    # partitioning, and the quantization half-step must absorb that
+    # drift. Three very different partitionings must land on
+    # bit-identical quantized means/loadings/eigenvalues.
+    mat = [
+        [math.sin(i * 2.3 + j * 0.7) * (1 + (i + j) % 4) for j in range(DIM)]
+        for i in range(201)
+    ]
+    results = []
+    for nparts in (1, 7, 32):
+        df = _emb(spark, mat).repartition(nparts)
+        results.append(pca_top_component(df, "embedding", DIM))
+    assert results[0] == results[1] == results[2]
+
+
 def test_half_up_rule_is_engine_shared_property():
     """The explicit floor(x*1e6 + 0.5)/1e6 rule must produce the SAME
     double in DuckDB as in Python for arbitrary inputs — this is the
