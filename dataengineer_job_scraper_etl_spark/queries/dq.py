@@ -180,3 +180,67 @@ def orders_incremental_rollup_refresh(
             F.sum("total_cents").cast("bigint").alias("total_cents"),
         )
     )
+
+
+@register(
+    "docs_erasure_propagation",
+    """
+WITH dels AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+docs2 AS (
+  SELECT d.* FROM documents d LEFT JOIN dels ON d.doc_id = dels.doc_id
+  WHERE dels.doc_id IS NULL),
+idx AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f,
+         doc_id
+  FROM documents),
+idx2 AS (
+  SELECT i.* FROM idx i LEFT JOIN dels ON i.doc_id = dels.doc_id
+  WHERE dels.doc_id IS NULL)
+SELECT CAST((SELECT count(*) FROM dels) AS BIGINT) AS n_requests,
+       CAST((SELECT count(*) FROM docs2) AS BIGINT) AS docs_left,
+       CAST((SELECT count(*) FROM docs2 JOIN dels
+             ON docs2.doc_id = dels.doc_id) AS BIGINT) AS docs_residual,
+       CAST((SELECT count(*) FROM idx2) AS BIGINT) AS index_left,
+       CAST((SELECT count(*) FROM idx2 JOIN dels
+             ON idx2.doc_id = dels.doc_id) AS BIGINT) AS index_residual
+""",
+    doc="Right-to-be-forgotten propagation: a deletion list "
+    "(doc_id%97=0 stands in for the request queue) is erased from the "
+    "primary table AND the derived digest index by broadcast "
+    "anti-joins, and the entry EMITS its own audit — residual counts "
+    "of deleted ids in every surviving artifact (must be 0) next to "
+    "the surviving sizes. The production shape: erasure is an "
+    "anti-join (never a rewrite-time filter someone forgets), derived "
+    "artifacts are co-erased in the same transaction, and the audit "
+    "is computed from the erased outputs, not assumed. At 100 TB the "
+    "deletion list broadcasts (requests are small) and each anti-join "
+    "is one pushed-filter scan.",
+)
+def docs_erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dels = d.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+    docs2 = d.join(F.broadcast(dels), "doc_id", "left_anti")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    idx = d.select(F.md5(norm).alias("f"), "doc_id")
+    idx2 = idx.join(F.broadcast(dels), "doc_id", "left_anti")
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(name))
+
+    return (
+        cnt(dels, "n_requests")
+        .crossJoin(cnt(docs2, "docs_left"))
+        .crossJoin(
+            cnt(
+                docs2.join(F.broadcast(dels), "doc_id", "left_semi"),
+                "docs_residual",
+            )
+        )
+        .crossJoin(cnt(idx2, "index_left"))
+        .crossJoin(
+            cnt(
+                idx2.join(F.broadcast(dels), "doc_id", "left_semi"),
+                "index_residual",
+            )
+        )
+    )
