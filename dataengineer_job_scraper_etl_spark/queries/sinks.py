@@ -247,3 +247,67 @@ def io_jsonl_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text_digest"),
         )
     )
+
+
+def _staged_evolution_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet batches with EVOLVED schemas under one directory:
+    batch 1 (even event_ids) carries the v1 schema (no ``score``
+    column); batch 2 (odd event_ids) is v2, adding a derived
+    ``score`` column. The mergeSchema read path must union the
+    schemas and NULL-fill v1 rows."""
+
+    def build(staged: str) -> None:
+        e = _events(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        v1 = e.filter(F.col("event_id") % 2 == 0)
+        v2 = e.filter(F.col("event_id") % 2 == 1).withColumn(
+            "score", F.round(F.col("value") * 100).cast("bigint")
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(staged, "b1"))
+        v2.write.mode("overwrite").parquet(os.path.join(staged, "b2"))
+
+    return stage_once(
+        os.path.join(sf_dir, "events.parquet"), "schemaevo", build
+    )
+
+
+@register(
+    "io_mergeschema_evolution_read",
+    """
+WITH ev AS (
+  SELECT event_type,
+         CASE WHEN event_id % 2 = 1
+              THEN CAST(round(value * 100) AS BIGINT) END AS score
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(score) AS BIGINT) AS n_scored,
+       CAST(sum(score) AS BIGINT) AS score_sum
+FROM ev GROUP BY event_type
+""",
+    doc="Schema-evolution read path: two parquet batches under one "
+    "root — v1 without a ``score`` column, v2 adding it — read back "
+    "with mergeSchema=true, which must union the schemas and "
+    "NULL-fill the v1 rows. The oracle derives the same view from "
+    "the original table (score only where v2 would carry it), so the "
+    "hash pins row counts, the NULL-fill boundary, and value "
+    "fidelity across the evolved read. The production seam: "
+    "long-lived datasets GROW columns, and readers written before "
+    "the growth must keep working. At scale prefer an explicit "
+    "unified schema over mergeSchema's footer-union cost "
+    "(spark.read.schema(s).parquet(...)) — this entry pins the "
+    "semantics either path must produce.",
+)
+def io_mergeschema_evolution_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    root = _staged_evolution_dir(spark, sf_dir)
+    back = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(root)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("score").cast("bigint").alias("n_scored"),
+        F.sum("score").cast("bigint").alias("score_sum"),
+    )
