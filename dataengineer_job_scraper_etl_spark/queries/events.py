@@ -983,3 +983,92 @@ def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("twap_cents"),
         )
     )
+
+
+@register(
+    "events_value_winsorized_stats",
+    """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL),
+hist AS (SELECT event_type, cents, count(*) AS k
+         FROM c GROUP BY event_type, cents),
+tot AS (SELECT event_type, CAST(sum(k) AS BIGINT) AS n
+        FROM hist GROUP BY event_type),
+cum AS (
+  SELECT event_type, cents,
+         sum(k) OVER (PARTITION BY event_type ORDER BY cents) AS cm
+  FROM hist),
+edges AS (
+  SELECT cum.event_type,
+         min(CASE WHEN cm >= (5 * n + 99) // 100 THEN cents END) AS lo,
+         min(CASE WHEN cm >= (95 * n + 99) // 100 THEN cents END) AS hi
+  FROM cum JOIN tot ON cum.event_type = tot.event_type
+  GROUP BY cum.event_type)
+SELECT c.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN c.cents < e.lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_low,
+       CAST(sum(CASE WHEN c.cents > e.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_high,
+       CAST(sum(least(greatest(c.cents, e.lo), e.hi)) AS BIGINT)
+         AS win_cents_sum
+FROM c JOIN edges e ON c.event_type = e.event_type
+GROUP BY c.event_type
+""",
+    doc="Per-type winsorized statistics (the robust-preprocessing "
+    "move before any mean-based feature): values are clamped to "
+    "rank-exact per-type p5/p95 cutoffs and the clipped counts are "
+    "emitted alongside the winsorized sum. INTEGER-EXACT end to end — "
+    "cents histogram, cutoffs via the ceil(q*N) rank rule on a "
+    "PER-TYPE partitioned prefix sum (parallel across types, no "
+    "global window, no driver collect: edges stay distributed and "
+    "join back as a k-row broadcast), integer clamp and sums. The "
+    "same rank-edge machinery as the PSI/grid entries, here with "
+    "grouped parallelism.",
+)
+def events_value_winsorized_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
+    c = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    hist = c.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    tot = hist.groupBy("event_type").agg(
+        F.sum("k").cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "event_type", "cents", F.sum("k").over(w).alias("cm")
+    ).join(tot, on="event_type")
+    lo_thr = F.expr("(5 * n + 99) div 100")
+    hi_thr = F.expr("(95 * n + 99) div 100")
+    edges = cum.groupBy("event_type").agg(
+        F.min(F.when(F.col("cm") >= lo_thr, F.col("cents"))).alias("lo"),
+        F.min(F.when(F.col("cm") >= hi_thr, F.col("cents"))).alias("hi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("cents"), F.col("lo")), F.col("hi")
+    )
+    return (
+        c.join(F.broadcast(edges), on="event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("cents") < F.col("lo")).cast("long"))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum((F.col("cents") > F.col("hi")).cast("long"))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.sum(clamped).cast("bigint").alias("win_cents_sum"),
+        )
+    )
