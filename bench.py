@@ -148,7 +148,12 @@ HEADLINE += [
 #        at sf0.1 — a per-process one-time cost, same rationale as the
 #        corpus-pipeline compile. Training itself stays IN the timed
 #        entry: dedup is a batch job, not a serve path).
-WARMUP_VERSION = 4
+#   v5 (r8): no new warmup stage — the bump records the r7
+#        METHODOLOGY change (forced full JVM GC at every pass
+#        boundary, see the rep loop) so bench_compare does not treat
+#        post-GC-hygiene runs as directly comparable with pre-v5
+#        rounds (ADVICE r7).
+WARMUP_VERSION = 5
 
 
 def _force(df) -> None:

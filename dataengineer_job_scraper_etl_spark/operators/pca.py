@@ -108,8 +108,21 @@ def _power_iterate(
     for _ in range(n_iter):
         w = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
         lam = math.sqrt(sum(x * x for x in w))
-        if lam == 0.0:  # degenerate: C v = 0, keep previous direction
-            break
+        if lam == 0.0:
+            # Degenerate C v = 0 (zero covariance / deflated to
+            # nothing). The SQL oracle replay runs all n_iter rounds
+            # unconditionally and would divide by sqrt(0) -> NULL,
+            # so silently keeping the previous iterate here would
+            # reach the driver as a cross-engine hash mismatch
+            # (ADVICE r7). Refuse loudly instead: an all-identical-
+            # vectors corpus has no principal direction to learn.
+            raise ValueError(
+                "power iteration hit a zero covariance (C v = 0): "
+                "the input has no variance along the current "
+                "deflation — the oracle replay cannot mirror this "
+                "degenerate branch, so it is rejected rather than "
+                "hashed inconsistently"
+            )
         v = [half_up(x / lam, dec) for x in w]
     return v, half_up(lam, dec)
 

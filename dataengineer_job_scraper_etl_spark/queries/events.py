@@ -808,10 +808,17 @@ FROM m
     "cents and dense ranks (total order via the user_id tiebreak), "
     "so Σx and Σ(i*x) are exact longs and only the final one-shot "
     "division is floating point (ppm output). Shape: per-user agg, "
-    "ONE ranking window over the users-sized frame (not raw events), "
+    "then the global rank comes from the TWO-STAGE PARALLEL PREFIX "
+    "(operators/prefix.py: range-partition + per-partition local "
+    "row numbers + broadcast per-partition offsets) — no "
+    "unpartitioned window ever sees the users-sized frame — then a "
     "1-row moment agg.",
 )
 def events_user_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.prefix import (
+        global_prefix,
+    )
+
     e = _events(spark, sf_dir)
     spend = (
         e.filter(F.col("event_type") == "purchase")
@@ -822,8 +829,9 @@ def events_user_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    w = Window.orderBy("cents", "user_id")
-    ranked = spend.select("cents", F.row_number().over(w).alias("i"))
+    ranked = global_prefix(
+        spend, [F.asc("cents"), F.asc("user_id")], row_number_col="i"
+    ).select("cents", "i")
     m = ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("cents").cast("bigint").alias("s"),
@@ -859,7 +867,8 @@ c AS (
 m AS (SELECT max(abs(cum_a * (SELECT nb FROM n)
                    - cum_b * (SELECT na FROM n))) AS mx FROM c)
 SELECT na AS n_a, nb AS n_b,
-       CAST((SELECT mx FROM m) * 1000000 // (na * nb) AS BIGINT)
+       CAST(CAST((SELECT mx FROM m) AS HUGEINT) * 1000000
+            // (CAST(na AS HUGEINT) * nb) AS BIGINT)
          AS ks_ppm
 FROM n
 """,
@@ -868,17 +877,23 @@ FROM n
     "event values: D = max |F_a(x) - F_b(x)| across the merged "
     "empirical CDFs. The whole computation is INTEGER-EXACT — the "
     "max runs over |cum_a*n_b - cum_b*n_a| (cross-multiplied counts, "
-    "no float CDFs), and ks_ppm = that max scaled by 1e6 and "
-    "integer-divided by n_a*n_b — so the hash contract carries zero "
-    "float drift (int64 bound: safe to ~3e9 rows per slice; beyond "
-    "that swap to doubles with a tolerance contract like the approx_* "
-    "entries). One combiner-friendly per-value histogram groupBy, "
-    "then a prefix sum over the COMPRESSED histogram (two-stage "
-    "parallel prefix at real scale; cf. the PSI edge pass) and a "
-    "1-row max — the corpus is scanned once and never re-shuffled.",
+    "no float CDFs), and ks_ppm = that max scaled by 1e6 in "
+    "DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) and integer-divided by "
+    "n_a*n_b — the 128-bit scaling step means the int64 bound is set "
+    "by the cross-products alone: cum_a*n_b <= n_a*n_b <= 9.2e18, "
+    "safe to ~3e9 rows per balanced slice (ADVICE r7: the previous "
+    "all-int64 formulation silently wrapped at mx*1e6 > 9.2e18, "
+    "~3e6 rows). One combiner-friendly per-value histogram groupBy, "
+    "then the CDFs come from the TWO-STAGE PARALLEL PREFIX "
+    "(operators/prefix.py — no unpartitioned window over the "
+    "histogram), the slice totals fold back in via broadcast "
+    "crossJoins (no mid-plan collect — the histogram materializes "
+    "once and the events scan never re-runs), and a 1-row max.",
 )
 def events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from dataengineer_job_scraper_etl_spark.operators.prefix import (
+        global_prefix,
+    )
 
     e = _events(spark, sf_dir).filter(F.col("value").isNotNull())
     in_a = (F.col("event_id") % 10 < 8).cast("long")
@@ -886,27 +901,36 @@ def events_value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(in_a).alias("ca"),
         F.sum(1 - in_a).alias("cb"),
     )
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    c = h.select(
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
+    pref = global_prefix(
+        h, [F.asc("value")], sums={"cum_a": "ca", "cum_b": "cb"}
     )
-    totals = h.agg(
+    # totals from the prefixed (checkpointed) frame — never from h,
+    # whose lineage would re-scan events
+    n_df = pref.agg(
         F.sum("ca").cast("bigint").alias("na"),
         F.sum("cb").cast("bigint").alias("nb"),
-    ).collect()[0]
-    na, nb = totals["na"], totals["nb"]
-    mx = c.agg(
-        F.max(
-            F.abs(F.col("cum_a") * F.lit(nb) - F.col("cum_b") * F.lit(na))
-        ).alias("mx")
     )
-    return mx.select(
-        F.lit(na).cast("bigint").alias("n_a"),
-        F.lit(nb).cast("bigint").alias("n_b"),
-        F.expr(f"CAST(mx * 1000000L div ({na}L * {nb}L) AS BIGINT)").alias(
-            "ks_ppm"
-        ),
+    mx_df = (
+        pref.crossJoin(F.broadcast(n_df))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("nb")
+                    - F.col("cum_b") * F.col("na")
+                )
+            ).alias("mx")
+        )
+    )
+    return (
+        n_df.crossJoin(F.broadcast(mx_df))
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.expr(
+                "CAST(CAST(mx AS DECIMAL(38,0)) * 1000000"
+                " div (CAST(na AS DECIMAL(19,0)) * nb) AS BIGINT)"
+            ).alias("ks_ppm"),
+        )
     )
 
 

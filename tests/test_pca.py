@@ -155,7 +155,10 @@ def test_cache_serves_and_is_keyed(spark):
         pca_top_components,
     )
 
-    mat = [[float(i == j) for j in range(DIM)] for i in range(DIM)]
+    # NB: not an identity matrix — its (1,1,1,1) direction is a null
+    # eigenvector equal to the power-iteration start vector, which now
+    # (correctly) raises as degenerate; plant variance along x0 instead.
+    mat = [[float(3 * i + j == 0) + i for j in range(DIM)] for i in range(DIM)]
     df = _emb(spark, mat)
     key = ("test-pca-cache", DIM)
     _PCA_CACHE.pop((key, 1), None)
@@ -239,3 +242,16 @@ def test_half_up_rule_is_engine_shared_property():
             assert half_up(x, 6) == y, (x, half_up(x, 6), y)
 
     check()
+
+
+def test_zero_covariance_raises_instead_of_hash_mismatch(spark):
+    """ADVICE r7: the SQL oracle replays all n_iter rounds and would
+    divide by sqrt(0) on an all-identical-vectors corpus, so the
+    engine must refuse the degenerate input loudly rather than
+    silently keeping the previous iterate (a cross-engine hash
+    mismatch waiting to happen)."""
+    import pytest
+
+    same = _emb(spark, [[1.0, 2.0, 3.0, 4.0]] * 12)
+    with pytest.raises(ValueError, match="zero covariance"):
+        pca_top_component(same, "embedding", DIM)

@@ -1,0 +1,131 @@
+"""Two-stage parallel prefix operator (operators/prefix.py): value
+equivalence against the single-window formulation it replaces, the
+executes-once contract that killed VERDICT r7's redundant-scan
+finding, and the plan hygiene of the three rewired entries."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.operators.prefix import global_prefix
+
+
+def _reference(df, order_by):
+    """The (non-scalable) single-window formulation."""
+    w = Window.orderBy(*order_by)
+    return df.select(
+        "id",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("c"),
+        F.sum("m")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("d"),
+    )
+
+
+@pytest.mark.parametrize("num_partitions", [1, 3, 32])
+def test_matches_single_window_reference(spark, num_partitions):
+    random.seed(11)
+    rows = [
+        # negative values too: the partials path must not assume
+        # monotone running sums
+        (i, random.randint(0, 40), random.randint(-50, 100))
+        for i in range(1213)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, n long, m long"
+    ).repartition(5)
+    order = [F.desc("n"), F.asc("id")]
+    got = {
+        r["id"]: (r["rnk"], r["c"], r["d"])
+        for r in global_prefix(
+            df,
+            order,
+            sums={"c": "n", "d": "m"},
+            row_number_col="rnk",
+            num_partitions=num_partitions,
+        ).collect()
+    }
+    want = {
+        r["id"]: (r["rnk"], r["c"], r["d"])
+        for r in _reference(df, order).collect()
+    }
+    assert got == want
+
+
+def test_empty_frame(spark):
+    df = spark.createDataFrame([], "id long, n long, m long")
+    out = global_prefix(df, [F.asc("id")], sums={"c": "n"})
+    assert out.count() == 0
+    assert out.columns == ["id", "n", "m", "c"]
+
+
+def test_upstream_executes_exactly_once(spark):
+    """The anti-pattern VERDICT r7 flagged: totals collected mid-plan
+    from an unpersisted frame re-ran the corpus-scale upstream 2-3x.
+    The operator's input checkpoint must make the upstream execute
+    ONCE even when the caller derives totals from the returned frame
+    and then runs the final action."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    base = (
+        spark.range(0, 5000)
+        .select(F.col("id"), (F.col("id") % 97).alias("n"))
+        .repartition(8)
+        .mapInPandas(counting, "id long, n long")
+    )
+    pref = global_prefix(
+        base, [F.asc("n"), F.asc("id")], sums={"c": "n"},
+        row_number_col="rnk",
+    )
+    # caller-style consumption: a grand-total broadcast fold plus the
+    # main action, like text_vocab_coverage_curve / events_value_ks_drift
+    grand = pref.agg(F.max("c").alias("g"))
+    out = pref.crossJoin(F.broadcast(grand)).agg(
+        F.sum(F.col("rnk") * F.col("c") + F.col("g")).alias("x")
+    )
+    out.collect()
+    assert acc.value == 5000, (
+        f"upstream rows computed {acc.value}x/5000 — the staging "
+        "checkpoint is gone and the upstream re-executes per branch"
+    )
+
+
+@pytest.mark.parametrize(
+    "entry",
+    [
+        "events_user_spend_gini",
+        "text_vocab_coverage_curve",
+        "events_value_ks_drift",
+    ],
+)
+def test_entries_have_no_data_sized_unpartitioned_window(
+    spark, sf_dir, entry
+):
+    """Every Window node left in the three rewired entries' plans must
+    be the operator's bounded offsets prefix (input: one __t_* partial
+    row per partition — cluster-width, never data-sized). A revert to
+    Window.orderBy over the users/vocabulary/histogram frame would
+    surface here as a Window over non-partial columns."""
+    from dataengineer_job_scraper_etl_spark.catalog import all_queries
+
+    df = all_queries()[entry].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    windows = re.findall(r"Window \[[^\n]*", plan)
+    offenders = [w for w in windows if "__t_" not in w]
+    assert not offenders, offenders
+    # and the parallel path is actually wired: the partials window
+    # exists (one per prefix call in the entry)
+    assert windows, f"{entry}: no offsets window found — operator unwired?"

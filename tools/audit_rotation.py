@@ -11,11 +11,15 @@ repo root and prints a ready-to-paste 50-entry schedule:
 2. entries never hash-audited, registration order,
 3. everything else by last-audit round, oldest first.
 
-Entries registered with ``oracle=None`` are EXCLUDED: the driver can
-only record ``err: no_oracle`` for them — which reads as a failure to
-any harness counting err — and their real contracts are oracle-checked
-twin entries (planted-recall / recall-floor / contract queries), so a
-window slot on them is wasted.
+Entries registered with ``oracle=None`` normally DON'T get slots: the
+driver records ``err: no_oracle`` plus a rows-only check for them, and
+their real contracts are oracle-checked twin entries (planted-recall /
+recall-floor / contract queries) — so a recurring window slot on them
+is wasted. EXCEPTION (VERDICT r7 ask #4): a no-oracle entry that has
+NEVER appeared in any driver window gets one slot, at the head, so it
+carries at least rows-only driver evidence (non-null spark_rows, no
+real err); once any CORRECTNESS_r*.json shows it, it rotates out of
+contention permanently.
 
 Usage: python tools/audit_rotation.py
 """
@@ -58,6 +62,10 @@ def main() -> int:
             elif name in failed_latest and last_round[name] == rnd:
                 failed_latest.discard(name)  # later round went green
 
+    # One-time rows-only slots for no-oracle entries with zero driver
+    # evidence; once seen in any CORRECTNESS file they never re-enter.
+    no_oracle_head = [n for n in skipped if n not in last_round]
+
     order = sorted(
         names,
         key=lambda n: (
@@ -66,15 +74,19 @@ def main() -> int:
             names.index(n),
         ),
     )
-    pick = order[:WINDOW]
+    pick = no_oracle_head + order[: WINDOW - len(no_oracle_head)]
     print(
-        f"# next AUDIT_SCHEDULE ({len(pick)} of {len(names)} oracle-bearing "
-        f"entries; {len(skipped)} no-oracle entries excluded: {skipped};\n"
+        f"# next AUDIT_SCHEDULE ({len(pick)} entries: "
+        f"{len(no_oracle_head)} one-time rows-only head "
+        f"{no_oracle_head} + oracle-bearing rotation over {len(names)}; "
+        f"{len(skipped)} no-oracle entries total;\n"
         f"# source rounds: {[os.path.basename(p) for p in rounds]})"
     )
     for n in pick:
         tag = (
-            "FAILED-LAST-AUDIT" if n in failed_latest
+            "never audited, rows-only one-time slot"
+            if n in no_oracle_head
+            else "FAILED-LAST-AUDIT" if n in failed_latest
             else ("never audited" if n not in last_round
                   else f"last r{last_round[n]}")
         )
