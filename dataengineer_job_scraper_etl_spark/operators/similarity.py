@@ -1168,6 +1168,11 @@ _CODEBOOK_CACHE: dict[tuple, list[list[tuple[int, list[float]]]]] = {}
 # (review finding — the old comment claimed this without implementing
 # it).
 _CODED_CORPUS_CACHE: dict[tuple, DataFrame] = {}
+# Trained-artifact caches owned by OTHER modules (e.g. operators/
+# opq.py's rotations) append themselves here so clear_trained_indexes
+# covers them under the same staleness contract. Convention: keys are
+# tuples whose first element is the caller cache_key.
+_EXTRA_TRAINED_CACHES: list[dict] = []
 
 
 def _cached_coded(key):
@@ -1191,11 +1196,26 @@ def clear_trained_indexes(cache_key: str | None = None) -> None:
     all of them, or only entries trained under ``cache_key`` (any
     params). Call when the corpus a key names has changed in this
     process."""
-    for cache in (_CENTROID_CACHE, _CODEBOOK_CACHE, _CODED_CORPUS_CACHE):
+    for cache in (
+        _CENTROID_CACHE,
+        _CODEBOOK_CACHE,
+        _CODED_CORPUS_CACHE,
+        *_EXTRA_TRAINED_CACHES,
+    ):
         if cache_key is None:
             cache.clear()
         else:
-            for k in [k for k in cache if k[0] == cache_key]:
+            # composite first elements ("<key>:opq", "<key>:plain")
+            # belong to the same corpus snapshot as <key>
+            for k in [
+                k
+                for k in cache
+                if k[0] == cache_key
+                or (
+                    isinstance(k[0], str)
+                    and k[0].startswith(f"{cache_key}:")
+                )
+            ]:
                 del cache[k]
 
 

@@ -430,3 +430,113 @@ def neardup_minhash_precision_contract(
     return planted.crossJoin(F.broadcast(ok)).select(
         "n_planted", F.col("__ok").alias("precision_ok")
     )
+
+
+@register(
+    "ann_recall_pq_adc",
+    _RECALL_ORACLE,
+    doc="Hard recall floor for the IVF-free PQ serving path (FAISS "
+    "IndexPQ shape: whole-corpus ADC shortlist=200 over m=8/k=64 "
+    "codes, exact cosine rerank): per query vector, >=2 of the exact "
+    "cosine top-10 must survive (measured min-per-query 4 at "
+    "sf0.001/0.01/0.1 and sf1; deterministic seeded codebooks, "
+    "train-once cached per sf_dir). The controlled baseline the OPQ "
+    "entries compare against — operators/opq.py:pq_rerank_topk with "
+    "rotation=None.",
+)
+def ann_recall_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.opq import (
+        pq_rerank_topk,
+    )
+    from dataengineer_job_scraper_etl_spark.queries.vectors import (
+        vec_cosine_topk,
+    )
+
+    e, q = _vectors(spark, sf_dir)
+    ann = pq_rerank_topk(e, q, dim=EMBED_DIM, cache_key=sf_dir)
+    exact = vec_cosine_topk(spark, sf_dir)
+    return _recall_contract(ann, exact, min_hits=2)
+
+
+@register(
+    "ann_recall_opq",
+    _RECALL_ORACLE,
+    doc="Hard recall floor for the OPQ serving path (FAISS "
+    "IndexPreTransform(OPQMatrix, IndexPQ) shape): the corpus and "
+    "queries are rotated by the learned orthogonal transform "
+    "(eigenbasis of the second moment + greedy eigenvalue allocation, "
+    "operators/opq.py) before the SAME m=8/k=64 ADC shortlist + exact "
+    "rerank as ann_recall_pq_adc; per query >=3 of the exact top-10 "
+    "must survive — a floor strictly ABOVE the plain path's 2 "
+    "(measured min-per-query 5-10 across sf0.001/0.01/0.1/sf1 vs "
+    "plain's 4; the total-hits comparison is pinned by "
+    "ann_opq_vs_pq_gain). Determinism: quantized second moment -> "
+    "eigh is a pure function of the fixture on the container's "
+    "pinned BLAS.",
+)
+def ann_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.opq import (
+        opq_train,
+        pq_rerank_topk,
+    )
+    from dataengineer_job_scraper_etl_spark.queries.vectors import (
+        vec_cosine_topk,
+    )
+
+    e, q = _vectors(spark, sf_dir)
+    rot = opq_train(e, "embedding", EMBED_DIM, m=8, cache_key=sf_dir)
+    ann = pq_rerank_topk(
+        e, q, dim=EMBED_DIM, rotation=rot, cache_key=sf_dir
+    )
+    exact = vec_cosine_topk(spark, sf_dir)
+    return _recall_contract(ann, exact, min_hits=3)
+
+
+@register(
+    "ann_opq_vs_pq_gain",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS gain_ok
+FROM embeddings WHERE vec_id < 5
+""",
+    doc="OPQ's reason to exist, pinned as a contract: at EQUAL code "
+    "budget (same m=8, k_codes=64, shortlist=200, same rerank), the "
+    "OPQ-rotated path must recover AT LEAST as many of the exact "
+    "top-10 hits, summed over all queries, as plain PQ. Measured "
+    "totals (opq vs plain): 48/48 at sf0.001, 50/47 at sf0.01, 44/39 "
+    "at sf0.1, 31/27 at sf1 — the gain is real but modest on the "
+    "near-isotropic fixture (PLANS.md r8: rotation pays on "
+    "correlated/anisotropic data; at starved budgets like k=16 it "
+    "does not pay at all, which is why the operating point matters). "
+    "Both paths share one trained cache per sf_dir, so the entry "
+    "times the serve paths, not 2x training.",
+)
+def ann_opq_vs_pq_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.opq import (
+        opq_train,
+        pq_rerank_topk,
+    )
+    from dataengineer_job_scraper_etl_spark.queries.vectors import (
+        vec_cosine_topk,
+    )
+
+    e, q = _vectors(spark, sf_dir)
+    exact = vec_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    rot = opq_train(e, "embedding", EMBED_DIM, m=8, cache_key=sf_dir)
+    plain = pq_rerank_topk(e, q, dim=EMBED_DIM, cache_key=sf_dir)
+    opq = pq_rerank_topk(
+        e, q, dim=EMBED_DIM, rotation=rot, cache_key=sf_dir
+    )
+    p = plain.join(exact, ["qid", "vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__p")
+    )
+    o = opq.join(exact, ["qid", "vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    nq = exact.select("qid").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries")
+    )
+    return (
+        nq.crossJoin(F.broadcast(o))
+        .crossJoin(F.broadcast(p))
+        .select("n_queries", (F.col("__o") >= F.col("__p")).alias("gain_ok"))
+    )

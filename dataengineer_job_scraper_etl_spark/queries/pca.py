@@ -20,6 +20,7 @@ north-star scope like the k-means/SemDeDup family.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 from operator import add
 
@@ -296,16 +297,106 @@ def frozen_pc1_monitor(
         "vec_id", "embedding"
     )
     ref_rows = e.filter(~F.expr(_CUR_PRED))
+    out = train_pc1_monitor(ref_rows, pca_key=("pca-ref", sf_dir))
+    _MONITOR_CACHE[key] = out
+    return out
+
+
+def train_pc1_monitor(
+    ref_rows: DataFrame, pca_key: object = None
+) -> tuple[list[float], list[float], list[float], int]:
+    """Freeze a PC1 drift monitor on a reference frame: (means,
+    loadings, rank-exact decile edges, n_ref). The reusable core of
+    ``frozen_pc1_monitor`` — the retrain path re-freezes through this
+    with a NEW pca_key (slice tag) so stale cache entries can never
+    shadow the new axes."""
     _, m, v, _ = pca_top_component(
-        ref_rows, "embedding", DIM, n_iter=N_ITER,
-        cache_key=("pca-ref", sf_dir),
+        ref_rows, "embedding", DIM, n_iter=N_ITER, cache_key=pca_key
     )
     ref = ref_rows.select(pc1_score_expr(m, v).alias("pc1"))
     n_ref = ref.count()
     edges = rank_exact_edges(ref, "pc1", _N_BUCKETS, n_ref)
-    out = (m, v, edges, n_ref)
-    _MONITOR_CACHE[key] = out
-    return out
+    return (m, v, edges, n_ref)
+
+
+# The industry-standard PSI decision bar: < 0.1 stable, 0.1-0.2 drifting,
+# > 0.2 significant shift -> retrain. Integer ppm like every monitor
+# statistic in this engine.
+PSI_RETRAIN_THRESHOLD_PPM = 200_000
+
+
+def monitor_psi_ppm(
+    monitor: tuple[list[float], list[float], list[float], int],
+    cur_rows: DataFrame,
+) -> int:
+    """Total PSI (integer ppm) of ``cur_rows`` against a frozen
+    monitor: score with the frozen axes, bucket by the frozen edges,
+    sum the smoothed per-decile contributions. One stateless
+    projection + a 10-row bounded aggregate — the per-batch serving
+    cost of the always-on monitor."""
+    m, v, edges, n_ref = monitor
+    scored = cur_rows.select(pc1_score_expr(m, v).alias("pc1"))
+    n_cur = scored.count()
+    counts = {
+        r["b"]: r["n"]
+        for r in scored.select(bucket_expr(edges).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # frozen deciles: the reference proportion per bucket is the
+    # rank-exact decile mass; reconstruct counts from n_ref the same
+    # way the edge rule split them (uniform up to rank ties)
+    total = 0.0
+    for b in range(1, _N_BUCKETS + 1):
+        ref_b = n_ref / _N_BUCKETS
+        cur_b = counts.get(b, 0)
+        p_r = (ref_b + 0.5) / (n_ref + 5.0)
+        p_c = (cur_b + 0.5) / (n_cur + 5.0)
+        total += (p_c - p_r) * math.log(p_c / p_r)
+    return int(math.floor(total * _Q + 0.5))
+
+
+def serve_and_maybe_retrain(
+    monitor: tuple[list[float], list[float], list[float], int],
+    cur_rows: DataFrame,
+    new_ref_rows: DataFrame,
+    threshold_ppm: int = PSI_RETRAIN_THRESHOLD_PPM,
+    new_pca_key: object = None,
+    stale_monitor_keys: tuple = (),
+    stale_index_key: str | None = None,
+) -> tuple[tuple, int, bool]:
+    """The detect -> retrain -> re-freeze lifecycle (VERDICT r7 #6):
+
+    1. DETECT: score the arriving slice against the FROZEN monitor
+       (the old monitor serves this batch — and keeps serving until
+       the swap below returns; monitors are immutable tuples, so
+       in-flight readers are never torn).
+    2. below threshold: keep the monitor, report (monitor, psi, False).
+    3. above threshold: drop the stale trained artifacts —
+       ``stale_monitor_keys`` out of _MONITOR_CACHE and, when the
+       corpus key also names ANN indexes, ``stale_index_key`` via
+       similarity.clear_trained_indexes (IVF centroids / PQ codebooks
+       / OPQ rotations trained on the pre-shift corpus degrade recall
+       silently, the staleness contract at _CENTROID_CACHE) — then
+       RE-FREEZE on ``new_ref_rows`` under ``new_pca_key`` (a NEW
+       slice tag: the r6 advisory — never reuse a cache key across
+       retrains) and return the new monitor.
+
+    Returns (serving_monitor, psi_ppm, retrained)."""
+    psi = monitor_psi_ppm(monitor, cur_rows)
+    if psi <= threshold_ppm:
+        return monitor, psi, False
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        clear_trained_indexes,
+    )
+
+    for k in stale_monitor_keys:
+        _MONITOR_CACHE.pop(k, None)
+    if stale_index_key is not None:
+        clear_trained_indexes(stale_index_key)
+    fresh = train_pc1_monitor(new_ref_rows, pca_key=new_pca_key)
+    return fresh, psi, True
 
 
 @register(

@@ -1,0 +1,122 @@
+"""The drift -> retrain -> re-freeze lifecycle (queries/pca.py:
+serve_and_maybe_retrain): a planted-shift queue drives the monitor
+through detect (PSI vs frozen deciles), retrain trigger (stale caches
+cleared, new slice tag), and re-freeze (new monitor stable on the
+shifted distribution), with the old monitor serving untouched until
+the swap."""
+
+from __future__ import annotations
+
+import copy
+
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.queries.pca import (
+    _MONITOR_CACHE,
+    PSI_RETRAIN_THRESHOLD_PPM,
+    monitor_psi_ppm,
+    serve_and_maybe_retrain,
+    train_pc1_monitor,
+)
+
+
+def _ref(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") % 10 < 8)
+    )
+
+
+def _cur(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") % 10 >= 8)
+    )
+
+
+def _shift_along_pc1(df, v, scale=3.0):
+    """Planted shift: translate every vector by scale * PC1 loading —
+    moves every frozen-monitor score by ~scale (score std is ~0.15 on
+    the fixture), pushing the whole batch into the top bucket."""
+    lits = F.array(*[F.lit(float(x) * scale) for x in v])
+    return df.select(
+        "vec_id",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            lits,
+            lambda x, c: x + c,
+        ).alias("embedding"),
+    )
+
+
+def test_planted_shift_queue_detect_retrain_refreeze(spark, sf_dir):
+    pca_key_v1 = ("test-retrain-pca", "v1")
+    monitor = train_pc1_monitor(_ref(spark, sf_dir), pca_key=pca_key_v1)
+    mon_key = ("pc1-monitor", "test-retrain")
+    _MONITOR_CACHE[mon_key] = monitor
+    snapshot = copy.deepcopy(monitor)
+
+    # --- batch 1: in-distribution -> serve, no retrain ---
+    b1 = _cur(spark, sf_dir)
+    served, psi1, retrained = serve_and_maybe_retrain(
+        monitor, b1, new_ref_rows=b1
+    )
+    assert not retrained
+    assert served is monitor  # same frozen object keeps serving
+    assert psi1 <= PSI_RETRAIN_THRESHOLD_PPM
+
+    # --- batch 2: planted shift -> detect + retrain + re-freeze ---
+    v = monitor[1]
+    b2 = _shift_along_pc1(_cur(spark, sf_dir), v)
+    pca_key_v2 = ("test-retrain-pca", "v2")  # NEW slice tag
+    fresh, psi2, retrained = serve_and_maybe_retrain(
+        monitor,
+        b2,
+        new_ref_rows=b2,
+        new_pca_key=pca_key_v2,
+        stale_monitor_keys=(mon_key,),
+    )
+    assert retrained
+    assert psi2 > PSI_RETRAIN_THRESHOLD_PPM
+    # the old monitor served the detecting batch and was never torn:
+    assert monitor == snapshot
+    # stale frozen state is gone; the new monitor is a re-freeze, not
+    # a mutation of the old one
+    assert mon_key not in _MONITOR_CACHE
+    assert fresh is not monitor
+    assert fresh[2] != monitor[2]  # new decile edges
+
+    # --- batch 3: post-swap serving — the shifted distribution is the
+    # new normal, PSI against the re-frozen monitor is back under the
+    # bar and no further retrain fires ---
+    served3, psi3, retrained3 = serve_and_maybe_retrain(
+        fresh, b2, new_ref_rows=b2
+    )
+    assert not retrained3
+    assert served3 is fresh
+    assert psi3 <= PSI_RETRAIN_THRESHOLD_PPM
+
+
+def test_retrain_clears_stale_ann_indexes(spark, sf_dir):
+    """A drift-triggered retrain must also drop ANN index artifacts
+    trained on the pre-shift corpus (IVF centroids / PQ codebooks /
+    OPQ rotations) — serving them degrades recall silently."""
+    from dataengineer_job_scraper_etl_spark.operators.opq import (
+        _ROTATION_CACHE,
+        opq_train,
+    )
+
+    key = "test-retrain-index"
+    ref = _ref(spark, sf_dir)
+    opq_train(ref, "embedding", 64, m=8, cache_key=key)
+    assert (key, 64, 8) in _ROTATION_CACHE
+
+    monitor = train_pc1_monitor(ref)
+    b = _shift_along_pc1(_cur(spark, sf_dir), monitor[1])
+    _, _, retrained = serve_and_maybe_retrain(
+        monitor, b, new_ref_rows=b, stale_index_key=key
+    )
+    assert retrained
+    assert (key, 64, 8) not in _ROTATION_CACHE

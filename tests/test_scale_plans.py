@@ -141,6 +141,11 @@ def test_python_stays_out_of_the_hot_path_catalog_wide(spark, sf_dir):
         "multimodal_features",        # codec seam, mapInPandas
         "docs_chunk_sliding_udtf",    # lateral Python UDTF
         "events_user_zscore_grouped_udf",  # grouped-map twin
+        # OPQ serving path: opq_rotate is a dense mapInPandas matmul
+        # (BLAS on Arrow batches — the sanctioned Python case, same as
+        # the PCA Gram stage whose collect hides it from plans)
+        "ann_recall_opq",
+        "ann_opq_vs_pq_gain",
     }
     offenders = []
     for name, q in all_queries().items():
