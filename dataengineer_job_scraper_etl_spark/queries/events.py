@@ -1096,3 +1096,77 @@ def events_value_winsorized_stats(
             F.sum(clamped).cast("bigint").alias("win_cents_sum"),
         )
     )
+
+
+@register(
+    "events_user_lorenz_curve",
+    """
+WITH spend AS (
+  SELECT user_id,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+ranked AS (
+  SELECT cents, row_number() OVER (ORDER BY cents, user_id) AS i
+  FROM spend),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS s FROM ranked),
+cum AS (SELECT i, CAST(sum(cents) OVER (ORDER BY i) AS BIGINT) AS c
+        FROM ranked)
+SELECT CAST(k AS BIGINT) AS decile,
+       CAST(k * (SELECT n FROM tot) // 10 AS BIGINT) AS n_bottom,
+       CAST(coalesce(
+              (SELECT max(c) FROM cum
+               WHERE i * 10 <= k * (SELECT n FROM tot)), 0)
+            * 1000000 // (SELECT s FROM tot) AS BIGINT) AS spend_ppm
+FROM range(1, 11) r(k)
+""",
+    doc="Lorenz curve of per-user purchase spend, one point per "
+    "decile: the ppm share of TOTAL spend held by the bottom "
+    "floor(k*n/10) users — the curve whose area complement is "
+    "events_user_spend_gini (same frame, same cents/rank machinery; "
+    "the two cross-check each other). Ranks and running spend come "
+    "from the two-stage parallel prefix (operators/prefix.py), the "
+    "(n, total) moments fold in via a broadcast crossJoin over the "
+    "prefixed frame (no collects, users-sized frame scanned once), "
+    "and the 10 decile thresholds join in the same broadcast-small "
+    "shape as the vocab-coverage cutoffs. INTEGER-EXACT ppm.",
+)
+def events_user_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.prefix import (
+        global_prefix,
+    )
+
+    e = _events(spark, sf_dir)
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    pref = global_prefix(
+        spend,
+        [F.asc("cents"), F.asc("user_id")],
+        sums={"c": "cents"},
+        row_number_col="i",
+    ).select("i", "c")
+    tot = pref.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("c").cast("bigint").alias("s"),  # cents >= 0: max cum = total
+    )
+    ks = spark.range(1, 11).select(F.col("id").cast("bigint").alias("decile"))
+    target = ks.crossJoin(F.broadcast(tot)).select(
+        "decile", "n", "s", F.expr("decile * n div 10").alias("n_bottom")
+    )
+    cov = target.join(
+        pref, pref["i"] * 10 <= target["decile"] * target["n"], "left"
+    ).groupBy("decile", "n_bottom", "s").agg(F.max("c").alias("c"))
+    return cov.select(
+        "decile",
+        F.col("n_bottom").cast("bigint").alias("n_bottom"),
+        F.expr(
+            "CAST(coalesce(c, 0) * 1000000L div s AS BIGINT)"
+        ).alias("spend_ppm"),
+    )

@@ -1220,3 +1220,46 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(coalesce(c, g) * 1000000L div g AS BIGINT)"
         ).alias("covered_ppm"),
     )
+
+
+@register(
+    "docs_global_token_offsets",
+    """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+           AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
+         AS start_offset
+FROM t
+""",
+    doc="Global token offsets for corpus packing: each document's "
+    "start position in the single concatenated token stream (ordered "
+    "by doc_id) — the memmap-style packing index a training loader "
+    "needs to slice sequences without re-tokenizing (the offsets-file "
+    "companion to docs_pack_sequences' binpacking). start_offset = "
+    "EXCLUSIVE prefix sum of whitespace token counts, computed by the "
+    "two-stage parallel prefix (operators/prefix.py) — one range "
+    "shuffle of (doc_id, n_tokens) pairs, per-partition scans, "
+    "broadcast offsets; no unpartitioned window ever sees the "
+    "corpus-sized frame. INTEGER-EXACT.",
+)
+def docs_global_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.prefix import (
+        global_prefix,
+    )
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    pref = global_prefix(t, [F.asc("doc_id")], sums={"c": "n_tokens"})
+    return pref.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("c") - F.col("n_tokens")).cast("bigint").alias("start_offset"),
+    )
