@@ -131,6 +131,16 @@ HEADLINE += [
     # partials + driver-side 64x64 power iteration + codegen projection)
     "vec_pca_pc1_scores",
 ]
+HEADLINE += [
+    # round-8 additions: the OPQ serve path (rotate + ADC + rerank,
+    # train-once cached — tracks the rotation's serving overhead vs
+    # ann_ivfpq_topk's unrotated ADC), and two two-stage-parallel-
+    # prefix consumers (packing offsets over the corpus; the decile
+    # spend-share curve sharing Gini's rank machinery)
+    "ann_recall_opq",
+    "docs_global_token_offsets",
+    "events_user_lorenz_curve",
+]
 
 # Bumped whenever the warm-up methodology changes (what is excluded
 # from the timed region), so bench_compare can distinguish
@@ -148,8 +158,9 @@ HEADLINE += [
 #        at sf0.1 — a per-process one-time cost, same rationale as the
 #        corpus-pipeline compile. Training itself stays IN the timed
 #        entry: dedup is a batch job, not a serve path).
-#   v5 (r8): no new warmup stage — the bump records the r7
-#        METHODOLOGY change (forced full JVM GC at every pass
+#   v5 (r8): + OPQ index build (rotation + rotated codebooks +
+#        encoded corpus, same train/serve split as IVF); also records
+#        the r7 METHODOLOGY change (forced full JVM GC at every pass
 #        boundary, see the rep loop) so bench_compare does not treat
 #        post-GC-hygiene runs as directly comparable with pre-v5
 #        rounds (ADVICE r7).
@@ -264,6 +275,26 @@ def main() -> None:
             ).write.format("noop").mode("overwrite").save()
     except Exception as exc:  # noqa: BLE001
         print(f"WARN bench: IVF-PQ index build failed: {exc!r}", file=sys.stderr)
+    try:  # OPQ index build (round 8): rotation (one Gram pass + driver
+        # eigh), rotated codebooks, and the encoded corpus all memoize
+        # per (sf_dir, params) — the timed ann_recall_opq entry then
+        # measures the serve path (query rotate + ADC + exact rerank),
+        # same train/serve split as the IVF blocks above.
+        from dataengineer_job_scraper_etl_spark.operators.opq import (
+            opq_train,
+            pq_rerank_topk,
+        )
+
+        if e is not None:
+            rot = opq_train(
+                e.select("embedding"), "embedding", EMBED_DIM, m=8,
+                cache_key=sf_dir,
+            )
+            pq_rerank_topk(
+                e, q, dim=EMBED_DIM, rotation=rot, cache_key=sf_dir
+            ).write.format("noop").mode("overwrite").save()
+    except Exception as exc:  # noqa: BLE001
+        print(f"WARN bench: OPQ index build failed: {exc!r}", file=sys.stderr)
     try:  # corpus-pipeline plan compile: the composed pipeline is the
         # largest single plan in the catalog (gate + digest agg + LSH
         # sketch + iterative components + windows) and its first

@@ -233,9 +233,31 @@ def pq_rerank_topk(
         seed=seed,
         cache_key=None if cache_key is None else f"{cache_key}:{tag}",
     )
-    coded = pq_encode(cc, books, vec_col=code_col).select(
-        id_col, "pq_codes"
+    # The ENCODED corpus is an index artifact (FAISS add() output):
+    # cache it like ivfpq_topk does, so keyed re-executions measure
+    # the serve path (query rotate + ADC + rerank), not a per-call
+    # re-encode of the whole corpus. Composite key first element keeps
+    # clear_trained_indexes(cache_key) covering it.
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        _CODED_CORPUS_CACHE,
+        _cached_coded,
     )
+
+    coded_key = (
+        (f"{cache_key}:{tag}", "coded", dim, id_col, vec_col, m,
+         k_codes, n_iter, seed)
+        if cache_key is not None
+        else None
+    )
+    coded = _cached_coded(coded_key) if coded_key is not None else None
+    if coded is None:
+        coded = (
+            pq_encode(cc, books, vec_col=code_col)
+            .select(id_col, "pq_codes")
+            .localCheckpoint(eager=False)
+        )
+        if coded_key is not None:
+            _CODED_CORPUS_CACHE[coded_key] = coded
     short = pq_topk_adc(
         coded,
         qq.select(qid_col, F.col(qcode_col).alias(qcode_col)),

@@ -242,24 +242,19 @@ def rank_exact_edges(
     scored: DataFrame, col: str, n_buckets: int, n_total: int
 ) -> list[float]:
     """Rank-exact bucket edges: distinct-score histogram -> cumulative
-    sum over the COMPRESSED histogram (two-stage parallel prefix at
-    real scale) -> edge_k = min score with cum >= ceil(k*N/n_buckets).
-    Engine-portable where percentile_disc/approx semantics diverge;
-    the (n_buckets - 1)-row collect is bounded."""
-    from pyspark.sql import Window
-
-    cum = (
-        scored.groupBy(col)
-        .count()
-        .withColumn(
-            "cum",
-            F.sum("count").over(
-                Window.orderBy(col).rowsBetween(
-                    Window.unboundedPreceding, 0
-                )
-            ),
-        )
+    sum over the COMPRESSED histogram via the two-stage parallel
+    prefix (operators/prefix.py — the histogram is distinct quantized
+    scores, corpus-cardinality-bounded, NOT cluster-width-bounded, so
+    it gets the real prefix, not a single-task window) -> edge_k =
+    min score with cum >= ceil(k*N/n_buckets). Engine-portable where
+    percentile_disc/approx semantics diverge; the (n_buckets - 1)-row
+    collect is bounded."""
+    from dataengineer_job_scraper_etl_spark.operators.prefix import (
+        global_prefix,
     )
+
+    hist = scored.groupBy(col).count()
+    cum = global_prefix(hist, [F.asc(col)], sums={"cum": "count"})
     thresholds = [
         (k * n_total + n_buckets - 1) // n_buckets
         for k in range(1, n_buckets)

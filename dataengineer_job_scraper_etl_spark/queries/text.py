@@ -1263,3 +1263,62 @@ def docs_global_token_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.col("c") - F.col("n_tokens")).cast("bigint").alias("start_offset"),
     )
+
+
+@register(
+    "docs_shard_assignment",
+    """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+           AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS s
+  FROM t),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM t)
+SELECT CAST(s * 8 // (SELECT total FROM tot) AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+FROM o GROUP BY 1
+""",
+    doc="Token-balanced contiguous sharding: assign each document to "
+    "one of 8 shards by its global token START OFFSET (shard = "
+    "offset*8 div total) — every shard holds a contiguous doc_id "
+    "range carrying total/8 tokens up to one document of slack, the "
+    "assignment a multi-host training loader needs so each rank "
+    "streams an equal token budget without a shuffle at read time. "
+    "Offsets come from the two-stage parallel prefix "
+    "(operators/prefix.py), the grand total folds in via broadcast "
+    "(no collect), and the per-shard rollup is a tiny 8-group agg. "
+    "INTEGER-EXACT; companion to docs_global_token_offsets.",
+)
+def docs_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.prefix import (
+        global_prefix,
+    )
+
+    d = _docs(spark, sf_dir)
+    t = d.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    pref = global_prefix(t, [F.asc("doc_id")], sums={"c": "n_tokens"})
+    tot = pref.agg(F.max("c").cast("bigint").alias("total"))
+    return (
+        pref.select(
+            "n_tokens", (F.col("c") - F.col("n_tokens")).alias("s")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("CAST(s * 8 div total AS BIGINT)").alias("shard_id"),
+            "n_tokens",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        )
+    )
