@@ -29,3 +29,30 @@ def test_ks_matches_hand_computed_d(spark, tmp_path):
     row = events_value_ks_drift(spark, d).collect()[0]
     assert (row["n_a"], row["n_b"]) == (4, 4)
     assert row["ks_ppm"] == 500000  # D = 1/2, integer-exact
+
+
+def test_ks_scaling_is_exact_past_the_old_int64_wrap(spark):
+    """ADVICE r7: the all-int64 formulation silently wrapped at
+    mx * 1e6 > 9.2e18 (~3e6 rows per balanced slice). The DECIMAL /
+    HUGEINT scaling step must agree across engines right at and past
+    that boundary, up to the documented ~3e9-rows-per-slice bound."""
+    import duckdb
+
+    cases = [
+        # mx <= na*nb by construction (D <= 1); max out both
+        (9_000_000_000_000_000_000, 3_000_000_000, 3_000_000_000),
+        (9_223_372_036_854, 3_037_000, 3_037_000),  # old wrap point
+        (1, 3_000_000_000, 3_000_000_000),
+        (8_999_999_999_999_999_999, 2_999_999_999, 3_000_000_000),
+    ]
+    for mx, na, nb in cases:
+        got = spark.sql(
+            f"SELECT CAST(CAST({mx} AS DECIMAL(38,0)) * 1000000"
+            f" div (CAST({na} AS DECIMAL(19,0)) * {nb}) AS BIGINT) AS x"
+        ).collect()[0]["x"]
+        want = duckdb.sql(
+            f"SELECT CAST(CAST({mx} AS HUGEINT) * 1000000"
+            f" // (CAST({na} AS HUGEINT) * {nb}) AS BIGINT) AS x"
+        ).fetchone()[0]
+        assert got == want, (mx, na, nb, got, want)
+        assert 0 <= got <= 1_000_000  # a KS statistic in ppm
