@@ -30,13 +30,15 @@ staleness contract as IVF centroids and register with
 
 Honest measured claim (PLANS.md r8): on the driver fixture — random,
 near-isotropic embeddings — OPQ at the serving operating point
-(m=8, k_codes=64, shortlist=200, exact rerank) recovers slightly MORE
-of the exact top-10 than plain PQ at every sf (numpy pre-study:
-50/50 vs 48/50 at sf0.001, 50 vs 47 at sf0.01, 39 = 39 at sf0.1);
-at starved budgets (k=16, shortlist=50) rotation does not pay on
-isotropic data — the classic OPQ gain needs correlated/anisotropic
-inputs. Both paths are pinned by recall-floor entries; the gain entry
-asserts OPQ >= plain PQ in total recovered hits.
+(m=8, k_codes=64, shortlist=200, exact rerank) recovers at least as
+many of the exact top-10 as plain PQ at every rung, measured
+in-engine with the fixed allocation: 48/48 at sf0.001, 50/47 at
+sf0.01, 44/39 at sf0.1, 31/27 at sf1 (opq/plain total hits over 5
+queries). At starved budgets (k=16, shortlist=50) rotation does NOT
+pay on isotropic data — the classic OPQ gain needs
+correlated/anisotropic inputs and a near-high-rate code budget. Both
+paths are pinned by recall-floor entries; the gain entry asserts
+OPQ >= plain PQ in total recovered hits.
 """
 
 from __future__ import annotations

@@ -129,3 +129,37 @@ def test_entries_have_no_data_sized_unpartitioned_window(
     # and the parallel path is actually wired: the partials window
     # exists (one per prefix call in the entry)
     assert windows, f"{entry}: no offsets window found — operator unwired?"
+
+
+def test_no_unpartitioned_window_source_engine_wide():
+    """Source-level lint: after round 8 the ONLY ``Window.orderBy``
+    with no ``partitionBy`` in the engine is global_prefix's own
+    offsets pass (bounded by partition count, never by data). A new
+    unpartitioned window anywhere else is a single-task collapse at
+    100 TB and must go through operators/prefix.py instead."""
+    import os
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "dataengineer_job_scraper_etl_spark",
+    )
+    offenders = []
+    for root, _, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            src = open(path, encoding="utf-8").read()
+            for m in re.finditer(r"Window\.orderBy", src):
+                line = src[: m.start()].count("\n") + 1
+                rel = os.path.relpath(path, pkg)
+                if rel == "operators/prefix.py":
+                    continue  # the bounded offsets pass + its docstring
+                # ignore mentions inside strings/comments that contain
+                # the phrase as documentation
+                snippet = src.splitlines()[line - 1].strip()
+                if snippet.startswith(("#", '"', "'")):
+                    continue
+                offenders.append(f"{rel}:{line}: {snippet}")
+    assert not offenders, offenders
