@@ -374,6 +374,25 @@ def main() -> None:
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     runs: dict[str, list[float]] = {}
+
+    # Host-stall sentinel (round 8, VERDICT r7 ask #8): the r6/r7
+    # outlier mechanism — a host-level stall inflating whatever
+    # queries happen to be in flight (adjacent entries spiking 3-20x
+    # in the SAME pass, clean in isolated reruns) — recurred in the r8
+    # run. A fixed, data-independent probe timed at every pass
+    # boundary attributes it mechanically: if a pass's sentinel time
+    # is >3x the best pass's, that pass's spikes are host noise, not
+    # plan regressions. Medians already absorb a single bad pass; the
+    # sentinel makes the attribution part of the artifact instead of a
+    # per-round forensic exercise.
+    def _sentinel() -> float:
+        t0 = time.time()
+        spark.range(0, 2_000_000, 1, 32).agg({"id": "sum"}).collect()
+        return round(time.time() - t0, 3)
+
+    _sentinel()  # compile the probe itself outside the measurement
+    sentinels: list[float] = []
+
     # Rep-major order (full headline pass per rep, not rep-per-query):
     # consecutive same-query runs would share executor-local state the
     # production cadence (one run per nightly batch) does not; a full
@@ -391,6 +410,7 @@ def main() -> None:
             spark._jvm.System.gc()  # noqa: SLF001 - no public API for this
         except Exception:  # noqa: BLE001 - best-effort hygiene only
             pass
+        sentinels.append(_sentinel())
         for name in HEADLINE:
             q = qs.get(name)
             if q is None:
@@ -404,6 +424,17 @@ def main() -> None:
             # up in the block manager and later queries pay their GC bill.
             gc.collect()
 
+    sentinels.append(_sentinel())  # close the last pass
+    # Flag on ratio AND >=1 s absolute excess: the stalls being
+    # attributed inflate seconds-scale entries by 10-15 s, while a
+    # sub-second probe can triple on scheduler jitter alone.
+    stall_passes = [
+        i
+        for i, s in enumerate(sentinels)
+        if min(sentinels) > 0
+        and s / min(sentinels) > 3
+        and s - min(sentinels) >= 1.0
+    ]
     timings = {n: round(statistics.median(v), 3) for n, v in runs.items()}
     spread = {n: round(max(v) - min(v), 3) for n, v in runs.items()}
     # Per-rep raw runs + spread go to a SIDE FILE: round 6's driver could
@@ -414,7 +445,17 @@ def main() -> None:
     side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs.json")
     try:
         with open(side, "w") as f:
-            json.dump({"runs": runs, "spread": spread, "reps": reps}, f, indent=1)
+            json.dump(
+                {
+                    "runs": runs,
+                    "spread": spread,
+                    "reps": reps,
+                    "sentinels": sentinels,
+                    "stall_passes": stall_passes,
+                },
+                f,
+                indent=1,
+            )
     except OSError as e:
         print(f"WARN bench: could not write {side}: {e!r}", file=sys.stderr)
     print(
