@@ -244,7 +244,14 @@ pairs AS (
 edges AS (SELECT src AS a, dst AS b FROM pairs
           UNION SELECT dst, src FROM pairs),
 reach(node, r) AS (
-  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  -- seed ONLY local minima (nodes smaller than every neighbor): the
+  -- component minimum is necessarily a local minimum and reaches
+  -- every member, so min(r) per node is UNCHANGED, while the closure
+  -- state drops from sum(|comp|^2) to sum(|comp| x |local minima|) —
+  -- the tiled-corpus chain components at sf1 blew the full-seed
+  -- closure to 41M rows / ~160 s (round-8 profile; this seeding
+  -- brings the oracle back inside the sf1 rotation budget)
+  SELECT a, a FROM (SELECT a FROM edges GROUP BY a HAVING a < min(b))
   UNION
   SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
 comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
