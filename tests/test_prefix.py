@@ -163,3 +163,43 @@ def test_no_unpartitioned_window_source_engine_wide():
                     continue
                 offenders.append(f"{rel}:{line}: {snippet}")
     assert not offenders, offenders
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-100, 100), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=120,
+    ),
+    num_partitions=st.integers(1, 9),
+)
+def test_property_matches_python_reference(spark, rows, num_partitions):
+    """Differential property: for arbitrary (key, value) rows —
+    duplicate keys, negatives, any partition count — the operator's
+    global rank and running sum equal a pure-Python sort+scan under
+    the same (key asc, id asc) total order."""
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, k long, v long").repartition(3)
+    out = {
+        r["id"]: (r["rnk"], r["c"])
+        for r in global_prefix(
+            df,
+            [F.asc("k"), F.asc("id")],
+            sums={"c": "v"},
+            row_number_col="rnk",
+            num_partitions=num_partitions,
+        ).collect()
+    }
+    ref = sorted(data, key=lambda t: (t[1], t[0]))
+    run = 0
+    for rnk, (i, _k, v) in enumerate(ref, start=1):
+        run += v
+        assert out[i] == (rnk, run), (i, out[i], (rnk, run))
