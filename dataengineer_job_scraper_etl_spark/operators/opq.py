@@ -117,6 +117,11 @@ def opq_train(
     residual — immaterial for ANN, pinned by tests/test_opq.py."""
     import numpy as np
 
+    if dim % m != 0:
+        # fail BEFORE the corpus Gram pass; without this the greedy
+        # allocation dies with an opaque "min() arg is an empty
+        # sequence" after paying the full scan (ADVICE r8)
+        raise ValueError(f"dim={dim} not divisible by m={m}")
     ckey = (cache_key, dim, m) if cache_key is not None else None
     if ckey is not None and ckey in _ROTATION_CACHE:
         return _ROTATION_CACHE[ckey]
@@ -233,7 +238,7 @@ def pq_rerank_topk(
         k=k_codes,
         n_iter=n_iter,
         seed=seed,
-        cache_key=None if cache_key is None else f"{cache_key}:{tag}",
+        cache_key=None if cache_key is None else f"{cache_key}\x00{tag}",
     )
     # The ENCODED corpus is an index artifact (FAISS add() output):
     # cache it like ivfpq_topk does, so keyed re-executions measure
@@ -246,7 +251,7 @@ def pq_rerank_topk(
     )
 
     coded_key = (
-        (f"{cache_key}:{tag}", "coded", dim, id_col, vec_col, m,
+        (f"{cache_key}\x00{tag}", "coded", dim, id_col, vec_col, m,
          k_codes, n_iter, seed)
         if cache_key is not None
         else None

@@ -63,7 +63,11 @@ def global_prefix(
     sums: {out_col: src_col} running sums INCLUSIVE of the current
       row, over the global order (out typed as src; int64/float64
       accumulation — callers own the overflow bound exactly as they
-      would under ``F.sum().over``).
+      would under ``F.sum().over``). NULL handling matches
+      ``F.sum().over`` exactly: nulls contribute nothing, and a row
+      whose whole prefix is null gets NULL (ADVICE r8: the first cut
+      let pandas cumsum propagate NaN through the carry, poisoning
+      every later row in the partition).
     row_number_col: optional 1-based global row-number column (long).
 
     Returns df's columns plus the requested prefix columns. Totals /
@@ -92,6 +96,9 @@ def global_prefix(
     out_fields = list(part.schema.fields)
     for out, src in sum_items:
         out_fields.append(StructField(out, df.schema[src].dataType, True))
+        # hidden running non-null count: lets the join-back reproduce
+        # window-sum's "all-null prefix -> NULL" without NaN carries
+        out_fields.append(StructField(f"__nn_{out}", LongType(), False))
     if row_number_col is not None:
         out_fields.append(StructField(row_number_col, LongType(), False))
     out_fields.append(StructField(_PID, IntegerType(), False))
@@ -103,14 +110,20 @@ def global_prefix(
 
         pid = TaskContext.get().partitionId()
         carry = {out: 0 for out, _ in sum_items}
+        carry_nn = {out: 0 for out, _ in sum_items}
         seen = 0
         for pdf in batches:
             if pdf.empty:
                 continue
             for out, src in sum_items:
-                c = pdf[src].cumsum() + carry[out]
+                # nulls contribute 0 to the running value (window-sum
+                # semantics); the non-null count decides NULL output
+                c = pdf[src].fillna(0).cumsum() + carry[out]
                 pdf[out] = c
                 carry[out] = c.iloc[-1]
+                nn = pdf[src].notna().cumsum() + carry_nn[out]
+                pdf[f"__nn_{out}"] = nn
+                carry_nn[out] = int(nn.iloc[-1])
             if rn is not None:
                 import numpy as np
 
@@ -125,7 +138,10 @@ def global_prefix(
 
     # One partial row per partition; the offsets prefix is an
     # unpartitioned window over a <= num_partitions-row frame.
-    aggs = [F.sum(src).alias(f"__t_{out}") for out, src in sum_items]
+    aggs = []
+    for out, src in sum_items:
+        aggs.append(F.sum(src).alias(f"__t_{out}"))
+        aggs.append(F.count(src).alias(f"__t_nn_{out}"))
     if rn is not None:
         aggs.append(F.count(F.lit(1)).alias("__t_rn"))
     partials = local.groupBy(_PID).agg(*aggs)
@@ -135,6 +151,11 @@ def global_prefix(
         off_cols.append(
             F.coalesce(F.sum(f"__t_{out}").over(w_off), F.lit(0)).alias(
                 f"__o_{out}"
+            )
+        )
+        off_cols.append(
+            F.coalesce(F.sum(f"__t_nn_{out}").over(w_off), F.lit(0)).alias(
+                f"__o_nn_{out}"
             )
         )
     if rn is not None:
@@ -147,7 +168,10 @@ def global_prefix(
     shifted = [F.col(c) for c in src_cols]
     for out, src in sum_items:
         shifted.append(
-            (F.col(out) + F.col(f"__o_{out}"))
+            F.when(
+                F.col(f"__nn_{out}") + F.col(f"__o_nn_{out}") > 0,
+                F.col(out) + F.col(f"__o_{out}"),
+            )
             .cast(df.schema[src].dataType)
             .alias(out)
         )

@@ -1205,15 +1205,18 @@ def clear_trained_indexes(cache_key: str | None = None) -> None:
         if cache_key is None:
             cache.clear()
         else:
-            # composite first elements ("<key>:opq", "<key>:plain")
-            # belong to the same corpus snapshot as <key>
+            # composite first elements ("<key>\x00opq", "<key>\x00plain")
+            # belong to the same corpus snapshot as <key>. The NUL
+            # separator can't appear in sf_dir-style caller keys, so a
+            # key like "a" never clears a DISTINCT corpus "a:b"
+            # (ADVICE r8: ':' collided with plausible caller keys).
             for k in [
                 k
                 for k in cache
                 if k[0] == cache_key
                 or (
                     isinstance(k[0], str)
-                    and k[0].startswith(f"{cache_key}:")
+                    and k[0].startswith(f"{cache_key}\x00")
                 )
             ]:
                 del cache[k]

@@ -1127,9 +1127,17 @@ FROM range(1, 11) r(k)
     "the two cross-check each other). Ranks and running spend come "
     "from the two-stage parallel prefix (operators/prefix.py), the "
     "(n, total) moments fold in via a broadcast crossJoin over the "
-    "prefixed frame (no collects, users-sized frame scanned once), "
-    "and the 10 decile thresholds join in the same broadcast-small "
-    "shape as the vocab-coverage cutoffs. INTEGER-EXACT ppm.",
+    "prefixed frame (no collects, users-sized frame scanned once). "
+    "Decile coverage is read off ARITHMETICALLY: cents are "
+    "non-negative, so the running sum c is non-decreasing in i and "
+    "max(c : i <= floor(k*n/10)) is exactly c AT the threshold row "
+    "i = floor(k*n/10); the 10-row threshold frame broadcasts into a "
+    "hash EQUI-join against the prefixed frame (one pass) and the "
+    "<=10 hits broadcast back onto the decile frame — only 1-row / "
+    "10-row frames ever sit on a broadcast build side (ADVICE r8: "
+    "the previous i*10 <= k*n non-equi left join forced a "
+    "BroadcastNestedLoopJoin building the users-sized right). "
+    "INTEGER-EXACT ppm.",
 )
 def events_user_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataengineer_job_scraper_etl_spark.operators.prefix import (
@@ -1158,11 +1166,19 @@ def events_user_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ks = spark.range(1, 11).select(F.col("id").cast("bigint").alias("decile"))
     target = ks.crossJoin(F.broadcast(tot)).select(
-        "decile", "n", "s", F.expr("decile * n div 10").alias("n_bottom")
+        "decile", "s", F.expr("decile * n div 10").alias("n_bottom")
     )
-    cov = target.join(
-        pref, pref["i"] * 10 <= target["decile"] * target["n"], "left"
-    ).groupBy("decile", "n_bottom", "s").agg(F.max("c").alias("c"))
+    # cents >= 0 -> c non-decreasing in i, so the decile's max running
+    # sum is c at the threshold row i = floor(k*n/10) itself: broadcast
+    # the 10-row threshold frame into a hash equi-join against pref
+    # (one pass, no condition-bearing nested-loop join anywhere), then
+    # fold the <=10 hits back onto the full decile frame.
+    hits = pref.join(
+        F.broadcast(target.select("decile", "n_bottom")),
+        pref["i"] == F.col("n_bottom"),
+        "inner",
+    ).select("decile", "c")
+    cov = target.join(F.broadcast(hits), "decile", "left")
     return cov.select(
         "decile",
         F.col("n_bottom").cast("bigint").alias("n_bottom"),

@@ -1208,9 +1208,18 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = spark.createDataFrame(
         [(k,) for k in _VOCAB_CUTOFFS], "vocab_size long"
     )
+    # counts are positive -> c strictly increasing in rnk, so coverage
+    # at cutoff k is c AT rnk == k. Filter the prefixed frame to the
+    # <=len(cutoffs) threshold rows and broadcast THAT into the
+    # equi-join (ADVICE r8: the previous rnk <= k non-equi left join
+    # forced a BroadcastNestedLoopJoin building the vocab-sized right).
+    # Cutoffs beyond the vocabulary miss the join -> coalesce to g.
+    thr = cum.filter(F.col("rnk").isin(list(_VOCAB_CUTOFFS))).select(
+        F.col("rnk").alias("thr_rnk"), "c"
+    )
     cov = ks.join(
-        cum, cum["rnk"] <= ks["vocab_size"], "left"
-    ).groupBy("vocab_size").agg(F.max("c").alias("c"))
+        F.broadcast(thr), ks["vocab_size"] == thr["thr_rnk"], "left"
+    )
     return cov.crossJoin(F.broadcast(grand)).select(
         "vocab_size",
         # integer div, not floor(double /): an exactly-divisible

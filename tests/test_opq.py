@@ -129,9 +129,19 @@ def test_rotation_cache_is_keyed_and_cleared(spark):
     # cache hit: same object, the second frame is never scanned
     other = _emb(spark, [[9.0] * DIM] * 3)
     assert opq_train(other, "embedding", DIM, m=M, cache_key=key) is first
-    # key-scoped clear drops it (and would drop "<key>:opq" composites)
+    # key-scoped clear drops it (and would drop "<key>\x00opq"
+    # composites)
     clear_trained_indexes(key)
     assert (key, DIM, M) not in _ROTATION_CACHE
+
+
+def test_opq_train_rejects_indivisible_m(spark):
+    """ADVICE r8: a non-divisible m must fail fast with a clear error
+    BEFORE the corpus Gram pass, not die inside the eigenvalue
+    allocation after paying the full scan."""
+    df = _emb(spark, _corr_data(n=4))
+    with pytest.raises(ValueError, match="not divisible"):
+        opq_train(df, "embedding", DIM, m=3)
 
 
 def test_opq_beats_plain_pq_on_correlated_data(spark):

@@ -60,6 +60,37 @@ def test_matches_single_window_reference(spark, num_partitions):
     assert got == want
 
 
+def test_null_values_match_window_sum_semantics(spark):
+    """ADVICE r8: pandas cumsum propagates NaN through the carry,
+    which would poison every row after the first null in a partition.
+    The operator must match F.sum().over exactly: nulls contribute
+    nothing, and rows whose ENTIRE prefix is null get NULL — including
+    an all-null leading partition whose nullness must not leak across
+    the partition boundary."""
+    rows = [
+        # leading all-null run (sorts first under n asc nulls... id):
+        # exercises the cross-partition "no non-null seen yet" case
+        (0, None), (1, None), (2, None),
+        (3, 5), (4, None), (5, 7), (6, None), (7, 1),
+    ]
+    df = spark.createDataFrame(rows, "id long, n long").repartition(3)
+    order = [F.asc("id")]
+    got = {
+        r["id"]: r["c"]
+        for r in global_prefix(
+            df, order, sums={"c": "n"}, num_partitions=4
+        ).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["c"]
+        for r in df.select("id", F.sum("n").over(w).alias("c")).collect()
+    }
+    assert got == want
+    assert got[0] is None and got[2] is None  # all-null prefix -> NULL
+    assert got[4] == 5 and got[7] == 13  # nulls contribute nothing
+
+
 def test_empty_frame(spark):
     df = spark.createDataFrame([], "id long, n long, m long")
     out = global_prefix(df, [F.asc("id")], sums={"c": "n"})
@@ -131,6 +162,34 @@ def test_entries_have_no_data_sized_unpartitioned_window(
     assert windows, f"{entry}: no offsets window found — operator unwired?"
 
 
+@pytest.mark.parametrize(
+    "entry",
+    ["events_user_lorenz_curve", "text_vocab_coverage_curve"],
+)
+def test_curve_entries_never_nested_loop_join_the_data_side(
+    spark, sf_dir, entry
+):
+    """ADVICE r8 (medium): the decile/cutoff coverage lookups used a
+    non-equi LEFT join (i*10 <= k*n / rnk <= k) whose only physical
+    strategy is a BroadcastNestedLoopJoin building the DATA-SIZED
+    right side. The rewrite reads coverage off the threshold rows via
+    broadcast hash equi-joins; the only nested-loop joins allowed in
+    these plans are the condition-free 1-row Cross folds (tot/grand
+    moments). A LeftOuter/Inner BNLJ reappearing here is the
+    data-sized-broadcast regression."""
+    from dataengineer_job_scraper_etl_spark.catalog import all_queries
+
+    df = all_queries()[entry].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = [
+        ln.strip()
+        for ln in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in ln
+        and "Cross" not in ln
+    ]
+    assert not bad, bad
+
+
 def test_no_unpartitioned_window_source_engine_wide():
     """Source-level lint: after round 8 the ONLY ``Window.orderBy``
     with no ``partitionBy`` in the engine is global_prefix's own
@@ -175,7 +234,10 @@ from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E
 )
 @given(
     rows=st.lists(
-        st.tuples(st.integers(-100, 100), st.integers(-1000, 1000)),
+        st.tuples(
+            st.integers(-100, 100),
+            st.one_of(st.none(), st.integers(-1000, 1000)),
+        ),
         min_size=1,
         max_size=120,
     ),
@@ -183,9 +245,10 @@ from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E
 )
 def test_property_matches_python_reference(spark, rows, num_partitions):
     """Differential property: for arbitrary (key, value) rows —
-    duplicate keys, negatives, any partition count — the operator's
-    global rank and running sum equal a pure-Python sort+scan under
-    the same (key asc, id asc) total order."""
+    duplicate keys, negatives, NULLs, any partition count — the
+    operator's global rank and running sum equal a pure-Python
+    sort+scan with F.sum().over's null semantics (nulls add nothing;
+    all-null prefix -> NULL) under the same (key asc, id asc) order."""
     data = [(i, k, v) for i, (k, v) in enumerate(rows)]
     df = spark.createDataFrame(data, "id long, k long, v long").repartition(3)
     out = {
@@ -199,7 +262,10 @@ def test_property_matches_python_reference(spark, rows, num_partitions):
         ).collect()
     }
     ref = sorted(data, key=lambda t: (t[1], t[0]))
-    run = 0
+    run, seen_nonnull = 0, False
     for rnk, (i, _k, v) in enumerate(ref, start=1):
-        run += v
-        assert out[i] == (rnk, run), (i, out[i], (rnk, run))
+        if v is not None:
+            run += v
+            seen_nonnull = True
+        want = run if seen_nonnull else None
+        assert out[i] == (rnk, want), (i, out[i], (rnk, want))

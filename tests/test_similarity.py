@@ -279,8 +279,13 @@ def test_clear_trained_indexes_scopes_by_key(spark):
     similarity._CENTROID_CACHE[("a", 1)] = [(0, [0.0])]
     similarity._CENTROID_CACHE[("b", 1)] = [(0, [0.0])]
     similarity._CODEBOOK_CACHE[("a", 2)] = [[(0, [0.0])]]
+    # NUL-separated composite belongs to corpus "a"; "a:b" is a
+    # DISTINCT corpus whose key merely shares a prefix (ADVICE r8:
+    # the ':'-separator rule over-cleared it)
+    similarity._CODEBOOK_CACHE[("a\x00opq", 2)] = [[(0, [0.0])]]
+    similarity._CENTROID_CACHE[("a:b", 1)] = [(0, [1.0])]
     similarity.clear_trained_indexes("a")
-    assert list(similarity._CENTROID_CACHE) == [("b", 1)]
+    assert list(similarity._CENTROID_CACHE) == [("b", 1), ("a:b", 1)]
     assert not similarity._CODEBOOK_CACHE
     similarity.clear_trained_indexes()
     assert not similarity._CENTROID_CACHE
