@@ -8,8 +8,23 @@ repo root and prints a ready-to-paste 50-entry schedule:
 
 1. entries that FAILED their most recent audit (a fix must be
    re-proven before anything else gets a slot),
-2. entries never hash-audited, registration order,
-3. everything else by last-audit round, oldest first.
+2. entries whose IMPLEMENTATION CHANGED since the source snapshot in
+   the ledger (VERDICT r8 "What's wrong" #1: the round-8 prefix
+   rewires missed the driver window because pure last-audit-round
+   staleness doesn't know about code edits — a rewired entry must
+   never again wait out the rotation). "Changed" = the sha256 of the
+   entry's spark_fn source + its oracle SQL + the full text of any
+   operators/ modules the function imports differs from
+   tools/audit_source_hashes.json,
+3. entries never hash-audited, registration order,
+4. everything else by last-audit round, oldest first.
+
+The ledger is (re)written on every run: each scheduled entry's hash is
+snapshotted NOW, because the code as of schedule generation is the
+code the next driver window will audit (regenerate after any
+late-round edit and the schedule self-corrects). Unscheduled entries
+keep their previous snapshot; entries seen for the first time are
+snapshotted so their NEXT edit trips the rule.
 
 Entries registered with ``oracle=None`` normally DON'T get slots: the
 driver records ``err: no_oracle`` plus a rows-only check for them, and
@@ -17,27 +32,56 @@ their real contracts are oracle-checked twin entries (planted-recall /
 recall-floor / contract queries) — so a recurring window slot on them
 is wasted. EXCEPTION (VERDICT r7 ask #4): a no-oracle entry that has
 NEVER appeared in any driver window gets one slot, at the head, so it
-carries at least rows-only driver evidence (non-null spark_rows, no
-real err); once any CORRECTNESS_r*.json shows it, it rotates out of
-contention permanently.
+carries at least rows-only driver evidence; once any
+CORRECTNESS_r*.json shows it, it rotates out of contention
+permanently.
 
-Usage: python tools/audit_rotation.py
+Usage: python tools/audit_rotation.py [--no-ledger-update]
 """
 
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 WINDOW = 50
+LEDGER = os.path.join(REPO, "tools", "audit_source_hashes.json")
+_OPS_DIR = os.path.join(REPO, "dataengineer_job_scraper_etl_spark", "operators")
+
+
+def entry_source_hash(q) -> str:
+    """Hash of everything the driver's audit of this entry executes:
+    the entry function's source, its oracle SQL, and the FULL text of
+    every operators/ module the function imports locally (so an edit
+    to e.g. operators/prefix.py marks every prefix-riding entry
+    changed, not just entries whose own body moved)."""
+    src = inspect.getsource(q.spark_fn)
+    parts = [src, q.oracle or ""]
+    mods = set(
+        re.findall(
+            r"from\s+dataengineer_job_scraper_etl_spark\.operators\.(\w+)",
+            src,
+        )
+    )
+    for mod in sorted(mods):
+        path = os.path.join(_OPS_DIR, f"{mod}.py")
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                parts.append(f.read())
+    return hashlib.sha256("\x00".join(parts).encode()).hexdigest()[:16]
 
 
 def main() -> int:
+    update_ledger = "--no-ledger-update" not in sys.argv
+
     from dataengineer_job_scraper_etl_spark import catalog
 
     qs = catalog.all_queries()  # registration order
@@ -62,6 +106,17 @@ def main() -> int:
             elif name in failed_latest and last_round[name] == rnd:
                 failed_latest.discard(name)  # later round went green
 
+    ledger: dict[str, str] = {}
+    if os.path.exists(LEDGER):
+        with open(LEDGER, encoding="utf-8") as f:
+            ledger = json.load(f)
+    current = {n: entry_source_hash(qs[n]) for n in qs}
+    changed = {
+        n
+        for n in names
+        if n in ledger and ledger[n] != current[n]
+    }
+
     # One-time rows-only slots for no-oracle entries with zero driver
     # evidence; once seen in any CORRECTNESS file they never re-enter.
     no_oracle_head = [n for n in skipped if n not in last_round]
@@ -69,16 +124,29 @@ def main() -> int:
     order = sorted(
         names,
         key=lambda n: (
-            0 if n in failed_latest else 1,
+            0 if n in failed_latest else 1 if n in changed else 2,
             last_round.get(n, -1),  # never audited -> -1 -> earliest
             names.index(n),
         ),
     )
     pick = no_oracle_head + order[: WINDOW - len(no_oracle_head)]
+
+    if update_ledger:
+        # scheduled entries: snapshot NOW (this code is what the next
+        # window audits); first-seen entries: snapshot so their next
+        # edit trips; everything else keeps its last-audited snapshot.
+        for n in qs:
+            if n in pick or n not in ledger:
+                ledger[n] = current[n]
+        with open(LEDGER, "w", encoding="utf-8") as f:
+            json.dump(dict(sorted(ledger.items())), f, indent=1)
+            f.write("\n")
+
     print(
         f"# next AUDIT_SCHEDULE ({len(pick)} entries: "
         f"{len(no_oracle_head)} one-time rows-only head "
         f"{no_oracle_head} + oracle-bearing rotation over {len(names)}; "
+        f"{len(changed)} changed-since-snapshot; "
         f"{len(skipped)} no-oracle entries total;\n"
         f"# source rounds: {[os.path.basename(p) for p in rounds]})"
     )
@@ -87,6 +155,7 @@ def main() -> int:
             "never audited, rows-only one-time slot"
             if n in no_oracle_head
             else "FAILED-LAST-AUDIT" if n in failed_latest
+            else "SOURCE-CHANGED since last snapshot" if n in changed
             else ("never audited" if n not in last_round
                   else f"last r{last_round[n]}")
         )
