@@ -17,6 +17,21 @@ spread (max - min) published alongside — round 5's n=1 timings made
 ±20% round-over-round deltas indistinguishable from noise (VERDICT r5
 "What's wrong" #3). ``queries`` stays median-valued so older
 bench_compare rounds remain comparable field-for-field.
+
+Host-stall handling (round 9, VERDICT r8 ask #2): the pass-boundary
+sentinel alone missed the r8 mid-pass stalls (per-entry spreads up to
+25 s with clean 0.24-0.31 s boundary probes). Now any entry whose rep
+spread exceeds both an absolute and a ratio threshold is FLAGGED and
+re-run ONCE at the end of the same invocation, bracketed by sentinel
+probes. ``queries`` stays the median over the original reps (rounds
+remain comparable field-for-field; a 1-of-3 stalled rep never moved
+the median anyway) — the rerun is the ADJUDICATION record: a clean-
+bracketed rerun at the normal level proves host noise, a rerun
+matching the spike proves a regression, and both publish
+machine-readably (stdout ``stall_flagged``; side-file ``reruns``).
+Pass attribution uses BOTH bounding sentinels (probe i precedes pass
+i, probe i+1 closes it — ADVICE r8: raw probe indices mis-attributed
+mid-pass stalls by one).
 """
 
 from __future__ import annotations
@@ -141,6 +156,12 @@ HEADLINE += [
     "docs_global_token_offsets",
     "events_user_lorenz_curve",
 ]
+HEADLINE += [
+    # round-9 addition: ExactSubstr dedup (Lee et al. 2022's removal
+    # half) — shingle-hash count pass + gaps-and-islands runs + the
+    # array-side trim; tracks the two-pass global-dedup shape
+    "docs_exact_substring_trim",
+]
 
 # Bumped whenever the warm-up methodology changes (what is excluded
 # from the timed region), so bench_compare can distinguish
@@ -169,6 +190,37 @@ WARMUP_VERSION = 5
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def stalled_passes(sentinels: list[float]) -> list[int]:
+    """Pass indices whose EITHER bounding sentinel probe (i precedes
+    pass i, i+1 closes it) is >3x the best probe AND >=1 s over it.
+    The ratio alone would let a sub-second probe triple on scheduler
+    jitter; the absolute floor alone would miss nothing the ratio
+    doesn't, but keeps the rule honest if the probe ever grows."""
+    if not sentinels or min(sentinels) <= 0:
+        return []
+    lo = min(sentinels)
+    hot = [s / lo > 3 and s - lo >= 1.0 for s in sentinels]
+    n_passes = max(0, len(sentinels) - 1)
+    return [i for i in range(n_passes) if hot[i] or hot[i + 1]]
+
+
+def suspect_entries(runs: dict[str, list[float]]) -> list[str]:
+    """Entries whose rep spread says one rep hit a host stall: the
+    spread (max-min) must be >=1.5 s absolute AND the worst rep >2x
+    the best. Tuned on the r8 driver artifact: the stalled entries
+    there (tpch_q9 25.0 s, ann_ivf_topk 24.9 s, vec_semdedup_survivors
+    21.9 s spreads over 3 reps) all trip both; clean entries' spreads
+    sat under 30% / well under a second. Requires >=2 reps."""
+    out = []
+    for name, v in runs.items():
+        if len(v) < 2:
+            continue
+        lo, hi = min(v), max(v)
+        if hi - lo >= 1.5 and hi > 2 * max(lo, 0.05):
+            out.append(name)
+    return out
 
 
 def main() -> None:
@@ -425,16 +477,41 @@ def main() -> None:
             gc.collect()
 
     sentinels.append(_sentinel())  # close the last pass
-    # Flag on ratio AND >=1 s absolute excess: the stalls being
-    # attributed inflate seconds-scale entries by 10-15 s, while a
-    # sub-second probe can triple on scheduler jitter alone.
-    stall_passes = [
-        i
-        for i, s in enumerate(sentinels)
-        if min(sentinels) > 0
-        and s / min(sentinels) > 3
-        and s - min(sentinels) >= 1.0
-    ]
+    stall_passes = stalled_passes(sentinels)
+
+    # Per-entry stall detection + same-invocation rerun (VERDICT r8
+    # ask #2: the r8 stalls landed MID-pass, between boundary probes,
+    # so the pass sentinel stayed clean while entry spreads hit 25 s).
+    # Each flagged entry gets ONE isolated rerun bracketed by sentinel
+    # probes. The rerun does NOT replace the median — ``queries`` stays
+    # the median over the original reps so rounds remain comparable
+    # field-for-field — it is the adjudication record: a clean-
+    # bracketed rerun at the normal level proves the spike was host
+    # noise; a rerun matching the spike proves a real regression. Both
+    # timings publish machine-readably.
+    flagged = suspect_entries(runs)
+    reruns: dict[str, dict] = {}
+    for name in flagged:
+        q = qs.get(name)
+        if q is None:
+            continue
+        s_before = _sentinel()
+        t0 = time.time()
+        _force(q.spark_fn(spark, sf_dir))
+        t = round(time.time() - t0, 3)
+        s_after = _sentinel()
+        lo = min(sentinels) if sentinels else s_before
+        clean = all(
+            s / lo <= 3 or s - lo < 1.0 for s in (s_before, s_after)
+        )
+        reruns[name] = {
+            "time": t,
+            "sentinel_before": s_before,
+            "sentinel_after": s_after,
+            "clean": clean,
+        }
+        gc.collect()
+
     timings = {n: round(statistics.median(v), 3) for n, v in runs.items()}
     spread = {n: round(max(v) - min(v), 3) for n, v in runs.items()}
     # Per-rep raw runs + spread go to a SIDE FILE: round 6's driver could
@@ -451,7 +528,11 @@ def main() -> None:
                     "spread": spread,
                     "reps": reps,
                     "sentinels": sentinels,
+                    # pass i is flagged when EITHER bounding probe
+                    # (sentinels[i] precedes it, sentinels[i+1] closes
+                    # it) trips the 3x + >=1s rule
                     "stall_passes": stall_passes,
+                    "reruns": reruns,
                 },
                 f,
                 indent=1,
@@ -469,6 +550,14 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "warmup_version": WARMUP_VERSION,
                 "runs_file": "bench_runs.json",
+                # machine-readable noise flags (VERDICT r8 ask #2):
+                # entries whose spread tripped the stall rule, with
+                # their isolated-rerun timing (see side file for the
+                # bracketing sentinels); empty dict = clean run
+                "stall_flagged": {
+                    n: r["time"] for n, r in reruns.items()
+                },
+                "stall_passes": stall_passes,
             }
         )
     )

@@ -315,3 +315,195 @@ def docs_repeated_ngram_coverage(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return repeated_ngram_coverage(_docs(spark, sf_dir))
+
+
+# --- ExactSubstr dedup (Lee et al. 2022, the REMOVAL half): delete
+# every maximal run of >= EXSUB_MIN_RUN token positions that lies
+# inside verbatim cross-corpus repetition, from EVERY occurrence, and
+# reassemble the survivors. The paper builds a corpus-wide suffix
+# array; that is a single sequential data structure — the scalable
+# re-expression is shingle granularity: a token position is
+# "duplicated" iff some sliding EXSUB_SHINGLE-gram covering it occurs
+# >= 2 times corpus-wide (hashed to 16 bytes before the shuffle).
+# Every true duplicated run of >= EXSUB_SHINGLE tokens is found
+# (any such run contains a duplicated shingle at every offset); runs
+# assembled from DIFFERENT duplicated shingles can merge — shingle
+# cover is the standard distributed approximation of suffix-array
+# ExactSubstr. MIN_RUN is 16 here (fixture docs average ~54 tokens);
+# production uses the paper's 50.
+
+EXSUB_SHINGLE = 8
+EXSUB_MIN_RUN = 16
+
+
+def _sliding_k_shingles(toks, k: int):
+    """All sliding k-token shingles in document order (empty when the
+    doc is shorter than k — sequence(0, negative) would DESCEND)."""
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_substring_trim(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = EXSUB_SHINGLE,
+    min_run: int = EXSUB_MIN_RUN,
+) -> DataFrame:
+    """(id, text) -> (doc_id, n_toks, removed_toks, cleaned).
+
+    Shape (the 100 TB story):
+    1. shingle-hash pass: sliding k-grams md5'd to 16 bytes BEFORE the
+       shuffle (digests travel, k-token strings don't) -> occurrence
+       counts (partial-aggregated map-side), repeated set = count>=2.
+       The repeated set joins back by SHUFFLE (corpus-sized worst
+       case, like repeated_ngram_coverage — never assumed broadcast).
+    2. covered positions -> maximal runs: gaps-and-islands with a
+       PER-DOC window (Window.partitionBy(doc_id) — partition-bounded,
+       never the engine-banned unpartitioned kind).
+    3. trim: the per-doc run list (a handful of (s,e) structs) joins
+       back onto the docs and the removal is ARRAY-SIDE
+       (filter(t, (tok,i) -> no run contains i)) — the corpus text is
+       never exploded for reassembly, unlike the boilerplate operator
+       (whose strip set is global, not per-doc).
+    Two corpus passes — the irreducible global-dedup shape; a
+    production pipeline materializes the shingle side between them.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
+    )
+    sh = base.select(
+        "doc_id",
+        F.posexplode(_sliding_k_shingles(F.col("t"), k)).alias(
+            "pos", "shingle"
+        ),
+    ).select("doc_id", "pos", F.md5(F.col("shingle")).alias("h"))
+    rep = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    cov = (
+        sh.join(rep, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + k - 1)
+            ).alias("cp"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("cp")
+    isl = cov.withColumn("g", F.col("cp") - F.row_number().over(w))
+    runs = (
+        isl.groupBy("doc_id", "g")
+        .agg(
+            F.min("cp").alias("s"),
+            F.max("cp").alias("e"),
+            F.count(F.lit(1)).alias("len"),
+        )
+        .filter(F.col("len") >= min_run)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("s", "e")).alias("runs"),
+            F.sum("len").cast("long").alias("removed_toks"),
+        )
+    )
+    keep = F.filter(
+        F.col("t"),
+        lambda tok, i: ~F.exists(
+            F.col("runs"), lambda r: (r["s"] <= i) & (i <= r["e"])
+        ),
+    )
+    return base.join(runs, "doc_id", "left").select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_toks"),
+        F.coalesce(F.col("removed_toks"), F.lit(0))
+        .cast("long")
+        .alias("removed_toks"),
+        F.when(F.col("runs").isNull(), F.array_join(F.col("t"), " "))
+        .otherwise(F.array_join(keep, " "))
+        .alias("cleaned"),
+    )
+
+
+_EXSUB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(t, pos + 1, pos + {EXSUB_SHINGLE}), ' ')) AS h
+  FROM (SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - {EXSUB_SHINGLE} + 1, 0))) AS pos
+        FROM tok)),
+rep AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, cp
+  FROM (SELECT s.doc_id, unnest(range(s.pos, s.pos + {EXSUB_SHINGLE})) AS cp
+        FROM sh s JOIN rep USING (h))),
+isl AS (
+  SELECT doc_id, cp,
+         cp - row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS g
+  FROM cov),
+runs AS (
+  SELECT doc_id, min(cp) AS s, max(cp) AS e, count(*) AS len
+  FROM isl GROUP BY doc_id, g HAVING count(*) >= {EXSUB_MIN_RUN}),
+rm AS (SELECT doc_id, CAST(cp AS BIGINT) AS cp
+       FROM (SELECT doc_id, unnest(range(s, e + 1)) AS cp FROM runs)),
+pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w
+        FROM (SELECT doc_id, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i
+              FROM tok)),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.w
+  FROM pos LEFT JOIN rm ON pos.doc_id = rm.doc_id AND pos.p = rm.cp
+  WHERE rm.cp IS NULL),
+reasm AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS cleaned
+          FROM kept GROUP BY doc_id),
+rem AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS removed_toks
+        FROM runs GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks FROM tok)
+SELECT t.doc_id AS doc_id, t.n_toks AS n_toks,
+       CAST(coalesce(rem.removed_toks, 0) AS BIGINT) AS removed_toks,
+       md5(coalesce(reasm.cleaned, '')) AS cleaned_md5
+FROM tot t
+LEFT JOIN rem USING (doc_id)
+LEFT JOIN reasm USING (doc_id)
+"""
+
+
+@register(
+    "docs_exact_substring_trim",
+    _EXSUB_ORACLE,
+    doc="ExactSubstr dedup (Lee et al. 2022's removal half; the engine "
+    "already had the NearDup half and the coverage SIGNAL): delete "
+    "every maximal token run >= 16 long lying inside cross-corpus "
+    "verbatim repetition (8-token shingle granularity, every "
+    "occurrence removed), reassemble survivors in order. cleaned_md5 "
+    "pins the EXACT per-doc reassembly: shingle hashing, the "
+    "count>=2 rule, gaps-and-islands run assembly, the min-run "
+    "threshold, and the array-side trim are all hash-checked. "
+    "Digests (16-byte md5) travel through the count shuffle, not "
+    "k-token strings; runs are found with a PER-DOC window; the trim "
+    "never explodes the corpus — a per-doc (s,e) run list joins back "
+    "and filter(t, (tok,i) -> ...) drops positions JVM-side.",
+)
+def docs_exact_substring_trim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out = exact_substring_trim(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_toks",
+        "removed_toks",
+        F.md5(F.col("cleaned")).alias("cleaned_md5"),
+    )

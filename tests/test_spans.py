@@ -101,3 +101,71 @@ def test_repeated_ngram_coverage_overlapping_shingles_union(spark):
     out = {r["doc_id"]: r for r in repeated_ngram_coverage(docs).collect()}
     assert out[0]["covered_toks"] == 5
     assert out[1]["covered_toks"] == 5
+
+
+# --- ExactSubstr trim (Lee et al. 2022 removal half, round 9) ---
+
+
+def _exsub(spark, rows, k=4, min_run=8):
+    from dataengineer_job_scraper_etl_spark.queries.spans import (
+        exact_substring_trim,
+    )
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r
+        for r in exact_substring_trim(docs, k=k, min_run=min_run).collect()
+    }
+
+
+def test_planted_cross_doc_run_removed_from_every_occurrence(spark):
+    """A 10-token passage shared by two docs (>= min_run=8) must be
+    deleted from BOTH; each doc's unique surroundings survive in
+    order."""
+    dup = " ".join(f"d{i}" for i in range(10))
+    rows = [
+        (0, f"a0 a1 a2 {dup} z0 z1"),
+        (1, f"b0 {dup} y0 y1 y2 y3"),
+        (2, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+    ]
+    out = _exsub(spark, rows)
+    assert out[0]["cleaned"] == "a0 a1 a2 z0 z1"
+    assert out[0]["removed_toks"] == 10
+    assert out[0]["n_toks"] == 15
+    assert out[1]["cleaned"] == "b0 y0 y1 y2 y3"
+    assert out[1]["removed_toks"] == 10
+    assert out[2]["cleaned"] == rows[2][1]  # untouched
+    assert out[2]["removed_toks"] == 0
+
+
+def test_short_repeats_survive_the_min_run_threshold(spark):
+    """Repetition shorter than min_run is left in place: a shared
+    4-token phrase (= one duplicated shingle, run length 4 < 8) is
+    kept in both docs."""
+    rows = [
+        (0, "p0 p1 p2 p3 a0 a1 a2 a3 a4"),
+        (1, "b0 b1 b2 b3 b4 p0 p1 p2 p3"),
+    ]
+    out = _exsub(spark, rows)
+    assert out[0]["cleaned"] == rows[0][1]
+    assert out[1]["cleaned"] == rows[1][1]
+    assert out[0]["removed_toks"] == 0 and out[1]["removed_toks"] == 0
+
+
+def test_within_doc_repetition_counts_as_duplication(spark):
+    """ExactSubstr counts OCCURRENCES, not documents: a doc repeating
+    its own 8-token block back-to-back forms one duplicated covered
+    run spanning both copies, and the whole run is removed."""
+    block = " ".join(f"r{i}" for i in range(8))
+    rows = [(0, f"{block} {block} tail0 tail1")]
+    out = _exsub(spark, rows)
+    assert out[0]["cleaned"] == "tail0 tail1"
+    assert out[0]["removed_toks"] == 16
+
+
+def test_whole_doc_duplicate_becomes_empty(spark):
+    dup = " ".join(f"w{i}" for i in range(12))
+    out = _exsub(spark, [(0, dup), (1, dup)])
+    assert out[0]["cleaned"] == "" and out[1]["cleaned"] == ""
+    assert out[0]["removed_toks"] == 12
+    assert out[0]["n_toks"] == 12
