@@ -250,6 +250,13 @@ def use_rocksdb_state_store(spark: SparkSession) -> str | None:
     return prev
 
 
+# Last drained query's final StreamingQueryProgress (dict) — read by
+# tools/sf1_metrics.py to record stateOperators evidence (state rows /
+# memory) for streaming entries, whose query object _drain never
+# returns. Evidence plumbing only; no engine logic reads it.
+LAST_PROGRESS: dict | None = None
+
+
 def run_available_now(
     out: DataFrame, query_name: str, checkpoint: str, output_mode: str = "append"
 ) -> Any:
@@ -265,6 +272,11 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+    global LAST_PROGRESS
+    try:
+        LAST_PROGRESS = q.lastProgress
+    except Exception:  # noqa: BLE001 - evidence only, never fail a drain
+        LAST_PROGRESS = None
     return q
 
 

@@ -41,11 +41,26 @@ SLICE = 25
 SF1_DIR = "/tmp/spark_graft_testdata/sf1"
 
 
-def _load() -> dict[str, int]:
+def _load() -> dict[str, dict]:
+    """Ledger rows are {"round": N, ...optional metrics fields}.
+    Legacy bare-int rows (rounds <= 8) normalize on read; the next
+    record/metrics write migrates them on disk (VERDICT r8 ask #7:
+    the 100 TB extrapolation wants peak-memory/shuffle/state numbers
+    next to the round stamp, not just plan shapes)."""
     if not os.path.exists(LEDGER):
         return {}
     with open(LEDGER, encoding="utf-8") as f:
-        return json.load(f)
+        raw = json.load(f)
+    return {
+        k: (v if isinstance(v, dict) else {"round": v})
+        for k, v in raw.items()
+    }
+
+
+def _save(ledger: dict[str, dict]) -> None:
+    with open(LEDGER, "w", encoding="utf-8") as f:
+        json.dump(dict(sorted(ledger.items())), f, indent=1)
+        f.write("\n")
 
 
 def main() -> int:
@@ -55,10 +70,10 @@ def main() -> int:
     if cmd == "record":
         rnd = int(sys.argv[2])
         for name in sys.argv[3:]:
-            ledger[name] = max(rnd, ledger.get(name, 0))
-        with open(LEDGER, "w", encoding="utf-8") as f:
-            json.dump(dict(sorted(ledger.items())), f, indent=1)
-            f.write("\n")
+            row = ledger.get(name, {"round": 0})
+            row["round"] = max(rnd, row.get("round", 0))
+            ledger[name] = row
+        _save(ledger)
         print(f"recorded r{rnd} for {len(sys.argv) - 3} entries")
         return 0
 
@@ -68,11 +83,15 @@ def main() -> int:
     qs = catalog.all_queries()
     names = [m for m, q in qs.items() if q.oracle is not None]
     stalest = sorted(
-        names, key=lambda m: (ledger.get(m, -1), names.index(m))
+        names,
+        key=lambda m: (ledger.get(m, {}).get("round", -1), names.index(m)),
     )[:n]
     print(f"# sf1 slice ({n} stalest of {len(names)} oracle-bearing):")
     for m in stalest:
-        print(f"#   {m}  (last sf1: r{ledger.get(m, '—never—')})")
+        print(
+            f"#   {m}  (last sf1: "
+            f"r{ledger.get(m, {}).get('round', '—never—')})"
+        )
     print(
         f"timeout 3000 python tools/check.py {SF1_DIR} "
         + " ".join(stalest)
