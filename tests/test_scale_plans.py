@@ -146,6 +146,7 @@ def test_python_stays_out_of_the_hot_path_catalog_wide(spark, sf_dir):
         # the PCA Gram stage whose collect hides it from plans)
         "ann_recall_opq",
         "ann_opq_vs_pq_gain",
+        "ann_opq_anisotropic_gain",  # r9: same rotate node
     }
     offenders = []
     for name, q in all_queries().items():
