@@ -169,3 +169,74 @@ def test_whole_doc_duplicate_becomes_empty(spark):
     assert out[0]["cleaned"] == "" and out[1]["cleaned"] == ""
     assert out[0]["removed_toks"] == 12
     assert out[0]["n_toks"] == 12
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+
+def _exsub_reference(docs, k, min_run):
+    """Pure-Python replay of exact_substring_trim's semantics."""
+    from collections import Counter
+
+    toks = {i: t.split(" ") for i, t in docs}
+    counts = Counter()
+    for t in toks.values():
+        for p in range(len(t) - k + 1):
+            counts[" ".join(t[p : p + k])] += 1
+    out = {}
+    for i, t in toks.items():
+        covered = set()
+        for p in range(len(t) - k + 1):
+            if counts[" ".join(t[p : p + k])] >= 2:
+                covered.update(range(p, p + k))
+        # maximal runs of covered positions, keep only >= min_run
+        remove = set()
+        run = []
+        for p in range(len(t) + 1):
+            if p in covered:
+                run.append(p)
+            else:
+                if len(run) >= min_run:
+                    remove.update(run)
+                run = []
+        kept = [w for j, w in enumerate(t) if j not in remove]
+        out[i] = (len(t), len(remove), " ".join(kept))
+    return out
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            # tiny alphabet -> heavy accidental repetition, the worst
+            # case for run assembly/merging
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_exsub_property_matches_python_reference(spark, docs):
+    """Differential property: arbitrary small docs over a 4-letter
+    alphabet (maximal accidental shingle collisions, overlapping and
+    merging runs, within- and cross-doc repeats) — the operator's
+    (n_toks, removed_toks, cleaned) must equal a pure-Python replay
+    with k=3, min_run=4."""
+    from dataengineer_job_scraper_etl_spark.queries.spans import (
+        exact_substring_trim,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_toks"], r["removed_toks"], r["cleaned"])
+        for r in exact_substring_trim(df, k=3, min_run=4).collect()
+    }
+    want = _exsub_reference(rows, k=3, min_run=4)
+    assert got == want
