@@ -157,10 +157,12 @@ HEADLINE += [
     "events_user_lorenz_curve",
 ]
 HEADLINE += [
-    # round-9 addition: ExactSubstr dedup (Lee et al. 2022's removal
+    # round-9 additions: ExactSubstr dedup (Lee et al. 2022's removal
     # half) — shingle-hash count pass + gaps-and-islands runs + the
-    # array-side trim; tracks the two-pass global-dedup shape
+    # array-side trim; and eval-set decontamination riding the same
+    # per-doc trim core against a benchmark digest index
     "docs_exact_substring_trim",
+    "docs_decontaminate_trim",
 ]
 
 # Bumped whenever the warm-up methodology changes (what is excluded

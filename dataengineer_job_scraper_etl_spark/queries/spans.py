@@ -400,6 +400,17 @@ def exact_substring_trim(
         )
         .distinct()
     )
+    return _trim_covered_runs(base, cov, min_run)
+
+
+def _trim_covered_runs(
+    base: DataFrame, cov: DataFrame, min_run: int
+) -> DataFrame:
+    """Shared trim core: (doc_id, t) + covered positions (doc_id, cp)
+    -> (doc_id, n_toks, removed_toks, cleaned). Maximal covered runs
+    via gaps-and-islands under a PER-DOC window; runs >= min_run are
+    deleted by the array-side filter against the doc's own (s,e) run
+    list (the corpus text is never exploded for reassembly)."""
     w = Window.partitionBy("doc_id").orderBy("cp")
     isl = cov.withColumn("g", F.col("cp") - F.row_number().over(w))
     runs = (
@@ -432,6 +443,66 @@ def exact_substring_trim(
         .otherwise(F.array_join(keep, " "))
         .alias("cleaned"),
     )
+
+
+# Eval-set decontamination: the ExactSubstr machinery pointed at a
+# BENCHMARK corpus instead of at self-duplication. GPT-3 removed 13-gram
+# collisions with its eval sets; Llama-style pipelines use shorter
+# shingles. Any training-doc position covered by a shingle that occurs
+# VERBATIM in the eval set is contaminated; maximal contaminated runs
+# are cut (min_run = k: a single colliding shingle is already k
+# covered positions, so every collision is removed — the paper
+# semantics — while adjacent collisions merge into one run).
+DECON_SHINGLE = 8
+
+
+def decontaminate_trim(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DECON_SHINGLE,
+    min_run: int | None = None,
+) -> DataFrame:
+    """(train, eval) -> (doc_id, n_toks, removed_toks, cleaned) for
+    TRAIN docs with every verbatim eval overlap (>= k tokens) deleted.
+
+    Scale shape: eval shingles are md5'd to 16 bytes and DISTINCT'd
+    (the eval-digest index a production pipeline materializes once per
+    benchmark release); the train side joins against it by digest —
+    semi-join semantics, eval side grouped first so AQE may broadcast
+    a small benchmark but a corpus-sized one still shuffles safely.
+    Run assembly + trim are the shared per-doc core."""
+    if min_run is None:
+        min_run = k
+    base = train_docs.select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
+    )
+    sh = base.select(
+        "doc_id",
+        F.posexplode(_sliding_k_shingles(F.col("t"), k)).alias(
+            "pos", "shingle"
+        ),
+    ).select("doc_id", "pos", F.md5(F.col("shingle")).alias("h"))
+    eval_idx = (
+        eval_docs.select(_tokens(F.col(text_col)).alias("t"))
+        .select(
+            F.explode(_sliding_k_shingles(F.col("t"), k)).alias("shingle")
+        )
+        .select(F.md5(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    cov = (
+        sh.join(eval_idx, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + k - 1)
+            ).alias("cp"),
+        )
+        .distinct()
+    )
+    return _trim_covered_runs(base, cov, min_run)
 
 
 _EXSUB_ORACLE = f"""
@@ -501,6 +572,86 @@ def docs_exact_substring_trim(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     out = exact_substring_trim(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_toks",
+        "removed_toks",
+        F.md5(F.col("cleaned")).alias("cleaned_md5"),
+    )
+
+
+_DECON_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents),
+ev AS (
+  SELECT DISTINCT
+         md5(array_to_string(list_slice(t, pos + 1, pos + {DECON_SHINGLE}), ' ')) AS h
+  FROM (SELECT t, unnest(range(0, greatest(len(t) - {DECON_SHINGLE} + 1, 0))) AS pos
+        FROM tok WHERE doc_id % 37 = 0)),
+tr AS (SELECT doc_id, t FROM tok WHERE doc_id % 37 <> 0),
+sh AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(t, pos + 1, pos + {DECON_SHINGLE}), ' ')) AS h
+  FROM (SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - {DECON_SHINGLE} + 1, 0))) AS pos
+        FROM tr)),
+cov AS (
+  SELECT DISTINCT doc_id, cp
+  FROM (SELECT s.doc_id, unnest(range(s.pos, s.pos + {DECON_SHINGLE})) AS cp
+        FROM sh s JOIN ev USING (h))),
+isl AS (
+  SELECT doc_id, cp,
+         cp - row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS g
+  FROM cov),
+runs AS (
+  SELECT doc_id, min(cp) AS s, max(cp) AS e, count(*) AS len
+  FROM isl GROUP BY doc_id, g HAVING count(*) >= {DECON_SHINGLE}),
+rm AS (SELECT doc_id, CAST(cp AS BIGINT) AS cp
+       FROM (SELECT doc_id, unnest(range(s, e + 1)) AS cp FROM runs)),
+pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w
+        FROM (SELECT doc_id, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i
+              FROM tr)),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.w
+  FROM pos LEFT JOIN rm ON pos.doc_id = rm.doc_id AND pos.p = rm.cp
+  WHERE rm.cp IS NULL),
+reasm AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS cleaned
+          FROM kept GROUP BY doc_id),
+rem AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS removed_toks
+        FROM runs GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks FROM tr)
+SELECT t.doc_id AS doc_id, t.n_toks AS n_toks,
+       CAST(coalesce(rem.removed_toks, 0) AS BIGINT) AS removed_toks,
+       md5(coalesce(reasm.cleaned, '')) AS cleaned_md5
+FROM tot t
+LEFT JOIN rem USING (doc_id)
+LEFT JOIN reasm USING (doc_id)
+"""
+
+
+@register(
+    "docs_decontaminate_trim",
+    _DECON_ORACLE,
+    doc="Eval-set decontamination (the GPT-3 13-gram rule's shape at "
+    "8-gram granularity): every training-doc position covered by an "
+    "8-token shingle occurring VERBATIM in the held-out benchmark "
+    "slice (doc_id % 37 == 0 stands in for the eval corpus) is "
+    "contaminated; maximal contaminated runs are deleted from the "
+    "training text and survivors reassemble in order. cleaned_md5 "
+    "pins exact reassembly. The eval digest index (16-byte md5, "
+    "DISTINCT) is what production materializes once per benchmark "
+    "release; the train side semi-joins it by digest (small benchmark "
+    "-> AQE broadcast, corpus-sized -> safe shuffle); run assembly + "
+    "trim share the ExactSubstr per-doc core (_trim_covered_runs).",
+)
+def docs_decontaminate_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    ev = d.filter(F.col("doc_id") % 37 == 0)
+    tr = d.filter(F.col("doc_id") % 37 != 0)
+    out = decontaminate_trim(tr, ev)
     return out.select(
         "doc_id",
         "n_toks",

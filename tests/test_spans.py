@@ -240,3 +240,54 @@ def test_exsub_property_matches_python_reference(spark, docs):
     }
     want = _exsub_reference(rows, k=3, min_run=4)
     assert got == want
+
+
+def test_decontaminate_removes_eval_overlap_only(spark):
+    """Planted contamination: a training doc quoting an 8-token eval
+    passage verbatim loses exactly that passage (from every quoting
+    doc); training docs sharing text only with EACH OTHER are
+    untouched (decontamination is against the eval set, not
+    self-dedup); eval-set docs are not in the output."""
+    from dataengineer_job_scraper_etl_spark.queries.spans import (
+        decontaminate_trim,
+    )
+
+    ev_passage = " ".join(f"e{i}" for i in range(8))
+    shared_train = " ".join(f"s{i}" for i in range(10))
+    train = [
+        (0, f"a0 a1 {ev_passage} a2 a3"),       # quotes the benchmark
+        (1, f"b0 {ev_passage}"),                # quotes it too
+        (2, f"c0 c1 {shared_train}"),           # train-train overlap
+        (3, f"{shared_train} d0"),              # train-train overlap
+    ]
+    ev = [(100, f"x0 x1 {ev_passage} x2")]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    edf = spark.createDataFrame(ev, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decontaminate_trim(tdf, edf).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["cleaned"] == "a0 a1 a2 a3"
+    assert out[0]["removed_toks"] == 8
+    assert out[1]["cleaned"] == "b0"
+    assert out[2]["cleaned"] == train[2][1]   # train-train kept
+    assert out[3]["cleaned"] == train[3][1]
+    assert out[2]["removed_toks"] == 0
+
+
+def test_decontaminate_merges_adjacent_collisions(spark):
+    """Two eval shingles overlapping in one training doc merge into a
+    single maximal run: a 12-token quote of an eval doc (5 colliding
+    8-grams) removes all 12 positions as ONE run."""
+    from dataengineer_job_scraper_etl_spark.queries.spans import (
+        decontaminate_trim,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    tdf = spark.createDataFrame(
+        [(0, f"h0 h1 {quote} h2")], "doc_id long, text string"
+    )
+    edf = spark.createDataFrame(
+        [(9, f"z0 {quote} z1")], "doc_id long, text string"
+    )
+    out = decontaminate_trim(tdf, edf).collect()[0]
+    assert out["cleaned"] == "h0 h1 h2"
+    assert out["removed_toks"] == 12
