@@ -57,6 +57,7 @@ def build_pretraining_corpus(
     context_tokens: int = 2048,
     clean: bool = False,
     strip_boilerplate: bool = False,
+    decontaminate_against: DataFrame | None = None,
     pair_fn: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """docs(doc_id, source, text, ...) -> one row per SURVIVING doc:
@@ -72,6 +73,11 @@ def build_pretraining_corpus(
     the corpus-wide C4-style span strip (queries/spans.py) after it —
     boilerplate otherwise defeats both dedup layers, since two docs
     identical except for nav chrome are neither exact nor near dups.
+    ``decontaminate_against=<eval frame>`` adds eval-set
+    decontamination after it (every verbatim >= 8-token benchmark
+    overlap deleted from the training text — before the gate measures
+    token counts and before digests/shingles, or a contaminated doc
+    could survive as its cluster's canonical).
     ``mixture_weights=None`` skips mixture sampling (keep everything
     that survives dedup).
 
@@ -104,6 +110,20 @@ def build_pretraining_corpus(
         # re-scans the corpus and re-runs clean_text (review finding)
         base = base.localCheckpoint(eager=False)
         base = strip_boilerplate_text(base)
+    if decontaminate_against is not None:
+        # Stage 0.7: eval-set decontamination (GPT-3 n-gram collision
+        # rule, queries/spans.py::decontaminate_text) — benchmark
+        # overlap must be gone BEFORE the gate measures token counts
+        # and before digests/shingles are taken, or a contaminated doc
+        # can survive as its cluster's canonical. Same fan-out staging
+        # rationale as the boilerplate stage (shingle pass + trim
+        # join both consume base).
+        from dataengineer_job_scraper_etl_spark.queries.spans import (
+            decontaminate_text,
+        )
+
+        base = base.localCheckpoint(eager=False)
+        base = decontaminate_text(base, decontaminate_against)
 
     # 1. quality gate (same rules as docs_pretrain_filter)
     toks = _toks(F.col("text"))

@@ -704,3 +704,112 @@ def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("id").cast("bigint").alias("id_checksum"),
         )
     )
+
+
+# --- decontaminated pipeline composition (round 9) --------------------
+# The decontamination stage (queries/spans.py::decontaminate_text)
+# composed INTO the pipeline, proven the same way as the stripped
+# variant: the oracle prepends the eval-digest -> covered-runs -> trim
+# CTE chain and feeds the cleaned text into the UNCHANGED gate ->
+# dedup -> cluster -> mixture -> split -> pack chain. Eval set =
+# doc_id % 37 == 0 (the docs_decontaminate_trim convention); train =
+# the complement. `decon_docs` is MATERIALIZED for the same recursive-
+# CTE-inlining reason as the stripped variant's `cleaned`.
+
+_PIPE_ORACLE_DECON = _PIPE_ORACLE.replace(
+    "WITH RECURSIVE\nsig AS (",
+    """WITH RECURSIVE
+d_tok AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE doc_id < 500),
+d_ev AS (
+  SELECT DISTINCT
+         md5(array_to_string(list_slice(t, pos + 1, pos + 8), ' ')) AS h
+  FROM (SELECT t, unnest(range(0, greatest(len(t) - 7, 0))) AS pos
+        FROM d_tok WHERE doc_id % 37 = 0)),
+d_tr AS (SELECT doc_id, source, t FROM d_tok WHERE doc_id % 37 <> 0),
+d_sh AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(t, pos + 1, pos + 8), ' ')) AS h
+  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 7, 0))) AS pos
+        FROM d_tr)),
+d_cov AS (
+  SELECT DISTINCT doc_id, cp
+  FROM (SELECT s.doc_id, unnest(range(s.pos, s.pos + 8)) AS cp
+        FROM d_sh s JOIN d_ev USING (h))),
+d_isl AS (
+  SELECT doc_id, cp,
+         cp - row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS g
+  FROM d_cov),
+d_runs AS (
+  SELECT doc_id, min(cp) AS s, max(cp) AS e
+  FROM d_isl GROUP BY doc_id, g HAVING count(*) >= 8),
+d_rm AS (SELECT doc_id, CAST(cp AS BIGINT) AS cp
+         FROM (SELECT doc_id, unnest(range(s, e + 1)) AS cp FROM d_runs)),
+d_pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w
+          FROM (SELECT doc_id, unnest(t) AS w,
+                       generate_subscripts(t, 1) AS i
+                FROM d_tr)),
+d_kept AS (
+  SELECT d_pos.doc_id, d_pos.p, d_pos.w
+  FROM d_pos LEFT JOIN d_rm
+    ON d_pos.doc_id = d_rm.doc_id AND d_pos.p = d_rm.cp
+  WHERE d_rm.cp IS NULL),
+decon_docs AS MATERIALIZED (
+  SELECT t.doc_id, t.source, coalesce(r.cleaned, '') AS text
+  FROM d_tr t LEFT JOIN (
+    SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS cleaned
+    FROM d_kept GROUP BY doc_id) r USING (doc_id)),
+sig AS (""",
+).replace(
+    """        FROM documents WHERE doc_id < 500)),
+gated AS (""",
+    """        FROM decon_docs)),
+gated AS (""",
+)
+
+
+@register(
+    "corpus_pipeline_decontaminated",
+    _PIPE_ORACLE_DECON,
+    doc="The composed pipeline WITH the eval-set decontamination stage "
+    "(build_pretraining_corpus(decontaminate_against=...)): benchmark "
+    "slice (doc_id % 37 == 0) indexed to 8-gram digests, training "
+    "docs trimmed of every verbatim overlap run, THEN the unchanged "
+    "gate -> exact dedup -> near-dup canonical -> mixture -> split -> "
+    "pack chain — decontamination must run before the gate measures "
+    "token counts and before digests/shingles are taken, or a "
+    "contaminated doc can survive as its cluster's canonical. Oracle "
+    "= the decon CTE chain feeding the same recursive-CTE pipeline "
+    "twin, so the STAGE COMPOSITION is hash-checked end to end (the "
+    "corpus_pipeline_survivors pattern).",
+)
+def corpus_pipeline_decontaminated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.plans.corpus import (
+        build_pretraining_corpus,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "source", "text")
+    )
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    tr = docs.filter(F.col("doc_id") % 37 != 0)
+    out = build_pretraining_corpus(
+        tr,
+        mixture_weights=_PIPE_WEIGHTS,
+        context_tokens=_PIPE_CONTEXT,
+        decontaminate_against=ev,
+        pair_fn=exact_jaccard_pair_fn,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "split",
+        F.col("shard_id").cast("bigint").alias("shard_id"),
+        F.col("n_toks").cast("bigint").alias("n_toks"),
+    )

@@ -505,6 +505,29 @@ def decontaminate_trim(
     return _trim_covered_runs(base, cov, min_run)
 
 
+def decontaminate_text(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = DECON_SHINGLE,
+) -> DataFrame:
+    """Text-in/text-out form for pipeline composition (the
+    strip_boilerplate_text pattern): replace ``text_col`` with the
+    decontaminated reassembly; other columns pass through. As with the
+    boilerplate wrapper, the output text is the NORMALIZED reassembly
+    (lowercased, whitespace-collapsed) — what the downstream gate /
+    digest / shingle stages compute anyway."""
+    cleaned = decontaminate_trim(
+        docs, eval_docs, id_col=id_col, text_col=text_col, k=k
+    ).select(F.col("doc_id").alias(id_col), F.col("cleaned"))
+    return (
+        docs.drop(text_col)
+        .join(cleaned, id_col)
+        .withColumnRenamed("cleaned", text_col)
+    )
+
+
 _EXSUB_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id,
