@@ -208,6 +208,36 @@ def stalled_passes(sentinels: list[float]) -> list[int]:
     return [i for i in range(n_passes) if hot[i] or hot[i + 1]]
 
 
+def uniform_inflation(
+    prev: dict[str, float], cur: dict[str, float]
+) -> dict:
+    """The OTHER host-noise mode (r8 driver pass, reproduced twice in
+    r9): EVERY entry ~1.2-1.8x slower for the whole run, per-entry
+    spreads and boundary sentinels near-normal — invisible to
+    spike-based rules. Detected the way the r8 judge adjudicated it by
+    hand: compare per-entry medians against the PREVIOUS round's
+    artifact. Suspected when >= 20 shared entries, the median ratio is
+    >= 1.15, and >= 70% of shared entries inflated >= 1.1x — a code
+    regression moves the entries it touched, not the whole catalog
+    uniformly. Advisory flag only: a genuine engine-wide regression
+    (e.g. a session-config change) would also trip it, so the flag
+    says 'compare against a clean rerun', never 'ignore this run'."""
+    shared = [n for n in prev if n in cur and prev[n] > 0]
+    if len(shared) < 20:
+        return {"shared": len(shared), "suspected": False}
+    import statistics as _st
+
+    ratios = sorted(cur[n] / prev[n] for n in shared)
+    med = _st.median(ratios)
+    frac_up = sum(1 for r in ratios if r >= 1.1) / len(ratios)
+    return {
+        "shared": len(shared),
+        "median_ratio": round(med, 3),
+        "frac_inflated": round(frac_up, 3),
+        "suspected": med >= 1.15 and frac_up >= 0.7,
+    }
+
+
 def suspect_entries(runs: dict[str, list[float]]) -> list[str]:
     """Entries whose rep spread says one rep hit a host stall: the
     spread (max-min) must be >=1.5 s absolute AND the worst rep >2x
@@ -516,6 +546,31 @@ def main() -> None:
 
     timings = {n: round(statistics.median(v), 3) for n, v in runs.items()}
     spread = {n: round(max(v) - min(v), 3) for n, v in runs.items()}
+
+    # Cross-round uniform-inflation check against the newest committed
+    # BENCH_r*.json (the noise mode per-entry spread rules can't see).
+    import glob
+
+    uniform = {"shared": 0, "suspected": False}
+    prior = sorted(
+        glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_r*.json")
+        )
+    )
+    if prior:
+        try:
+            with open(prior[-1]) as f:
+                doc = json.load(f)
+            # driver artifacts nest the stdout line under "parsed"
+            prev = (doc.get("parsed") or doc).get("queries") or {}
+            uniform = uniform_inflation(prev, timings)
+            uniform["baseline"] = os.path.basename(prior[-1])
+        except Exception as e:  # noqa: BLE001 - advisory flag only
+            print(
+                f"WARN bench: uniform-inflation check failed: {e!r}",
+                file=sys.stderr,
+            )
     # Per-rep raw runs + spread go to a SIDE FILE: round 6's driver could
     # not parse the bench artifact because appending the raw `runs` arrays
     # pushed the single stdout JSON line past the driver's tail-capture
@@ -560,6 +615,11 @@ def main() -> None:
                     n: r["time"] for n, r in reruns.items()
                 },
                 "stall_passes": stall_passes,
+                # cross-round uniform-slowdown advisory (see
+                # uniform_inflation): suspected=True means "this whole
+                # run may sit in a host-degraded window — compare
+                # against a clean rerun before reading per-entry deltas"
+                "uniform_inflation": uniform,
             }
         )
     )

@@ -78,3 +78,48 @@ def test_thresholds_do_not_trip_on_jitter():
     assert suspect_entries({"q": [3.4, 2.7, 2.2]}) == []
     # small absolute wobble on a sub-second entry stays clean
     assert suspect_entries({"q": [0.2, 0.5, 0.3]}) == []
+
+
+def test_uniform_inflation_replays_the_r8_driver_pass():
+    """Mode-2 host noise (whole-run ~1.2-1.8x inflation, clean
+    sentinels, normal spreads): replay the actual r7 -> r8 driver
+    artifacts — 52 shared entries, median ratio 1.359, 92% inflated
+    >= 1.1x — the flag the r8 verdict had to derive by hand."""
+    import json
+    import os
+
+    from bench import uniform_inflation
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def queries(name):
+        with open(os.path.join(repo, name)) as f:
+            doc = json.load(f)
+        return (doc.get("parsed") or doc)["queries"]
+
+    r7, r8 = queries("BENCH_r07.json"), queries("BENCH_r08.json")
+    verdict = uniform_inflation(r7, r8)
+    assert verdict["suspected"]
+    assert verdict["shared"] >= 50
+    assert verdict["median_ratio"] > 1.3
+
+    # a round compared against itself never trips
+    self_check = uniform_inflation(r7, r7)
+    assert not self_check["suspected"]
+    assert self_check["median_ratio"] == 1.0
+
+
+def test_uniform_inflation_ignores_localized_regressions():
+    """A genuine code regression moves the entries it touched, not the
+    whole catalog: 3 of 30 entries going 5x slower must NOT trip the
+    whole-run flag (those show up in per-entry deltas instead)."""
+    from bench import uniform_inflation
+
+    prev = {f"q{i}": 1.0 for i in range(30)}
+    cur = dict(prev)
+    for i in range(3):
+        cur[f"q{i}"] = 5.0
+    verdict = uniform_inflation(prev, cur)
+    assert not verdict["suspected"]
+    # and tiny overlap never judges
+    assert not uniform_inflation({"a": 1.0}, {"a": 9.0})["suspected"]
