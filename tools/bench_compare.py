@@ -42,6 +42,24 @@ def main() -> int:
         )
     print(f"headline: {old['value']:.2f}s -> {new['value']:.2f}s "
           f"({len(oq)} -> {len(nq)} queries)")
+    # round-9 noise-adjudication fields: a flagged run's deltas should
+    # be read against its reruns, not taken at face value
+    for label, run in (("old", old), ("new", new)):
+        ui = run.get("uniform_inflation") or {}
+        if ui.get("suspected"):
+            print(
+                f"NOTE: {label} run self-reports UNIFORM host slowdown "
+                f"(median {ui.get('median_ratio')}x vs "
+                f"{ui.get('baseline')}) — treat its numbers as inflated."
+            )
+        flagged = run.get("stall_flagged") or {}
+        if flagged:
+            print(
+                f"NOTE: {label} run flagged {len(flagged)} stalled "
+                f"entries (isolated-rerun timings in its "
+                f"bench_runs.json 'reruns'): {sorted(flagged)[:6]}"
+                + (" ..." if len(flagged) > 6 else "")
+            )
     shared = sorted(set(oq) & set(nq), key=lambda k: oq[k] - nq[k])
     tot_o = sum(oq[k] for k in shared)
     tot_n = sum(nq[k] for k in shared)
