@@ -1,11 +1,17 @@
 """Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "headline_total", "value": <sum of medians sec>,
-   "unit": "sec", "queries": {name: median sec, ...},
-   "spread": {name: max-min sec, ...}, "runs": {name: [sec, ...]},
-   "reps": N, "sf": <sf>}
+Prints ONE JSON line (compact separators, <= STDOUT_BUDGET chars —
+enforced by tests/test_bench_line.py; the driver captures only the
+last ~2000 chars of stdout and r9's line outgrew it):
+  {"metric": "headline_total", "value": <sum of ALL medians sec>,
+   "unit": "sec", "queries": {name: median sec, ...  # minus STDOUT_OMIT},
+   "reps": N, "sf": <sf>, "warmup_version": V,
+   "runs_file": "bench_runs.json", "n_run": <total entries run>,
+   "stall_n": <flagged>, "stall_clean": <clean-bracketed reruns>,
+   "uniform_inflation": {...slim...}}
+FULL per-entry medians, raw reps, spreads, sentinels, rerun detail and
+the uniform-inflation baseline live in bench_runs.json.
 
 Each query is forced end-to-end with the noop sink (full computation,
 no result serialization / driver collect in the timing), after one
@@ -164,6 +170,54 @@ HEADLINE += [
     "docs_exact_substring_trim",
     "docs_decontaminate_trim",
 ]
+HEADLINE += [
+    # round-10 additions: batch-proportional ExactSubstr ingest against
+    # a frozen repeated-shingle digest index, and the drift lifecycle's
+    # post-swap re-freeze (train-v1 -> planted shift -> train-v2)
+    "docs_exact_substring_ingest",
+    "vec_drift_retrain_refreeze",
+]
+
+# Entries OMITTED from the stdout line's per-query dict (still RUN
+# every round; medians/spread/raw reps publish in bench_runs.json under
+# "medians"/"spread"/"runs"). The driver captures only the last ~2000
+# chars of stdout, and r9's line outgrew it (BENCH_r09.json landed
+# parsed:null — VERDICT r9 "What's wrong" #1): 57 full query names at
+# 3 decimals alone cost ~1.9 KB. The stdout line must carry the
+# envelope (headline_total, sf, noise flags) plus the perf-meaningful
+# per-query subset inside an ENFORCED 1800-char budget
+# (tests/test_bench_line.py) — so the stable sub-second entries below
+# (every one <0.9 s median with sub-0.2 s spread since they landed)
+# move to the side file only. STATIC list, not a runtime threshold: a
+# 0.88 s vs 0.91 s run must not flicker an entry in and out of
+# cross-round comparisons.
+STDOUT_OMIT = frozenset(
+    {
+        "tpch_q13_customer_order_distribution",
+        "tpch_q17_small_quantity_revenue",
+        "events_asof_purchase_view",
+        "multimodal_features",
+        "text_tfidf_top_terms",
+        "events_purchase_views_within_15m",
+        "events_funnel_conversion",
+        "events_user_zscore",
+        "events_user_daily_gapfill",
+        "docs_pack_sequences",
+        "docs_chunk_sliding_udtf",
+        "lineitem_zorder_locality",
+        "events_value_ewma",
+        "text_pii_redaction",
+        "part_fuzzy_name_pairs",
+        "events_value_equidepth_histogram",
+        "text_unigram_logprob",
+        "events_purchase_cohort_retention",
+    }
+)
+
+# Hard budget for the stdout line, enforced by tests/test_bench_line.py
+# at CURRENT catalog size with worst-case values — the driver's capture
+# window is ~2000 chars and r8's line fit it with no headroom.
+STDOUT_BUDGET = 1800
 
 # Bumped whenever the warm-up methodology changes (what is excluded
 # from the timed region), so bench_compare can distinguish
@@ -236,6 +290,98 @@ def uniform_inflation(
         "frac_inflated": round(frac_up, 3),
         "suspected": med >= 1.15 and frac_up >= 0.7,
     }
+
+
+def clean_baseline(
+    repo: str, cur_sf: float | str, cur_wv: int
+) -> tuple[dict, dict[str, float]]:
+    """Rolling CLEAN per-entry reference for uniform_inflation
+    (VERDICT r9 ask #6 + ADVICE r9 #1): per-entry MIN of the medians
+    over the last <= 3 parseable BENCH_r*.json whose sf AND
+    warmup_version match the current run. Min-over-rounds is robust to
+    a stalled baseline round (a stall only ever inflates), so a stalled
+    r(N) run compared against a stalled r(N-1) artifact can no longer
+    read as 'normal'; sf/warmup gating stops a methodology- or
+    scale-shifted artifact from faking (or masking) a uniform
+    slowdown. Returns ({kind, sources}, {entry: min_median})."""
+    import glob as _glob
+
+    docs: list[tuple[str, dict]] = []
+    for path in sorted(
+        _glob.glob(os.path.join(repo, "BENCH_r*.json")), reverse=True
+    ):
+        try:
+            with open(path, encoding="utf-8") as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        parsed = doc.get("parsed") or (doc if "queries" in doc else None)
+        if not isinstance(parsed, dict) or not parsed.get("queries"):
+            continue  # e.g. BENCH_r09.json's parsed:null
+        if parsed.get("warmup_version") != cur_wv:
+            continue
+        if parsed.get("sf") != cur_sf:
+            continue
+        docs.append((os.path.basename(path), parsed["queries"]))
+        if len(docs) == 3:
+            break
+    base: dict[str, float] = {}
+    for _, qd in docs:
+        for n, v in qd.items():
+            if isinstance(v, (int, float)) and v > 0:
+                base[n] = min(base.get(n, float(v)), float(v))
+    return (
+        {"kind": "min_clean3", "sources": [n for n, _ in docs]},
+        base,
+    )
+
+
+def render_stdout_line(
+    *,
+    timings: dict[str, float],
+    reps: int,
+    sf: float | str,
+    stall_n: int,
+    stall_clean: int,
+    uniform: dict,
+) -> str:
+    """The ONE driver-facing stdout JSON line, inside STDOUT_BUDGET:
+    envelope + the per-query subset (STDOUT_OMIT entries publish in the
+    side file only), values at 2 decimals, compact separators. ``value``
+    stays the sum over ALL run entries (headline_total comparable
+    round-over-round); ``n_run`` records the full run count. Factored
+    out of main() so tests/test_bench_line.py can enforce the budget at
+    current catalog size without running anything."""
+    shown = {
+        n: round(v, 2) for n, v in timings.items() if n not in STDOUT_OMIT
+    }
+    slim_uniform = {
+        k: uniform[k]
+        for k in ("suspected", "kind", "median_ratio", "shared")
+        if k in uniform
+    }
+    return json.dumps(
+        {
+            "metric": "headline_total",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": shown,
+            "reps": reps,
+            "sf": sf,
+            "warmup_version": WARMUP_VERSION,
+            # FULL per-entry medians (incl. STDOUT_OMIT), raw reps,
+            # spreads, sentinels, stall detail live here:
+            "runs_file": "bench_runs.json",
+            "n_run": len(timings),
+            # noise flags: counts only on stdout (r9's full
+            # stall_flagged dict is what blew the capture window);
+            # names + rerun timings + bracketing sentinels -> side file
+            "stall_n": stall_n,
+            "stall_clean": stall_clean,
+            "uniform_inflation": slim_uniform,
+        },
+        separators=(",", ":"),
+    )
 
 
 def suspect_entries(runs: dict[str, list[float]]) -> list[str]:
@@ -532,7 +678,10 @@ def main() -> None:
         _force(q.spark_fn(spark, sf_dir))
         t = round(time.time() - t0, 3)
         s_after = _sentinel()
-        lo = min(sentinels) if sentinels else s_before
+        # same <=0 guard as stalled_passes (ADVICE r9 #4): a zero/degenerate
+        # sentinel probe must not ZeroDivisionError after the full run
+        pool = [s for s in (*sentinels, s_before) if s > 0]
+        lo = min(pool) if pool else 1e-9
         clean = all(
             s / lo <= 3 or s - lo < 1.0 for s in (s_before, s_after)
         )
@@ -547,49 +696,51 @@ def main() -> None:
     timings = {n: round(statistics.median(v), 3) for n, v in runs.items()}
     spread = {n: round(max(v) - min(v), 3) for n, v in runs.items()}
 
-    # Cross-round uniform-inflation check against the newest committed
-    # BENCH_r*.json (the noise mode per-entry spread rules can't see).
-    import glob
-
+    # Cross-round uniform-inflation check against a rolling CLEAN
+    # per-entry baseline (min of the last <=3 sf/warmup-compatible
+    # parseable artifacts — see clean_baseline), not the single newest
+    # artifact, which may itself have run in a degraded window.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     uniform = {"shared": 0, "suspected": False}
-    prior = sorted(
-        glob.glob(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_r*.json")
+    try:
+        meta, prev = clean_baseline(
+            os.path.dirname(os.path.abspath(__file__)), sf_val,
+            WARMUP_VERSION,
         )
-    )
-    if prior:
-        try:
-            with open(prior[-1]) as f:
-                doc = json.load(f)
-            # driver artifacts nest the stdout line under "parsed"
-            prev = (doc.get("parsed") or doc).get("queries") or {}
-            uniform = uniform_inflation(prev, timings)
-            uniform["baseline"] = os.path.basename(prior[-1])
-        except Exception as e:  # noqa: BLE001 - advisory flag only
-            print(
-                f"WARN bench: uniform-inflation check failed: {e!r}",
-                file=sys.stderr,
-            )
-    # Per-rep raw runs + spread go to a SIDE FILE: round 6's driver could
-    # not parse the bench artifact because appending the raw `runs` arrays
-    # pushed the single stdout JSON line past the driver's tail-capture
-    # window, clipping the front (headline + medians). The last stdout
-    # line must stay compact — headline + medians only.
+        uniform = uniform_inflation(prev, timings)
+        uniform.update(meta)
+    except Exception as e:  # noqa: BLE001 - advisory flag only
+        print(
+            f"WARN bench: uniform-inflation check failed: {e!r}",
+            file=sys.stderr,
+        )
+    # Per-rep raw runs, FULL medians (incl. STDOUT_OMIT entries), spread,
+    # sentinels, and the stall/uniform detail go to the SIDE FILE: the
+    # stdout line blew the driver's ~2000-char tail capture in BOTH r6
+    # (raw runs arrays) and r9 (stall_flagged + uniform detail at 57
+    # entries). stdout keeps the envelope + the per-query subset under
+    # STDOUT_BUDGET; everything else lives here.
     side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs.json")
     try:
         with open(side, "w") as f:
             json.dump(
                 {
+                    "medians": timings,
                     "runs": runs,
                     "spread": spread,
                     "reps": reps,
+                    "sf": sf_val,
+                    "warmup_version": WARMUP_VERSION,
                     "sentinels": sentinels,
                     # pass i is flagged when EITHER bounding probe
                     # (sentinels[i] precedes it, sentinels[i+1] closes
                     # it) trips the 3x + >=1s rule
                     "stall_passes": stall_passes,
                     "reruns": reruns,
+                    "stall_flagged": {
+                        n: r["time"] for n, r in reruns.items()
+                    },
+                    "uniform_inflation": uniform,
                 },
                 f,
                 indent=1,
@@ -597,30 +748,13 @@ def main() -> None:
     except OSError as e:
         print(f"WARN bench: could not write {side}: {e!r}", file=sys.stderr)
     print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "warmup_version": WARMUP_VERSION,
-                "runs_file": "bench_runs.json",
-                # machine-readable noise flags (VERDICT r8 ask #2):
-                # entries whose spread tripped the stall rule, with
-                # their isolated-rerun timing (see side file for the
-                # bracketing sentinels); empty dict = clean run
-                "stall_flagged": {
-                    n: r["time"] for n, r in reruns.items()
-                },
-                "stall_passes": stall_passes,
-                # cross-round uniform-slowdown advisory (see
-                # uniform_inflation): suspected=True means "this whole
-                # run may sit in a host-degraded window — compare
-                # against a clean rerun before reading per-entry deltas"
-                "uniform_inflation": uniform,
-            }
+        render_stdout_line(
+            timings=timings,
+            reps=reps,
+            sf=sf_val,
+            stall_n=len(reruns),
+            stall_clean=sum(1 for r in reruns.values() if r["clean"]),
+            uniform=uniform,
         )
     )
 

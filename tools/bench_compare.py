@@ -43,22 +43,31 @@ def main() -> int:
     print(f"headline: {old['value']:.2f}s -> {new['value']:.2f}s "
           f"({len(oq)} -> {len(nq)} queries)")
     # round-9 noise-adjudication fields: a flagged run's deltas should
-    # be read against its reruns, not taken at face value
+    # be read against its reruns, not taken at face value. r10 slimmed
+    # the stdout line (stall_flagged dict -> stall_n/stall_clean counts,
+    # uniform baseline detail -> bench_runs.json), so read both shapes.
     for label, run in (("old", old), ("new", new)):
         ui = run.get("uniform_inflation") or {}
         if ui.get("suspected"):
+            base = ui.get("baseline") or ui.get("kind") or "?"
             print(
                 f"NOTE: {label} run self-reports UNIFORM host slowdown "
-                f"(median {ui.get('median_ratio')}x vs "
-                f"{ui.get('baseline')}) — treat its numbers as inflated."
+                f"(median {ui.get('median_ratio')}x vs {base}) — treat "
+                "its numbers as inflated."
             )
         flagged = run.get("stall_flagged") or {}
-        if flagged:
-            print(
-                f"NOTE: {label} run flagged {len(flagged)} stalled "
-                f"entries (isolated-rerun timings in its "
-                f"bench_runs.json 'reruns'): {sorted(flagged)[:6]}"
+        n_flagged = len(flagged) or run.get("stall_n", 0)
+        if n_flagged:
+            names = (
+                f": {sorted(flagged)[:6]}"
                 + (" ..." if len(flagged) > 6 else "")
+                if flagged
+                else f" ({run.get('stall_clean', '?')} clean-bracketed)"
+            )
+            print(
+                f"NOTE: {label} run flagged {n_flagged} stalled "
+                f"entries (isolated-rerun timings in its "
+                f"bench_runs.json 'reruns'){names}"
             )
     shared = sorted(set(oq) & set(nq), key=lambda k: oq[k] - nq[k])
     tot_o = sum(oq[k] for k in shared)
