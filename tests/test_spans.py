@@ -291,3 +291,89 @@ def test_decontaminate_merges_adjacent_collisions(spark):
     out = decontaminate_trim(tdf, edf).collect()[0]
     assert out["cleaned"] == "h0 h1 h2"
     assert out["removed_toks"] == 12
+
+
+# ---------------------------------------------------------------- ingest
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ingest_equals_full_recount_restricted_to_batch(spark, docs):
+    """The equivalence the ingest path rests on: trimming the batch
+    against the frozen corpus digest index (+ batch-internal >=2 rule)
+    must be BIT-IDENTICAL to running the full corpus-wide
+    exact_substring_trim over corpus UNION batch and reading only the
+    batch rows — count_total >= 2 <=> corpus >= 1 OR batch >= 2."""
+    from dataengineer_job_scraper_etl_spark.queries.spans import (
+        exact_substring_index,
+        exact_substring_ingest_trim,
+        exact_substring_trim,
+    )
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    corpus_rows = [r for r in rows if r[0] % 2 == 0]
+    batch_rows = [r for r in rows if r[0] % 2 == 1]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx = exact_substring_index(corpus, k=3)
+    got = {
+        r["doc_id"]: (r["n_toks"], r["removed_toks"], r["cleaned"])
+        for r in exact_substring_ingest_trim(
+            batch, idx, k=3, min_run=4
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_toks"], r["removed_toks"], r["cleaned"])
+        for r in exact_substring_trim(full, k=3, min_run=4).collect()
+        if r["doc_id"] % 2 == 1
+    }
+    assert got == want
+
+
+def test_ingest_index_only_rule_skips_batch_internal_repeats(spark):
+    """count_batch_repeats=False (the streaming twin's rule): a run
+    repeated only WITHIN the batch survives; a run hitting the corpus
+    index is still trimmed."""
+    from dataengineer_job_scraper_etl_spark.queries.spans import (
+        exact_substring_index,
+        exact_substring_ingest_trim,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(6))   # in corpus AND batch
+    batch_only = " ".join(f"b{i}" for i in range(6))  # repeats in batch
+    corpus = spark.createDataFrame(
+        [(0, shared)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(1, f"{shared} x1 {batch_only}"), (2, f"{batch_only} y1")],
+        "doc_id long, text string",
+    )
+    idx = exact_substring_index(corpus, k=3)
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_ingest_trim(
+            batch, idx, k=3, min_run=3, count_batch_repeats=False
+        ).collect()
+    }
+    # doc 1: the shared prefix (6 toks) trimmed, batch_only kept
+    assert out[1]["removed_toks"] == 6
+    assert out[1]["cleaned"] == f"x1 {batch_only}"
+    # doc 2: pure batch-internal repeat -> untouched under index-only
+    assert out[2]["removed_toks"] == 0
+    assert out[2]["cleaned"] == f"{batch_only} y1"
