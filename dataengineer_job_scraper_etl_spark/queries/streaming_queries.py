@@ -740,3 +740,161 @@ def streaming_pc1_drift_monitor(
             .alias("id_checksum"),
         )
     )
+
+
+def _stage_exsub_ingest_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A 2-file queue of ARRIVING documents for the streaming
+    ExactSubstr entry: the planted batch slice (doc_id%10>=8 of
+    queries/spans._planted_docs — the shared 24-token suffix lands on
+    doc_id%20==8 rows in batch 1 and doc_id%20==19 rows in batch 2, so
+    BOTH micro-batches provably carry cross-corpus duplicated runs).
+    Shared staging protocol (staging.py)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+
+    def build(staged: str) -> None:
+        from dataengineer_job_scraper_etl_spark.queries.spans import (
+            _planted_docs,
+        )
+
+        d = _planted_docs(spark, sf_dir).filter(F.col("doc_id") % 10 >= 8)
+        write_ordered_batches(
+            staged,
+            [d.filter(F.col("doc_id") % 2 == 0),
+             d.filter(F.col("doc_id") % 2 == 1)],
+        )
+
+    return stage_once(src, "exsub", build)
+
+
+def _exsub_stream_oracle() -> str:
+    """Batch replay of the streamed trim under the INDEX-ONLY rule
+    (intra-batch repetition stays in the batch operator — the same
+    carve-out streaming_semdedup_ingest documents for dup_batch)."""
+    from dataengineer_job_scraper_etl_spark.queries.spans import (
+        EXSUB_MIN_RUN,
+        EXSUB_SHINGLE,
+        _PLANT,
+        _PLANT_PRED,
+    )
+
+    k = EXSUB_SHINGLE
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE WHEN {_PLANT_PRED} THEN text || ' {_PLANT}'
+              ELSE text END AS text
+  FROM documents),
+tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
+  FROM raw),
+co AS (SELECT doc_id, t FROM tok WHERE doc_id % 10 < 8),
+ba AS (SELECT doc_id, t FROM tok WHERE doc_id % 10 >= 8),
+idx AS (
+  SELECT DISTINCT
+         md5(array_to_string(list_slice(t, pos + 1, pos + {k}), ' ')) AS h
+  FROM (SELECT t, unnest(range(0, greatest(len(t) - {k} + 1, 0))) AS pos
+        FROM co)),
+sh AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(t, pos + 1, pos + {k}), ' ')) AS h
+  FROM (SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - {k} + 1, 0))) AS pos
+        FROM ba)),
+cov AS (
+  SELECT DISTINCT doc_id, cp
+  FROM (SELECT s.doc_id, unnest(range(s.pos, s.pos + {k})) AS cp
+        FROM sh s JOIN idx USING (h))),
+isl AS (
+  SELECT doc_id, cp,
+         cp - row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS g
+  FROM cov),
+runs AS (
+  SELECT doc_id, min(cp) AS s, max(cp) AS e, count(*) AS len
+  FROM isl GROUP BY doc_id, g HAVING count(*) >= {EXSUB_MIN_RUN}),
+rm AS (SELECT doc_id, CAST(cp AS BIGINT) AS cp
+       FROM (SELECT doc_id, unnest(range(s, e + 1)) AS cp FROM runs)),
+pos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w
+        FROM (SELECT doc_id, unnest(t) AS w,
+                     generate_subscripts(t, 1) AS i
+              FROM ba)),
+kept AS (
+  SELECT pos.doc_id, pos.p, pos.w
+  FROM pos LEFT JOIN rm ON pos.doc_id = rm.doc_id AND pos.p = rm.cp
+  WHERE rm.cp IS NULL),
+reasm AS (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS cleaned
+          FROM kept GROUP BY doc_id),
+rem AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS removed_toks
+        FROM runs GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks FROM ba)
+SELECT t.doc_id AS doc_id, t.n_toks AS n_toks,
+       CAST(coalesce(rem.removed_toks, 0) AS BIGINT) AS removed_toks,
+       md5(coalesce(reasm.cleaned, '')) AS cleaned_md5
+FROM tot t
+LEFT JOIN rem USING (doc_id)
+LEFT JOIN reasm USING (doc_id)
+"""
+
+
+@register(
+    "streaming_exact_substring_ingest",
+    _exsub_stream_oracle(),
+    doc="CONTINUOUS ExactSubstr ingestion: arriving documents are "
+    "trimmed per micro-batch against the FROZEN corpus shingle-digest "
+    "index — the always-on twin of docs_exact_substring_ingest, under "
+    "the INDEX-ONLY rule (a position is duplicated iff its digest is "
+    "in the corpus index; intra-batch repetition stays in the batch "
+    "operator, the streaming_semdedup_ingest carve-out). The streamed "
+    "plan is STATELESS append: shingle -> md5 -> stream-static "
+    "left-semi join (digests only travel; broadcast here, a bucketed "
+    "digest table at scale) -> array-side position expansion into the "
+    "memory sink, so the micro-batch planner and the per-batch static "
+    "join sit inside the verified path; run assembly + trim reuse the "
+    "per-doc core post-drain. cleaned_md5 pins exact reassembly of "
+    "every arriving doc; both staged micro-batches carry planted "
+    "cross-corpus duplicated runs.",
+)
+def streaming_exact_substring_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.queries.spans import (
+        EXSUB_MIN_RUN,
+        EXSUB_SHINGLE,
+        _planted_docs,
+        _sliding_k_shingles,
+        _trim_covered_runs,
+        exact_substring_index,
+    )
+    from dataengineer_job_scraper_etl_spark.queries.text import _tokens
+
+    corpus = _planted_docs(spark, sf_dir).filter(F.col("doc_id") % 10 < 8)
+    idx = exact_substring_index(corpus)
+    d = _stage_exsub_ingest_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    sh = stream.select(
+        "doc_id",
+        F.posexplode(
+            _sliding_k_shingles(_tokens(F.col("text")), EXSUB_SHINGLE)
+        ).alias("pos", "shingle"),
+    ).select("doc_id", "pos", F.md5(F.col("shingle")).alias("h"))
+    cov = sh.join(F.broadcast(idx), "h", "left_semi").select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + EXSUB_SHINGLE - 1)
+        ).alias("cp"),
+    )
+    rows = _drain(cov, spark, output_mode="append")
+    base = spark.read.parquet(d).select(
+        "doc_id", _tokens(F.col("text")).alias("t")
+    )
+    out = _trim_covered_runs(base, rows.distinct(), EXSUB_MIN_RUN)
+    return out.select(
+        "doc_id",
+        "n_toks",
+        "removed_toks",
+        F.md5(F.col("cleaned")).alias("cleaned_md5"),
+    )
