@@ -37,7 +37,12 @@ N_ITER = 8
 _Q = 1_000_000  # 6-decimal half-up quantum, shared with operators/pca.py
 
 
-def _pca_common(train_where: str = "") -> str:
+def _pca_common(
+    train_where: str = "",
+    p: str = "",
+    emb_sql: str | None = None,
+    with_kw: bool = True,
+) -> str:
     """CTE chain: means -> upper-triangle Gram -> quantized covariance
     -> {N_ITER} unrolled power-iteration rounds, every stage quantized
     with the shared explicit half-up rule. ``train_where`` restricts
@@ -45,45 +50,55 @@ def _pca_common(train_where: str = "") -> str:
     reference slice only); ``emb`` always holds the full corpus so
     downstream CTEs can score everything against the trained axes.
 
+    ``p`` prefixes every CTE name so the chain can be instantiated
+    MORE THAN ONCE in one statement (the retrain entry trains v1 on
+    the reference slice and v2 on the shifted slice — VERDICT r9 ask
+    #4); ``emb_sql`` swaps the corpus source (e.g. the planted-shift
+    projection); ``with_kw=False`` drops the leading WITH for a
+    second instantiation. Defaults emit the exact pre-r10 text, so
+    every existing oracle is byte-identical.
+
     Every multiply-referenced CTE is AS MATERIALIZED: DuckDB 1.0
     INLINES plain CTEs per reference, and each ``v{{t}}`` references
     ``w{{t}}`` twice (matvec + norm subquery), so without
     materialization the plan tree doubles per unrolled round —
     2^{N_ITER} re-evaluations of the Gram scan (observed: minutes
     instead of milliseconds)."""
+    if emb_sql is None:
+        emb_sql = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"
+    lead = "\nWITH " if with_kw else ",\n"
     parts = [
-        f"""
-WITH emb AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-tr AS MATERIALIZED (SELECT vec_id, e FROM emb{train_where}),
-nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM tr),
-mean AS MATERIALIZED (
-  SELECT i, floor(sum(e[i]) / (SELECT n FROM nn) * {_Q} + 0.5) / {_Q} AS m
-  FROM tr, range(1, {DIM + 1}) r(i) GROUP BY i),
-gram AS (
+        f"""{lead}{p}emb AS MATERIALIZED (
+  {emb_sql}),
+{p}tr AS MATERIALIZED (SELECT vec_id, e FROM {p}emb{train_where}),
+{p}nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM {p}tr),
+{p}mean AS MATERIALIZED (
+  SELECT i, floor(sum(e[i]) / (SELECT n FROM {p}nn) * {_Q} + 0.5) / {_Q} AS m
+  FROM {p}tr, range(1, {DIM + 1}) r(i) GROUP BY i),
+{p}gram AS (
   SELECT i, j, sum(e[i] * e[j]) AS g
-  FROM tr, range(1, {DIM + 1}) r(i), range(1, {DIM + 1}) r2(j)
+  FROM {p}tr, range(1, {DIM + 1}) r(i), range(1, {DIM + 1}) r2(j)
   WHERE i <= j GROUP BY i, j),
-covu AS (
+{p}covu AS (
   SELECT g.i, g.j,
-         floor((g.g / (SELECT n FROM nn) - mi.m * mj.m) * {_Q} + 0.5)
+         floor((g.g / (SELECT n FROM {p}nn) - mi.m * mj.m) * {_Q} + 0.5)
            / {_Q} AS c
-  FROM gram g JOIN mean mi ON g.i = mi.i JOIN mean mj ON g.j = mj.i),
-cov AS MATERIALIZED (
-  SELECT i, j, c FROM covu
-  UNION ALL SELECT j AS i, i AS j, c FROM covu WHERE i < j),
-v0 AS (SELECT i AS j, {1.0 / (DIM ** 0.5)!r} AS x
+  FROM {p}gram g JOIN {p}mean mi ON g.i = mi.i JOIN {p}mean mj ON g.j = mj.i),
+{p}cov AS MATERIALIZED (
+  SELECT i, j, c FROM {p}covu
+  UNION ALL SELECT j AS i, i AS j, c FROM {p}covu WHERE i < j),
+{p}v0 AS (SELECT i AS j, {1.0 / (DIM ** 0.5)!r} AS x
        FROM range(1, {DIM + 1}) r(i))"""
     ]
     for t in range(1, N_ITER + 1):
         parts.append(
             f""",
-w{t} AS MATERIALIZED (
-  SELECT cov.i AS j, sum(cov.c * v.x) AS w
-  FROM cov JOIN v{t - 1} v ON cov.j = v.j GROUP BY cov.i),
-v{t} AS MATERIALIZED (
-  SELECT j, floor(w / sqrt((SELECT sum(w * w) FROM w{t}))
-                * {_Q} + 0.5) / {_Q} AS x FROM w{t})"""
+{p}w{t} AS MATERIALIZED (
+  SELECT {p}cov.i AS j, sum({p}cov.c * v.x) AS w
+  FROM {p}cov JOIN {p}v{t - 1} v ON {p}cov.j = v.j GROUP BY {p}cov.i),
+{p}v{t} AS MATERIALIZED (
+  SELECT j, floor(w / sqrt((SELECT sum(w * w) FROM {p}w{t}))
+                * {_Q} + 0.5) / {_Q} AS x FROM {p}w{t})"""
         )
     return "".join(parts)
 
@@ -392,6 +407,170 @@ def serve_and_maybe_retrain(
         clear_trained_indexes(stale_index_key)
     fresh = train_pc1_monitor(new_ref_rows, pca_key=new_pca_key)
     return fresh, psi, True
+
+
+# Planted distribution shift for the retrain-lifecycle entry: +0.25 on
+# every (double-cast) coordinate. Measured PSI of the shifted slice
+# against the v1 monitor: ~4.5M ppm at sf0.01, ~5.9M at sf0.1 — 20-30x
+# the 200k retrain threshold, so the refreeze branch provably fires at
+# every sf (a pure mean shift; picked over scale-up, which only moved
+# PSI to ~0.19 and would flicker around the threshold).
+_SHIFT = 0.25
+
+
+def _refreeze_oracle() -> str:
+    """Full lifecycle replay (VERDICT r9 ask #4): train v1 on the
+    reference slice, score the PLANTED-SHIFT current slice against the
+    frozen v1 monitor, decide, and — the part no oracle checked before
+    — train v2 on the shifted slice and emit the RE-FROZEN monitor's
+    decile edges. The quantized PCA chain instantiates TWICE via
+    _pca_common's CTE-name prefix (p='' for v1, p='s' for v2)."""
+    thr = PSI_RETRAIN_THRESHOLD_PPM
+    p_r = (
+        f"(((SELECT n FROM nr) / 10.0 + 0.5) / ((SELECT n FROM nr) + 5.0))"
+    )
+    p_c = "((coalesce(cc.n_cur, 0) + 0.5) / ((SELECT n FROM nc) + 5.0))"
+    return (
+        _pca_chain(_REF_WHERE)
+        + f""",
+ref AS MATERIALIZED (
+  SELECT vec_id, pc1 FROM scores WHERE NOT ({_CUR_PRED})),
+nr AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM ref),
+hist AS (SELECT pc1, count(*) AS c FROM ref GROUP BY pc1),
+cum AS MATERIALIZED (
+  SELECT pc1, sum(c) OVER (ORDER BY pc1) AS cum FROM hist),
+edges1 AS MATERIALIZED (
+  SELECT k, min(pc1) AS e
+  FROM range(1, {_N_BUCKETS}) r(k) JOIN cum
+    ON cum.cum >= (k * (SELECT n FROM nr) + {_N_BUCKETS - 1})
+                  // {_N_BUCKETS}
+  GROUP BY k),
+scur AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x + {_SHIFT})
+           AS e
+  FROM embeddings WHERE {_CUR_PRED}),
+nc AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM scur),
+cscore AS MATERIALIZED (
+  SELECT s.vec_id,
+         floor(sum((s.e[v.j] - mn.m) * v.x) * {_Q} + 0.5) / {_Q} AS pc1
+  FROM scur s CROSS JOIN v{N_ITER} v JOIN mean mn ON v.j = mn.i
+  GROUP BY s.vec_id),
+bcur AS (
+  SELECT r.vec_id, 1 + count(e.k) AS b
+  FROM cscore r LEFT JOIN edges1 e ON e.e < r.pc1 GROUP BY r.vec_id),
+ccur AS (SELECT b, count(*) AS n_cur FROM bcur GROUP BY b),
+psix AS MATERIALIZED (
+  SELECT CAST(sum(CAST(floor(({p_c} - {p_r}) * ln({p_c} / {p_r})
+                             * {_Q} + 0.5) AS BIGINT)) AS BIGINT)
+           AS psi_ppm
+  FROM range(1, {_N_BUCKETS + 1}) r(k) LEFT JOIN ccur cc ON cc.b = k)"""
+        + _pca_common(
+            "", p="s", emb_sql="SELECT vec_id, e FROM scur", with_kw=False
+        )
+        + f""",
+sscore AS MATERIALIZED (
+  SELECT semb.vec_id,
+         floor(sum((semb.e[v.j] - mn.m) * v.x) * {_Q} + 0.5) / {_Q} AS pc1
+  FROM semb CROSS JOIN sv{N_ITER} v JOIN smean mn ON v.j = mn.i
+  GROUP BY semb.vec_id),
+shist AS (SELECT pc1, count(*) AS c FROM sscore GROUP BY pc1),
+scum AS MATERIALIZED (
+  SELECT pc1, sum(c) OVER (ORDER BY pc1) AS cum FROM shist),
+edges2 AS MATERIALIZED (
+  SELECT k, min(pc1) AS e
+  FROM range(1, {_N_BUCKETS}) r(k) JOIN scum
+    ON scum.cum >= (k * (SELECT n FROM nc) + {_N_BUCKETS - 1})
+                   // {_N_BUCKETS}
+  GROUP BY k)
+SELECT CAST(e1.k AS BIGINT) AS k,
+       CASE WHEN (SELECT psi_ppm FROM psix) > {thr}
+            THEN e2.e ELSE e1.e END AS edge,
+       (SELECT psi_ppm FROM psix) AS psi_ppm,
+       CAST(CASE WHEN (SELECT psi_ppm FROM psix) > {thr}
+                 THEN 1 ELSE 0 END AS BIGINT) AS retrained
+FROM edges1 e1 JOIN edges2 e2 ON e1.k = e2.k
+"""
+    )
+
+
+@register(
+    "vec_drift_retrain_refreeze",
+    _refreeze_oracle(),
+    doc="The drift lifecycle's POST-SWAP state, oracle-checked "
+    "(VERDICT r9 ask #4 — serve_and_maybe_retrain was previously "
+    "pinned only by pytest): monitor v1 freezes on the reference "
+    "slice, the arriving slice carries a planted +0.25 mean shift "
+    "(~5M ppm PSI, 25x the retrain threshold), the lifecycle helper "
+    "detects the breach, drops stale monitor/ANN cache keys, and "
+    "RE-FREEZES on the shifted slice under a new slice tag. The hash "
+    "pins the SERVING monitor's rank-exact decile edges after the "
+    "swap (the v2 train replayed in SQL via _pca_common's second, "
+    "s-prefixed CTE instantiation), the breach statistic in integer "
+    "ppm (per-bucket floored contributions summed — order-independent "
+    "integers), and the branch taken. The oracle replays the "
+    "conditional too: edges come from the v2 chain only when psi "
+    "crosses the threshold, so a silent no-retrain would flip the "
+    "hash, not just a flag.",
+)
+def vec_drift_retrain_refreeze(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ref = e.filter(~F.expr(_CUR_PRED))
+    shifted = e.filter(F.expr(_CUR_PRED)).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x + F.lit(_SHIFT),
+        ).alias("embedding"),
+    )
+    mon1 = train_pc1_monitor(ref, pca_key=("drift-v1", sf_dir))
+    serving, _psi_dec, retrained = serve_and_maybe_retrain(
+        mon1,
+        shifted,
+        new_ref_rows=shifted,
+        new_pca_key=("drift-v2", sf_dir),
+        stale_monitor_keys=(("pc1-monitor", sf_dir),),
+    )
+    m1, v1, edges1, n_ref = mon1
+    n_cur = serving[3] if retrained else shifted.count()
+
+    # The hashed breach statistic: per-bucket floored ppm contributions
+    # summed (integer, order-independent — unlike floor-of-total, whose
+    # float sum order differs across engines). The frozen v1 reference
+    # mass per decile is uniform n_ref/10 (monitor_psi_ppm semantics).
+    scored = shifted.select(pc1_score_expr(m1, v1).alias("pc1"))
+    counts = (
+        scored.select(bucket_expr(edges1).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    base = spark.range(1, _N_BUCKETS + 1).select(F.col("id").alias("b"))
+    jd = base.join(F.broadcast(counts), "b", "left").select(
+        F.coalesce("n_b", F.lit(0)).alias("n_b")
+    )
+    p_r = (F.lit(float(n_ref)) / F.lit(10.0) + F.lit(0.5)) / (
+        F.lit(float(n_ref)) + F.lit(5.0)
+    )
+    p_c = (F.col("n_b") + F.lit(0.5)) / F.lit(float(n_cur) + 5.0)
+    contrib = F.floor(
+        (p_c - p_r) * F.log(p_c / p_r) * F.lit(float(_Q)) + F.lit(0.5)
+    ).cast("long")
+    psi_df = jd.agg(F.sum(contrib).cast("long").alias("psi_ppm"))
+
+    edges_df = spark.createDataFrame(
+        [(k, float(ek)) for k, ek in enumerate(serving[2], start=1)],
+        "k long, edge double",
+    )
+    return edges_df.crossJoin(F.broadcast(psi_df)).select(
+        F.col("k").cast("bigint").alias("k"),
+        "edge",
+        "psi_ppm",
+        F.lit(1 if retrained else 0).cast("bigint").alias("retrained"),
+    )
 
 
 @register(

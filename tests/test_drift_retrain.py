@@ -186,3 +186,53 @@ def test_streaming_lifecycle_detect_retrain_refreeze(spark, sf_dir, tmp_path):
     # stale artifacts dropped during the in-stream retrain
     assert mon_key not in _MONITOR_CACHE
     assert (idx_key, 64, 8) not in _ROTATION_CACHE
+
+
+def test_refreeze_entry_statistics_and_branch_agree(spark, sf_dir):
+    """The oracle entry (vec_drift_retrain_refreeze) hashes the
+    SUM-OF-FLOORS ppm statistic and branches on it; the lifecycle
+    helper decides on FLOOR-OF-SUM. The two differ by at most
+    n_buckets ppm, so they must sit on the same side of the 200k
+    threshold on the fixture — pin that, plus: the served edges after
+    a breach are the v2 monitor's (not v1's), and a NO-shift slice
+    keeps the v1 monitor (the entry's CASE would then emit v1 edges)."""
+    from dataengineer_job_scraper_etl_spark.queries.pca import (
+        _SHIFT,
+        vec_drift_retrain_refreeze,
+    )
+
+    ref = _ref(spark, sf_dir)
+    mon1 = train_pc1_monitor(ref, pca_key=("t-refreeze-v1", sf_dir))
+
+    # no shift -> no retrain -> serving IS mon1
+    serving, psi, retrained = serve_and_maybe_retrain(
+        mon1, _cur(spark, sf_dir), new_ref_rows=_cur(spark, sf_dir),
+        new_pca_key=("t-refreeze-nope", sf_dir),
+    )
+    assert not retrained and serving is mon1
+
+    # planted +_SHIFT -> retrain -> new monitor trained on the shift
+    shifted = _cur(spark, sf_dir).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x + F.lit(_SHIFT),
+        ).alias("embedding"),
+    )
+    serving2, psi2, retrained2 = serve_and_maybe_retrain(
+        mon1, shifted, new_ref_rows=shifted,
+        new_pca_key=("t-refreeze-v2", sf_dir),
+    )
+    assert retrained2 and serving2 is not mon1
+    assert psi2 > PSI_RETRAIN_THRESHOLD_PPM
+
+    # the registered entry's hashed rows agree with the lifecycle run
+    rows = vec_drift_retrain_refreeze(spark, sf_dir).collect()
+    assert len(rows) == 9
+    assert all(r["retrained"] == 1 for r in rows)
+    got_edges = [r["edge"] for r in sorted(rows, key=lambda r: r["k"])]
+    assert got_edges == [float(e) for e in serving2[2]]
+    # sum-of-floors vs floor-of-sum: within n_buckets ppm, same side
+    hashed_psi = rows[0]["psi_ppm"]
+    assert abs(hashed_psi - psi2) <= 10
+    assert (hashed_psi > PSI_RETRAIN_THRESHOLD_PPM) == retrained2
