@@ -16,31 +16,68 @@ from dataengineer_job_scraper_etl_spark import catalog
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _last_rounds():
+    import glob
+
+    last = {}
+    for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int("".join(c for c in os.path.basename(p) if c.isdigit()))
+        with open(p, encoding="utf-8") as f:
+            for n in json.load(f):
+                last[n] = max(rnd, last.get(n, 0))
+    return last
+
+
 def test_schedule_names_are_registered_and_unique():
     qs = catalog.all_queries()
     missing = [n for n in catalog.AUDIT_SCHEDULE if n not in qs]
     assert not missing, f"schedule names not in catalog: {missing}"
     assert len(set(catalog.AUDIT_SCHEDULE)) == len(catalog.AUDIT_SCHEDULE)
-    # every slot must be spendable: driver can only hash-check entries
-    # with an oracle (no-oracle entries get at most one-time slots,
-    # and all of them have driver evidence since r8)
-    no_oracle = [
-        n for n in catalog.AUDIT_SCHEDULE if qs[n].oracle is None
+    # no-oracle entries only earn slots under the head rules: never any
+    # driver evidence, or evidence >2 rounds stale by the next round
+    # (VERDICT r9 ask #5) — anything fresher is a wasted slot.
+    last = _last_rounds()
+    next_round = max(last.values(), default=0) + 1
+    wasted = [
+        n
+        for n in catalog.AUDIT_SCHEDULE
+        if qs[n].oracle is None
+        and n in last
+        and next_round - last[n] <= 2
     ]
-    assert not no_oracle, f"wasted slots on no-oracle entries: {no_oracle}"
+    assert not wasted, f"wasted slots on fresh no-oracle entries: {wasted}"
 
 
-def test_r9_head_is_the_rewired_six():
-    """VERDICT r8 ask #1: the six entries whose code round 8 touched
-    most lead the round-9 window."""
-    assert catalog.AUDIT_SCHEDULE[:6] == [
-        "events_user_spend_gini",
-        "text_vocab_coverage_curve",
-        "events_value_ks_drift",
-        "events_user_lorenz_curve",
-        "docs_global_token_offsets",
-        "docs_shard_assignment",
-    ]
+def test_every_registered_entry_evidenced_or_scheduled():
+    """VERDICT r9 ask #2 (the wrap-time assertion, also enforced by
+    tools/wrap_counts.py exit code): a late-registered entry must
+    never silently miss a round — no driver CORRECTNESS row in any
+    round means it MUST hold a slot in the next window."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from wrap_counts import unevidenced_not_scheduled
+
+    assert unevidenced_not_scheduled() == []
+
+
+def test_r10_head_leads_with_late_registrations_and_stale_rows_only():
+    """The 5 rows-only refresh slots (r3-dated no-oracle entries,
+    VERDICT r9 ask #5) + the 4 never-audited entries (ask #2) lead."""
+    head = catalog.AUDIT_SCHEDULE[:9]
+    assert set(head[:5]) == {
+        "neardup_minhash_lsh",
+        "neardup_simhash",
+        "neardup_simhash_fingerprints",
+        "ann_rhp_lsh_topk",
+        "ann_ivf_topk",
+    }
+    assert head[5] == "corpus_pipeline_decontaminated"
+    assert set(head[6:9]) == {
+        "vec_drift_retrain_refreeze",
+        "docs_exact_substring_ingest",
+        "streaming_exact_substring_ingest",
+    }
 
 
 def test_audit_order_puts_schedule_first():
@@ -97,6 +134,52 @@ def test_source_hash_sees_entry_body_oracle_and_operator_modules():
     finally:
         ar._OPS_DIR = orig
     assert h_real != h_other
+
+
+def test_source_hash_sees_the_defining_module_text(tmp_path):
+    """ADVICE r9 #2: two functions with IDENTICAL source in modules
+    whose surrounding text differs (e.g. a shared helper edited) must
+    hash differently — the r8 rewire-misses-window failure mode lived
+    exactly in module-level helpers the fn-body hash couldn't see."""
+    import importlib.util
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from audit_rotation import entry_source_hash
+
+    class Q:
+        def __init__(self, fn, oracle):
+            self.spark_fn = fn
+            self.oracle = oracle
+
+    def load(name, extra):
+        p = tmp_path / f"{name}.py"
+        p.write_text(f"def fn(spark, sf_dir):\n    return 7\n{extra}")
+        spec = importlib.util.spec_from_file_location(name, p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.fn
+
+    fn1 = load("m_one", "")
+    fn2 = load("m_two", "\nHELPER = 42\n")
+    import inspect
+
+    # identical fn bodies...
+    assert inspect.getsource(fn1) == inspect.getsource(fn2)
+    # ...different module text -> different snapshot
+    assert entry_source_hash(Q(fn1, None)) != entry_source_hash(Q(fn2, None))
+
+
+def test_ledger_carries_the_current_hash_version():
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from audit_rotation import HASH_VERSION
+
+    path = os.path.join(REPO, "tools", "audit_source_hashes.json")
+    with open(path, encoding="utf-8") as f:
+        ledger = json.load(f)
+    assert ledger.get("__hash_version__") == HASH_VERSION
 
 
 def test_ledger_covers_every_scheduled_entry():

@@ -8,15 +8,22 @@ repo root and prints a ready-to-paste 50-entry schedule:
 
 1. entries that FAILED their most recent audit (a fix must be
    re-proven before anything else gets a slot),
-2. entries whose IMPLEMENTATION CHANGED since the source snapshot in
+2. oracle-bearing entries NEVER hash-audited, registration order
+   (VERDICT r9 ask #2: corpus_pipeline_decontaminated registered
+   after the r9 schedule froze and got no driver row — a late
+   registration must always lead the next window, ahead of mere
+   staleness AND ahead of the changed tier, so module-wide edits
+   can never crowd a brand-new entry out),
+3. entries whose IMPLEMENTATION CHANGED since the source snapshot in
    the ledger (VERDICT r8 "What's wrong" #1: the round-8 prefix
    rewires missed the driver window because pure last-audit-round
    staleness doesn't know about code edits — a rewired entry must
    never again wait out the rotation). "Changed" = the sha256 of the
-   entry's spark_fn source + its oracle SQL + the full text of any
-   operators/ modules the function imports differs from
-   tools/audit_source_hashes.json,
-3. entries never hash-audited, registration order,
+   entry's spark_fn source + its oracle SQL + the full text of its
+   DEFINING module + any operators/ modules the function imports
+   differs from tools/audit_source_hashes.json (ADVICE r9 #2: the
+   defining-module text catches edits to shared module-level helpers
+   like _trim_covered_runs that the fn-source hash misses),
 4. everything else by last-audit round, oldest first.
 
 The ledger is (re)written on every run: each scheduled entry's hash is
@@ -30,11 +37,13 @@ Entries registered with ``oracle=None`` normally DON'T get slots: the
 driver records ``err: no_oracle`` plus a rows-only check for them, and
 their real contracts are oracle-checked twin entries (planted-recall /
 recall-floor / contract queries) — so a recurring window slot on them
-is wasted. EXCEPTION (VERDICT r7 ask #4): a no-oracle entry that has
-NEVER appeared in any driver window gets one slot, at the head, so it
-carries at least rows-only driver evidence; once any
-CORRECTNESS_r*.json shows it, it rotates out of contention
-permanently.
+is wasted. EXCEPTIONS, both at the head: a no-oracle entry that has
+NEVER appeared in any driver window gets one slot (VERDICT r7 ask
+#4), and one whose latest driver evidence would be MORE THAN 2 ROUNDS
+OLD by the next round gets a refresh slot (VERDICT r9 ask #5: the
+five r3-dated rows-only entries predate the r4-r6 similarity-module
+refactors — rows-only re-evidence is one cheap slot each, every ~3
+rounds).
 
 Usage: python tools/audit_rotation.py [--no-ledger-update]
 """
@@ -57,14 +66,36 @@ LEDGER = os.path.join(REPO, "tools", "audit_source_hashes.json")
 _OPS_DIR = os.path.join(REPO, "dataengineer_job_scraper_etl_spark", "operators")
 
 
+# Bumped when the hash recipe changes: old snapshots are then
+# incomparable (every entry would read "changed" forever), so a
+# version mismatch re-snapshots the whole ledger and the round's
+# genuinely-edited entries are pinned by hand once (see the catalog
+# comment for that round's window).
+#   v1 (r9): fn source + oracle SQL + imported operators/ modules.
+#   v2 (r10): + the entry's DEFINING module text (ADVICE r9 #2 —
+#        module-level helpers like _trim_covered_runs / oracle
+#        builders are shared by entries whose own fn body never
+#        moves).
+HASH_VERSION = 2
+
+
 def entry_source_hash(q) -> str:
     """Hash of everything the driver's audit of this entry executes:
-    the entry function's source, its oracle SQL, and the FULL text of
-    every operators/ module the function imports locally (so an edit
-    to e.g. operators/prefix.py marks every prefix-riding entry
-    changed, not just entries whose own body moved)."""
+    the entry function's source, its oracle SQL, the FULL text of the
+    module DEFINING the function (shared helpers, oracle-builder
+    functions, module constants — ADVICE r9 #2), and of every
+    operators/ module the function imports locally (so an edit to
+    e.g. operators/prefix.py marks every prefix-riding entry changed,
+    not just entries whose own body moved)."""
     src = inspect.getsource(q.spark_fn)
     parts = [src, q.oracle or ""]
+    try:
+        def_path = inspect.getsourcefile(q.spark_fn)
+        if def_path and os.path.exists(def_path):
+            with open(def_path, encoding="utf-8") as f:
+                parts.append(f.read())
+    except TypeError:
+        pass  # builtins/C-level callables have no source file
     mods = set(
         re.findall(
             r"from\s+dataengineer_job_scraper_etl_spark\.operators\.(\w+)",
@@ -107,9 +138,16 @@ def main() -> int:
                 failed_latest.discard(name)  # later round went green
 
     ledger: dict[str, str] = {}
+    ledger_stale = False
     if os.path.exists(LEDGER):
         with open(LEDGER, encoding="utf-8") as f:
             ledger = json.load(f)
+        if ledger.pop("__hash_version__", 1) != HASH_VERSION:
+            # hash recipe changed: old snapshots are incomparable —
+            # re-snapshot everything; this round's genuinely-edited
+            # entries must be pinned by hand (catalog window comment)
+            ledger = {}
+            ledger_stale = True
     current = {n: entry_source_hash(qs[n]) for n in qs}
     changed = {
         n
@@ -117,15 +155,32 @@ def main() -> int:
         if n in ledger and ledger[n] != current[n]
     }
 
-    # One-time rows-only slots for no-oracle entries with zero driver
-    # evidence; once seen in any CORRECTNESS file they never re-enter.
-    no_oracle_head = [n for n in skipped if n not in last_round]
+    # Head slots for no-oracle entries: never seen (one-time, VERDICT
+    # r7 ask #4) or evidence >2 rounds old by the NEXT round (refresh,
+    # VERDICT r9 ask #5 — "no entry's driver evidence older than ~3
+    # rounds", rows-only included).
+    next_round = (
+        max(
+            (int("".join(c for c in os.path.basename(p) if c.isdigit()))
+             for p in rounds),
+            default=0,
+        )
+        + 1
+    )
+    no_oracle_head = [
+        n
+        for n in skipped
+        if n not in last_round or next_round - last_round[n] > 2
+    ]
 
     order = sorted(
         names,
         key=lambda n: (
-            0 if n in failed_latest else 1 if n in changed else 2,
-            last_round.get(n, -1),  # never audited -> -1 -> earliest
+            0 if n in failed_latest
+            else 1 if n not in last_round  # late registrations lead
+            else 2 if n in changed
+            else 3,
+            last_round.get(n, -1),
             names.index(n),
         ),
     )
@@ -138,26 +193,31 @@ def main() -> int:
         for n in qs:
             if n in pick or n not in ledger:
                 ledger[n] = current[n]
+        ledger["__hash_version__"] = HASH_VERSION
         with open(LEDGER, "w", encoding="utf-8") as f:
-            json.dump(dict(sorted(ledger.items())), f, indent=1)
+            json.dump(dict(sorted(ledger.items(), key=str)), f, indent=1)
             f.write("\n")
 
     print(
         f"# next AUDIT_SCHEDULE ({len(pick)} entries: "
-        f"{len(no_oracle_head)} one-time rows-only head "
-        f"{no_oracle_head} + oracle-bearing rotation over {len(names)}; "
-        f"{len(changed)} changed-since-snapshot; "
-        f"{len(skipped)} no-oracle entries total;\n"
+        f"{len(no_oracle_head)} rows-only head (never-seen or "
+        f"evidence >2 rounds old) {no_oracle_head} + oracle-bearing "
+        f"rotation over {len(names)}; "
+        f"{len(changed)} changed-since-snapshot"
+        + (" [LEDGER RESET: hash recipe v%d — pin this round's edited"
+           " entries by hand]" % HASH_VERSION if ledger_stale else "")
+        + f"; {len(skipped)} no-oracle entries total;\n"
         f"# source rounds: {[os.path.basename(p) for p in rounds]})"
     )
     for n in pick:
         tag = (
-            "never audited, rows-only one-time slot"
+            "rows-only head slot (never seen or stale evidence)"
             if n in no_oracle_head
             else "FAILED-LAST-AUDIT" if n in failed_latest
+            else "never audited - leads (late registration)"
+            if n not in last_round
             else "SOURCE-CHANGED since last snapshot" if n in changed
-            else ("never audited" if n not in last_round
-                  else f"last r{last_round[n]}")
+            else f"last r{last_round[n]}"
         )
         print(f'    "{n}",  # {tag}')
     return 0
