@@ -7,7 +7,13 @@ envelope BASELINE.md bounds):
 
 - shuffle_write_bytes / shuffle_read_bytes, memory/disk spill, summed
   over the stages THIS entry ran (stage-id watermark delta),
-- executor peak JVM heap (peakMemoryMetrics.JVMHeapMemory),
+- JVM heap evidence (ADVICE r9 #3 — the metric is an APP-LIFETIME
+  high-water mark, so a single per-entry reading inherits whatever the
+  hungriest earlier entry peaked at): ``app_peak_jvm_heap_bytes`` is
+  honestly labeled as the cumulative app peak AT THE TIME this entry
+  finished, and ``peak_heap_raised_bytes`` is how much THIS entry
+  raised that high-water mark (0 = it ran under an earlier entry's
+  peak — an upper-bound witness, not this entry's own footprint),
 - for streaming entries, the drained query's stateOperators rows/
   memory (streaming.jobs.LAST_PROGRESS).
 
@@ -86,6 +92,7 @@ def main() -> int:
     for name in entries:
         fn = qs[name]
         seen = {s["stageId"] for s in _stages(spark)}
+        heap_before = _peak_heap(spark)
         sjobs.LAST_PROGRESS = None
         t0 = time.time()
         try:
@@ -112,9 +119,12 @@ def main() -> int:
             "disk_bytes_spilled": sum(
                 s.get("diskBytesSpilled", 0) for s in new
             ),
-            "peak_jvm_heap_bytes": _peak_heap(spark),
+            "app_peak_jvm_heap_bytes": _peak_heap(spark),
             "n_stages": len(new),
         }
+        metrics["peak_heap_raised_bytes"] = max(
+            0, metrics["app_peak_jvm_heap_bytes"] - heap_before
+        )
         lp = sjobs.LAST_PROGRESS
         if lp and lp.get("stateOperators"):
             metrics["state_operators"] = [
@@ -139,6 +149,7 @@ def main() -> int:
             )
             continue
         row = ledger.get(name, {})
+        row.pop("peak_jvm_heap_bytes", None)  # superseded, mislabeled
         row.update({"round": max(rnd, row.get("round", 0)), **metrics})
         ledger[name] = row
         print(
@@ -147,7 +158,8 @@ def main() -> int:
             f"shR={metrics['shuffle_read_bytes']:,} "
             f"spill={metrics['memory_bytes_spilled']:,}/"
             f"{metrics['disk_bytes_spilled']:,} "
-            f"peakHeap={metrics['peak_jvm_heap_bytes']:,}"
+            f"appPeakHeap={metrics['app_peak_jvm_heap_bytes']:,} "
+            f"(+{metrics['peak_heap_raised_bytes']:,})"
             + (
                 f" state={metrics['state_operators']}"
                 if "state_operators" in metrics
