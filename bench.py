@@ -177,6 +177,12 @@ HEADLINE += [
     "docs_exact_substring_ingest",
     "vec_drift_retrain_refreeze",
 ]
+HEADLINE += [
+    # round-10 composition showcase: the nightly-intake rendering of
+    # the corpus pipeline (exact/near classify -> decon + ExactSubstr
+    # trims -> gate), end to end against the frozen corpus indexes
+    "corpus_pipeline_intake",
+]
 
 # Entries OMITTED from the stdout line's per-query dict (still RUN
 # every round; medians/spread/raw reps publish in bench_runs.json under

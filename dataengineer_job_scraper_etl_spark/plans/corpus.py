@@ -216,3 +216,140 @@ def write_pretraining_corpus(
     out = build_pretraining_corpus(docs, **kwargs)
     out.write.mode("overwrite").partitionBy("split", "source").parquet(path)
     return spark.read.parquet(path).count()
+
+
+def incremental_intake(
+    batch: DataFrame,
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    min_diversity_ppm: int = 400_000,
+    pair_fn: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """The NIGHTLY-INTAKE twin of build_pretraining_corpus: classify
+    and clean an ARRIVING batch against a FROZEN corpus without ever
+    reprocessing corpus text — the composition of the engine's
+    incremental layers in production stage order:
+
+        1. exact-dup classification (16-byte digest semi-join against
+           the corpus digest index — cheapest first),
+        2. near-dup classification of the remainder against the
+           corpus on the RAW normalized text (``pair_fn(batch,
+           corpus)`` swaps the generator — the oracle entry injects
+           exact Jaccard, production uses MinHash+LSH cross pairs).
+           DEDUP BEFORE TRIMS, deliberately: the ExactSubstr stage
+           removes exactly the cross-corpus shared content, so a
+           near-duplicate trimmed first would no longer LOOK like a
+           near-duplicate — and a doc the intake is discarding should
+           never pay the trim stages anyway,
+        3. eval-set decontamination trim of the survivors
+           (queries/spans.py — benchmark text must never enter),
+        4. ExactSubstr ingest trim against the corpus shingle-digest
+           index (batch-proportional; provably equal to a full
+           corpus-wide recount restricted to the batch),
+        5. quality gate on the CLEANED text (same rules as the batch
+           pipeline's stage 1 — trims first, or token counts gate the
+           wrong text).
+
+    Returns ONE row per batch doc: (doc_id, status, removed_decon,
+    removed_exsub, n_toks, cleaned) with status in {exact_dup,
+    near_dup, gated_out, new}; dup classifications report the raw
+    normalized text (they are dropped before the trim stages),
+    everything else the fully-trimmed text. Every stage shuffles
+    digests or bounded candidate keys, never corpus bodies; per-batch
+    cost is batch-proportional against materialized-once indexes."""
+    from dataengineer_job_scraper_etl_spark.queries.spans import (
+        decontaminate_trim,
+        exact_substring_index,
+        exact_substring_ingest_trim,
+    )
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    b_norm = batch.select("doc_id", norm.alias("text")).localCheckpoint(
+        eager=False
+    )  # staged once: digest classify, near-dup posting, decon shingles
+    raw_cols = [
+        F.lit(0).cast("long").alias("removed_decon"),
+        F.lit(0).cast("long").alias("removed_exsub"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_toks"),
+        F.col("text").alias("cleaned"),
+    ]
+    idx_dg = corpus.select(F.md5(norm).alias("__dg")).distinct()
+    b_dg = b_norm.withColumn("__dg", F.md5(F.col("text")))
+    exact = b_dg.join(idx_dg, "__dg", "left_semi").select(
+        "doc_id", F.lit("exact_dup").alias("status"), *raw_cols
+    )
+    surv0 = b_dg.join(idx_dg, "__dg", "left_anti").drop("__dg")
+
+    if pair_fn is None:
+        from dataengineer_job_scraper_etl_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        def pair_fn(b, c):  # cross-side MinHash+LSH (the 100 TB path)
+            both = b.unionByName(c.select("doc_id", "text"))
+            cand = minhash_lsh_pairs(both, "doc_id", "text").filter(
+                F.col("est_jaccard") >= 0.5
+            )
+            bid = b.select(F.col("doc_id").alias("__bid"))
+            cid = c.select(F.col("doc_id").alias("__iid"))
+            ab = cand.join(
+                bid, cand["id_a"] == bid["__bid"], "left_semi"
+            ).join(cid, cand["id_b"] == cid["__iid"], "left_semi")
+            ba = cand.join(
+                cid, cand["id_a"] == cid["__iid"], "left_semi"
+            ).join(bid, cand["id_b"] == bid["__bid"], "left_semi")
+            return ab.select("id_a", "id_b").unionByName(
+                ba.select(
+                    F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+                )
+            )
+
+    near_ids = (
+        pair_fn(surv0, corpus)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    near = surv0.join(near_ids, "doc_id", "left_semi").select(
+        "doc_id", F.lit("near_dup").alias("status"), *raw_cols
+    )
+    survivors = surv0.join(near_ids, "doc_id", "left_anti")
+
+    dec = decontaminate_trim(survivors, eval_docs).select(
+        "doc_id",
+        F.col("removed_toks").alias("removed_decon"),
+        F.col("cleaned").alias("text"),
+    ).localCheckpoint(eager=False)  # staged: exsub shingles + rejoin
+
+    sidx = exact_substring_index(corpus)
+    ex = exact_substring_ingest_trim(dec, sidx).select(
+        "doc_id",
+        F.col("removed_toks").alias("removed_exsub"),
+        F.col("cleaned"),
+    )
+    joined = ex.join(dec.select("doc_id", "removed_decon"), "doc_id")
+
+    toks = F.split(F.col("cleaned"), " ")
+    gs = joined.select(
+        "doc_id",
+        "removed_decon",
+        "removed_exsub",
+        "cleaned",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(toks)).cast("long").alias("d_toks"),
+    )
+    gate_ok = (
+        (F.col("n_toks") >= min_tokens)
+        & (F.col("n_toks") <= max_tokens)
+        & (F.expr("d_toks * 1000000 div n_toks") >= min_diversity_ppm)
+    )
+    rest = gs.select(
+        "doc_id",
+        F.when(~gate_ok, "gated_out").otherwise("new").alias("status"),
+        "removed_decon",
+        "removed_exsub",
+        "n_toks",
+        "cleaned",
+    )
+    return exact.unionByName(near).unionByName(rest)

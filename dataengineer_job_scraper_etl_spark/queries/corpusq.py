@@ -813,3 +813,283 @@ def corpus_pipeline_decontaminated(
         F.col("shard_id").cast("bigint").alias("shard_id"),
         F.col("n_toks").cast("bigint").alias("n_toks"),
     )
+
+
+# A second fixed plant for the INTAKE entry's decontamination leg: a
+# 12-token suffix shared by eval docs and SOME arriving docs
+# (doc_id%20==18 — disjoint from the ExactSubstr plant's %20 in {8,19}
+# and the exact-copy plant's %20==9), guaranteeing the decon trim
+# fires inside the composed path at every sf.
+_P2 = (
+    "zjcobalt zjdrift zjepoch zjflint zjgale zjharbor zjiris zjjade "
+    "zjkarst zjlotus zjmesa zjnorth"
+)
+
+
+def _intake_oracle() -> str:
+    from dataengineer_job_scraper_etl_spark.queries.spans import (
+        _PLANT,
+        _PLANT_PRED,
+        DECON_SHINGLE,
+        EXSUB_MIN_RUN,
+        EXSUB_SHINGLE,
+    )
+
+    k = EXSUB_SHINGLE
+    assert DECON_SHINGLE == k
+    nb = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+WITH raw0 AS (
+  SELECT doc_id,
+         CASE WHEN {_PLANT_PRED} THEN text || ' {_PLANT}'
+              ELSE text END AS text
+  FROM documents),
+raw AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 37 = 0 OR doc_id % 20 = 18
+              THEN text || ' {_P2}' ELSE text END AS text
+  FROM raw0),
+ev AS (SELECT doc_id, text FROM raw WHERE doc_id % 37 = 0),
+co AS (SELECT doc_id, text FROM raw
+       WHERE doc_id % 37 <> 0 AND doc_id % 10 < 8),
+ba0 AS (SELECT doc_id, text FROM raw
+        WHERE doc_id % 37 <> 0 AND doc_id % 10 >= 8),
+ba AS (
+  SELECT b.doc_id,
+         CASE WHEN b.doc_id % 40 = 9 AND c.text IS NOT NULL
+              THEN c.text
+              WHEN b.doc_id % 40 = 29 AND c.text IS NOT NULL
+              THEN 'xxnear ' ||
+                   array_to_string(string_split(c.text, ' ')[2:], ' ')
+              ELSE b.text END AS text
+  FROM ba0 b LEFT JOIN co c ON c.doc_id = b.doc_id - 9),
+bnorm AS (SELECT doc_id, {nb} AS ntext FROM ba),
+cofp AS (SELECT DISTINCT md5({nb}) AS fp FROM co),
+exact AS (SELECT doc_id FROM bnorm
+          WHERE md5(ntext) IN (SELECT fp FROM cofp)),
+surv0 AS (SELECT doc_id, ntext FROM bnorm
+          WHERE doc_id NOT IN (SELECT doc_id FROM exact)),
+tagged AS (
+  SELECT doc_id, ntext AS text, 'b' AS side FROM surv0
+  UNION ALL SELECT doc_id, {nb} AS text, 'i' FROM co),
+posting AS (
+  SELECT doc_id, side,
+         unnest(list_distinct(string_split(text, ' '))) AS term
+  FROM tagged),
+tdf2 AS (SELECT term, count(*) AS df FROM posting GROUP BY term),
+kept2 AS (SELECT p.doc_id, p.side, p.term FROM posting p
+          JOIN tdf2 USING (term) WHERE tdf2.df <= {_PAIR_MAX_DF}),
+inter2 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+  FROM kept2 a JOIN kept2 b ON a.term = b.term
+  WHERE a.side = 'b' AND b.side = 'i'
+  GROUP BY 1, 2),
+sizes2 AS (SELECT doc_id, count(*) AS sz FROM kept2 GROUP BY doc_id),
+near AS (
+  SELECT DISTINCT id_a AS doc_id FROM inter2
+  JOIN sizes2 sa ON sa.doc_id = id_a
+  JOIN sizes2 sb ON sb.doc_id = id_b
+  WHERE n * 1.0 / (sa.sz + sb.sz - n) >= {_PAIR_THRESHOLD}),
+surv AS (SELECT doc_id, string_split(ntext, ' ') AS t FROM surv0
+         WHERE doc_id NOT IN (SELECT doc_id FROM near)),
+evidx AS (
+  SELECT DISTINCT
+         md5(array_to_string(list_slice(t, pos + 1, pos + {k}), ' ')) AS h
+  FROM (SELECT t, unnest(range(0, greatest(len(t) - {k} + 1, 0))) AS pos
+        FROM (SELECT string_split({nb}, ' ') AS t FROM ev))),
+dsh AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(t, pos + 1, pos + {k}), ' ')) AS h
+  FROM (SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - {k} + 1, 0))) AS pos
+        FROM surv)),
+dcov AS (
+  SELECT DISTINCT doc_id, cp
+  FROM (SELECT s.doc_id, unnest(range(s.pos, s.pos + {k})) AS cp
+        FROM dsh s JOIN evidx USING (h))),
+disl AS (
+  SELECT doc_id, cp,
+         cp - row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS g
+  FROM dcov),
+druns AS (
+  SELECT doc_id, min(cp) AS s, max(cp) AS e, count(*) AS len
+  FROM disl GROUP BY doc_id, g HAVING count(*) >= {k}),
+drm AS (SELECT doc_id, CAST(cp AS BIGINT) AS cp
+        FROM (SELECT doc_id, unnest(range(s, e + 1)) AS cp FROM druns)),
+dpos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w
+         FROM (SELECT doc_id, unnest(t) AS w,
+                      generate_subscripts(t, 1) AS i
+               FROM surv)),
+dkept AS (
+  SELECT dpos.doc_id, dpos.p, dpos.w
+  FROM dpos LEFT JOIN drm ON dpos.doc_id = drm.doc_id AND dpos.p = drm.cp
+  WHERE drm.cp IS NULL),
+d1 AS (
+  SELECT s.doc_id,
+         coalesce(r.cleaned, '') AS text,
+         CAST(coalesce(rm.removed, 0) AS BIGINT) AS removed_decon
+  FROM surv s
+  LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS cleaned
+             FROM dkept GROUP BY doc_id) r USING (doc_id)
+  LEFT JOIN (SELECT doc_id, CAST(sum(len) AS BIGINT) AS removed
+             FROM druns GROUP BY doc_id) rm USING (doc_id)),
+d1t AS (SELECT doc_id, string_split(text, ' ') AS t, removed_decon
+        FROM d1),
+coidx AS (
+  SELECT DISTINCT
+         md5(array_to_string(list_slice(t, pos + 1, pos + {k}), ' ')) AS h
+  FROM (SELECT t, unnest(range(0, greatest(len(t) - {k} + 1, 0))) AS pos
+        FROM (SELECT string_split({nb}, ' ') AS t FROM co))),
+xsh AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(t, pos + 1, pos + {k}), ' ')) AS h
+  FROM (SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - {k} + 1, 0))) AS pos
+        FROM d1t)),
+xdup AS (
+  SELECT h FROM xsh GROUP BY h
+  HAVING count(*) >= 2 OR max(CASE WHEN h IN (SELECT h FROM coidx)
+                                   THEN 1 ELSE 0 END) = 1),
+xcov AS (
+  SELECT DISTINCT doc_id, cp
+  FROM (SELECT s.doc_id, unnest(range(s.pos, s.pos + {k})) AS cp
+        FROM xsh s JOIN xdup USING (h))),
+xisl AS (
+  SELECT doc_id, cp,
+         cp - row_number() OVER (PARTITION BY doc_id ORDER BY cp) AS g
+  FROM xcov),
+xruns AS (
+  SELECT doc_id, min(cp) AS s, max(cp) AS e, count(*) AS len
+  FROM xisl GROUP BY doc_id, g HAVING count(*) >= {EXSUB_MIN_RUN}),
+xrm AS (SELECT doc_id, CAST(cp AS BIGINT) AS cp
+        FROM (SELECT doc_id, unnest(range(s, e + 1)) AS cp FROM xruns)),
+xpos AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w
+         FROM (SELECT doc_id, unnest(t) AS w,
+                      generate_subscripts(t, 1) AS i
+               FROM d1t)),
+xkept AS (
+  SELECT xpos.doc_id, xpos.p, xpos.w
+  FROM xpos LEFT JOIN xrm ON xpos.doc_id = xrm.doc_id AND xpos.p = xrm.cp
+  WHERE xrm.cp IS NULL),
+d2 AS (
+  SELECT s.doc_id,
+         coalesce(r.cleaned, '') AS text,
+         s.removed_decon,
+         CAST(coalesce(rm.removed, 0) AS BIGINT) AS removed_exsub
+  FROM d1t s
+  LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS cleaned
+             FROM xkept GROUP BY doc_id) r USING (doc_id)
+  LEFT JOIN (SELECT doc_id, CAST(sum(len) AS BIGINT) AS removed
+             FROM xruns GROUP BY doc_id) rm USING (doc_id)),
+gs AS (
+  SELECT doc_id, text, removed_decon, removed_exsub,
+         CAST(len(t) AS BIGINT) AS n_toks,
+         CAST(len(list_distinct(t)) AS BIGINT) AS d_toks
+  FROM (SELECT *, string_split(text, ' ') AS t FROM d2))
+SELECT b.doc_id AS doc_id, 'exact_dup' AS status,
+       CAST(0 AS BIGINT) AS removed_decon,
+       CAST(0 AS BIGINT) AS removed_exsub,
+       CAST(len(string_split(b.ntext, ' ')) AS BIGINT) AS n_toks,
+       md5(b.ntext) AS cleaned_md5
+FROM bnorm b WHERE b.doc_id IN (SELECT doc_id FROM exact)
+UNION ALL
+SELECT s.doc_id, 'near_dup',
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(len(string_split(s.ntext, ' ')) AS BIGINT),
+       md5(s.ntext)
+FROM surv0 s WHERE s.doc_id IN (SELECT doc_id FROM near)
+UNION ALL
+SELECT gs.doc_id,
+       CASE WHEN NOT (n_toks >= 20 AND n_toks <= 90
+                      AND d_toks * 1000000 // n_toks >= 400000)
+            THEN 'gated_out' ELSE 'new' END,
+       removed_decon, removed_exsub, n_toks, md5(text)
+FROM gs
+"""
+
+
+@register(
+    "corpus_pipeline_intake",
+    _intake_oracle(),
+    doc="The corpus pipeline's NIGHTLY-INTAKE rendering "
+    "(plans/corpus.py::incremental_intake): the engine's incremental "
+    "layers composed in production stage order against a FROZEN "
+    "corpus — exact-dup digest classify (cheapest first) -> near-dup "
+    "classify on the RAW normalized remainder (exact Jaccard injected "
+    "for SQL-checkability; production swaps MinHash+LSH cross pairs) "
+    "-> eval-set decontamination trim -> ExactSubstr ingest trim "
+    "against the corpus shingle index -> quality gate on the CLEANED "
+    "text. Dedup runs BEFORE the trims deliberately: ExactSubstr "
+    "removes exactly the cross-corpus shared content, so a trimmed "
+    "near-duplicate would no longer look like one — and a discarded "
+    "doc should never pay the trim stages. Four plants guarantee "
+    "every branch fires at every sf: exact copies of corpus docs "
+    "(doc_id%40==9), drop-first-token near copies (%40==29), a "
+    "24-token corpus-shared suffix (%20 in {8,19} — ExactSubstr), a "
+    "12-token eval-shared suffix (%20==18 — decon). cleaned_md5 pins "
+    "exact per-doc trimmed reassembly THROUGH the composition, so "
+    "stage ORDER is hash-checked, not just each stage alone. "
+    "Batch-proportional: per-batch work touches batch rows + "
+    "materialized-once digest indexes; corpus text is read for index "
+    "construction only. Scale note (defense in depth, measured): the "
+    "INJECTED Jaccard generator's df<=100 posting prune starves "
+    "near-dup candidates above sf0.01 on this templated fixture "
+    "(production's MinHash path has no df cap — pytest-pinned on the "
+    "planted copies); the missed near-copies are then neutralized "
+    "DOWNSTREAM anyway — ExactSubstr trims their shared body to "
+    "nothing and the gate drops them — so a starved candidate "
+    "generator degrades to gated_out, never to corpus pollution.",
+)
+def corpus_pipeline_intake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.plans.corpus import (
+        incremental_intake,
+    )
+    from dataengineer_job_scraper_etl_spark.queries.spans import (
+        _planted_docs,
+    )
+
+    p2pred = (F.col("doc_id") % 37 == 0) | (F.col("doc_id") % 20 == 18)
+    raw = _planted_docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(p2pred, F.concat(F.col("text"), F.lit(" " + _P2)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    ev = raw.filter(F.col("doc_id") % 37 == 0)
+    co = raw.filter(
+        (F.col("doc_id") % 37 != 0) & (F.col("doc_id") % 10 < 8)
+    )
+    ba0 = raw.filter(
+        (F.col("doc_id") % 37 != 0) & (F.col("doc_id") % 10 >= 8)
+    )
+    copy_src = co.select(
+        (F.col("doc_id") + 9).alias("doc_id"), F.col("text").alias("__copy")
+    )
+    near_text = F.concat(
+        F.lit("xxnear "),
+        F.array_join(
+            F.slice(F.split(F.col("__copy"), " "), 2, 1_000_000), " "
+        ),
+    )
+    ba = ba0.join(copy_src, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 40 == 9) & F.col("__copy").isNotNull(),
+            F.col("__copy"),
+        )
+        .when(
+            (F.col("doc_id") % 40 == 29) & F.col("__copy").isNotNull(),
+            near_text,
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = incremental_intake(ba, co, ev, pair_fn=exact_jaccard_cross_pairs)
+    return out.select(
+        "doc_id",
+        "status",
+        "removed_decon",
+        "removed_exsub",
+        "n_toks",
+        F.md5(F.col("cleaned")).alias("cleaned_md5"),
+    )

@@ -144,3 +144,48 @@ def test_pipeline_boilerplate_strip_unifies_chromed_duplicates(spark):
     # survivors' token counts reflect the POST-strip text
     toks = {r["doc_id"]: r["n_toks"] for r in kept.collect()}
     assert all(v == 24 for v in toks.values())
+
+
+def test_intake_default_minhash_path_classifies_planted_copies(spark):
+    """corpus_pipeline_intake's oracle injects exact Jaccard (SQL-
+    checkable but df-pruned); production uses the DEFAULT pair_fn —
+    MinHash+LSH cross pairs, no df cap. Pin that the default path
+    classifies a planted near-copy as near_dup, an exact copy as
+    exact_dup, and that everything it discards never reaches the trim
+    stages (removed counts stay 0 on dups)."""
+    from dataengineer_job_scraper_etl_spark.plans.corpus import (
+        incremental_intake,
+    )
+
+    base = [
+        (i, " ".join(f"w{i}x{j}" for j in range(30)) + " common tail here")
+        for i in range(8)
+    ]
+    corpus = spark.createDataFrame(base, "doc_id long, text string")
+    evald = spark.createDataFrame(
+        [(100, "benchmark question alpha beta gamma delta epsilon zeta "
+               "eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    near_text = "xxnear " + " ".join(f"w3x{j}" for j in range(1, 30)) \
+        + " common tail here"
+    batch = spark.createDataFrame(
+        [
+            (50, base[2][1]),              # exact copy of corpus doc 2
+            (51, near_text),               # near copy of corpus doc 3
+            (52, " ".join(f"q{j}" for j in range(40))),  # genuinely new
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_intake(
+            batch, corpus, evald, min_tokens=5, max_tokens=200
+        ).collect()
+    }
+    assert out[50]["status"] == "exact_dup"
+    assert out[51]["status"] == "near_dup"
+    assert out[52]["status"] == "new"
+    for d in (50, 51):
+        assert out[d]["removed_decon"] == 0
+        assert out[d]["removed_exsub"] == 0
