@@ -182,6 +182,10 @@ HEADLINE += [
     # the corpus pipeline (exact/near classify -> decon + ExactSubstr
     # trims -> gate), end to end against the frozen corpus indexes
     "corpus_pipeline_intake",
+    # round-10 late addition: the trained quality classifier's serve
+    # path (train-once cached; the scoring pass is a zero-shuffle
+    # codegen projection — one exp per row)
+    "docs_quality_logreg_scores",
 ]
 
 # Entries OMITTED from the stdout line's per-query dict (still RUN
@@ -217,6 +221,7 @@ STDOUT_OMIT = frozenset(
         "events_value_equidepth_histogram",
         "text_unigram_logprob",
         "events_purchase_cohort_retention",
+        "vec_pca_pc1_scores",
     }
 )
 

@@ -17,6 +17,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     neardup,
     pca,
     pipeline_ops,
+    quality_model,
     sampling,
     sinks,
     sketches,

@@ -1,0 +1,296 @@
+"""Distributed quality-classifier training over ``documents`` —
+the CCNet / LLaMA-pipeline "fastText quality classifier" re-expressed
+as hash-checked logistic regression (LLM-curation extension, SURVEY
+§2.10/§2.19).
+
+Production pipelines train a tiny classifier to distill an expensive
+quality judgment (human labels, a reference-corpus contrast, an LLM
+judge) into a cheap scoring function applied corpus-wide. The engine's
+rendering: 4 cheap text features + bias, labels from the repo's own
+quality heuristic, trained by T full-batch gradient-descent steps
+whose every iterate is quantized with the explicit half-up rule
+``floor(x * 1e6 + 0.5) / 1e6`` shared with operators/pca.py — so the
+whole trajectory replays bit-identically in DuckDB and the ORACLE
+HASH-CHECKS THE TRAINING ALGORITHM, not just a fit-quality floor.
+
+Scale shape (the 100 TB story): each GD step is ONE corpus pass
+emitting d+1 partial sums (map-side combined — the shuffle carries
+one row per partition, never per doc), the driver holds a 5-float
+weight vector, and the scoring pass is a pure codegen projection.
+T=8 steps = 8 corpus scans; production checkpoints the feature frame
+once (as here, localCheckpoint) so scans read 5 doubles per doc, not
+text. No UDFs anywhere.
+
+THE CONTRACT IS THE TRAJECTORY, NOT THE FIT: at the oracle's 8-step
+budget the model has only begun to move off the base rate (measured
+at sf0.01: mean score 0.274 for label-1 vs 0.262 for label-0 — the
+gate's two conditions ride anti-correlated features on this templated
+fixture, so convergence is slow). That is fine and deliberate: the
+entries hash-check that the DISTRIBUTED TRAINING ALGORITHM — feature
+derivation, sigmoid, gradient aggregation, step, quantization —
+replays bit-identically, exactly as the k-means/PCA entries check
+trajectories rather than clustering quality; production runs the same
+machinery to convergence (more steps = more 1-row CTEs, linearly).
+
+Float-parity design (the PCA analysis, extended to exp): per-doc
+sigmoids may differ across engines by ~1 ulp if libm exp differs;
+the gradient SUM's resulting relative drift (~1e-13) is absorbed by
+the 5e-7 half-step of the per-iterate quantization, and the scoring
+output is an integer ppm whose floor flips only within ~1e-10 of a
+boundary — the same accepted-risk budget as the Gram/power-iteration
+chain (ln parity is already proven by the PSI entries).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+
+_Q = 1_000_000
+N_ITER = 8
+LR = 0.5
+# the 5-token stopword set shared with corpus_dataset_card's heuristic
+_STOPS = ("the", "a", "of", "and", "to")
+# label rule: the repo's quality-gate shape (diversity + length) — the
+# classifier distills this into a smooth score
+_LABEL_SQL = (
+    "CASE WHEN d_toks * 1000000 // n_toks >= 500000 AND n_toks >= 30 "
+    "THEN 1.0 ELSE 0.0 END"
+)
+
+
+def _half_up(x: float) -> float:
+    return math.floor(x * _Q + 0.5) / _Q
+
+
+def _features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, x1..x4, y): length/100, stopword ratio, distinct
+    ratio, mean-token-length/8 — every base integer-exact, every ratio
+    ONE double division, matching the SQL text exactly."""
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")),
+        " ",
+    )
+    sig = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(toks)).cast("long").alias("d_toks"),
+        F.size(
+            F.filter(toks, lambda t: t.isin(*_STOPS))
+        ).cast("long").alias("stop_toks"),
+        F.length(F.array_join(toks, "")).cast("long").alias("chars"),
+    )
+    return sig.select(
+        "doc_id",
+        (F.col("n_toks").cast("double") / F.lit(100.0)).alias("x1"),
+        (F.col("stop_toks").cast("double") / F.col("n_toks")).alias("x2"),
+        (F.col("d_toks").cast("double") / F.col("n_toks")).alias("x3"),
+        (
+            F.col("chars").cast("double")
+            / (F.lit(8.0) * F.col("n_toks"))
+        ).alias("x4"),
+        F.when(
+            (F.expr("d_toks * 1000000 div n_toks") >= 500000)
+            & (F.col("n_toks") >= 30),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+
+
+# trained weights keyed by (corpus tag): train once / score many —
+# the same serve contract as the PCA/centroid caches.
+_WEIGHT_CACHE: dict[object, list[float]] = {}
+
+
+def _z(w: list[float]):
+    """The logit in FIXED textual order — written identically in the
+    SQL so IEEE evaluation order matches:
+    ((((w0 + w1*x1) + w2*x2) + w3*x3) + w4*x4)."""
+    return (
+        (
+            (
+                (F.lit(w[0]) + F.lit(w[1]) * F.col("x1"))
+                + F.lit(w[2]) * F.col("x2")
+            )
+            + F.lit(w[3]) * F.col("x3")
+        )
+        + F.lit(w[4]) * F.col("x4")
+    )
+
+
+def train_quality_logreg(
+    feats: DataFrame, n_iter: int = N_ITER, lr: float = LR,
+    cache_key: object = None,
+) -> list[float]:
+    """[w0..w4] after ``n_iter`` quantized full-batch GD steps from
+    zero init. Each step: one corpus pass -> 5 partial sums + count
+    (bounded collect), driver-side update w_j <- quantize(w_j +
+    lr * g_j / n) with g_j = sum((y - sigmoid(z)) * x_j)."""
+    if cache_key is not None and cache_key in _WEIGHT_CACHE:
+        return _WEIGHT_CACHE[cache_key]
+    w = [0.0] * 5
+    staged = feats.localCheckpoint(eager=False)
+    for _ in range(n_iter):
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(w)))
+        err = F.col("y") - sig
+        row = staged.agg(
+            F.sum(err).alias("g0"),
+            F.sum(err * F.col("x1")).alias("g1"),
+            F.sum(err * F.col("x2")).alias("g2"),
+            F.sum(err * F.col("x3")).alias("g3"),
+            F.sum(err * F.col("x4")).alias("g4"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        ).collect()[0]
+        n = row["n"]
+        w = [
+            _half_up(w[j] + lr * row[f"g{j}"] / n) for j in range(5)
+        ]
+    if cache_key is not None:
+        _WEIGHT_CACHE[cache_key] = w
+    return w
+
+
+def _feat_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in _STOPS)
+    return f"""
+feats AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(n_toks AS DOUBLE) / 100.0 AS x1,
+         CAST(stop_toks AS DOUBLE) / n_toks AS x2,
+         CAST(d_toks AS DOUBLE) / n_toks AS x3,
+         CAST(chars AS DOUBLE) / (8.0 * n_toks) AS x4,
+         {_LABEL_SQL} AS y
+  FROM (SELECT doc_id,
+               CAST(len(t) AS BIGINT) AS n_toks,
+               CAST(len(list_distinct(t)) AS BIGINT) AS d_toks,
+               CAST(len(list_filter(t, x -> x IN ({stops}))) AS BIGINT)
+                 AS stop_toks,
+               CAST(length(array_to_string(t, '')) AS BIGINT) AS chars
+        FROM (SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text),
+                       '\\s+', ' ', 'g')), ' ') AS t
+              FROM documents)))"""
+
+
+def _gd_sql(n_iter: int = N_ITER, lr: float = LR) -> str:
+    """Unrolled quantized-GD CTE chain ending in ``w{n_iter}`` with
+    columns (w0..w4). The logit is written in the SAME textual order
+    as the Spark expression."""
+    parts = [
+        _feat_sql(),
+        """,
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)""",
+    ]
+    z = ("((((w.w0 + w.w1*f.x1) + w.w2*f.x2) + w.w3*f.x3) + w.w4*f.x4)")
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+g{t} AS MATERIALIZED (
+  SELECT sum(f.y - 1.0/(1.0 + exp(-{z}))) AS g0,
+         sum((f.y - 1.0/(1.0 + exp(-{z}))) * f.x1) AS g1,
+         sum((f.y - 1.0/(1.0 + exp(-{z}))) * f.x2) AS g2,
+         sum((f.y - 1.0/(1.0 + exp(-{z}))) * f.x3) AS g3,
+         sum((f.y - 1.0/(1.0 + exp(-{z}))) * f.x4) AS g4,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM feats f CROSS JOIN w{t - 1} w),
+w{t} AS MATERIALIZED (
+  SELECT floor((w.w0 + {lr!r} * g.g0 / g.n) * {_Q} + 0.5) / {_Q} AS w0,
+         floor((w.w1 + {lr!r} * g.g1 / g.n) * {_Q} + 0.5) / {_Q} AS w1,
+         floor((w.w2 + {lr!r} * g.g2 / g.n) * {_Q} + 0.5) / {_Q} AS w2,
+         floor((w.w3 + {lr!r} * g.g3 / g.n) * {_Q} + 0.5) / {_Q} AS w3,
+         floor((w.w4 + {lr!r} * g.g4 / g.n) * {_Q} + 0.5) / {_Q} AS w4
+  FROM w{t - 1} w CROSS JOIN g{t} g)""")
+    return "".join(parts)
+
+
+_WEIGHTS_ORACLE = (
+    "WITH "
+    + _gd_sql().lstrip()
+    + f"""
+SELECT j, w FROM (
+  SELECT CAST(0 AS BIGINT) AS j, w0 AS w FROM w{N_ITER}
+  UNION ALL SELECT 1, w1 FROM w{N_ITER}
+  UNION ALL SELECT 2, w2 FROM w{N_ITER}
+  UNION ALL SELECT 3, w3 FROM w{N_ITER}
+  UNION ALL SELECT 4, w4 FROM w{N_ITER})
+"""
+)
+
+_SCORES_ORACLE = (
+    "WITH "
+    + _gd_sql().lstrip()
+    + f"""
+SELECT f.doc_id AS doc_id,
+       CAST(floor(1.0/(1.0 + exp(-((((w.w0 + w.w1*f.x1) + w.w2*f.x2)
+                                    + w.w3*f.x3) + w.w4*f.x4)))
+                  * {_Q} + 0.5) AS BIGINT) AS score_ppm,
+       CAST(f.y AS BIGINT) AS label
+FROM feats f CROSS JOIN w{N_ITER} w
+"""
+)
+
+
+@register(
+    "docs_quality_logreg_weights",
+    _WEIGHTS_ORACLE,
+    doc="Distributed quality-classifier TRAINING, hash-checked end to "
+    "end (the CCNet/LLaMA fastText-classifier analog): logistic "
+    "regression over 4 cheap text features + bias, labels distilled "
+    "from the repo's own quality heuristic, 8 full-batch GD steps "
+    "with EVERY iterate quantized by the explicit half-up 1e-6 rule "
+    "the DuckDB oracle replays verbatim (the operators/pca.py "
+    "contract, extended to exp — ln parity is already proven by the "
+    "PSI entries). Each step is ONE corpus pass emitting 5 partial "
+    "sums + a count (map-side combined; the driver holds 5 floats); "
+    "the feature frame is checkpointed once so the 8 scans read 5 "
+    "doubles per doc, never text. Output: the final weight vector — "
+    "a hash mismatch pinpoints ANY divergence in features, sigmoid, "
+    "gradient, step, or quantization across the whole trajectory.",
+)
+def docs_quality_logreg_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    w = train_quality_logreg(
+        _features(d), cache_key=("qlr", sf_dir)
+    )
+    return spark.createDataFrame(
+        [(j, wj) for j, wj in enumerate(w)], "j long, w double"
+    )
+
+
+@register(
+    "docs_quality_logreg_scores",
+    _SCORES_ORACLE,
+    doc="The trained quality classifier SERVING corpus-wide: every "
+    "doc scored with the hash-checked weight vector (train-once "
+    "cache shared with docs_quality_logreg_weights), output as "
+    "integer ppm plus the distilled heuristic label — the cheap "
+    "smooth score a curation pipeline thresholds or feeds into "
+    "quality-weighted sampling (docs_quality_budget_selection's "
+    "learned sibling). The scoring pass is a pure whole-stage-"
+    "codegen projection (one exp per row, no shuffle, no UDF).",
+)
+def docs_quality_logreg_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    feats = _features(d)
+    w = train_quality_logreg(feats, cache_key=("qlr", sf_dir))
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-_z(w)))
+    return feats.select(
+        "doc_id",
+        F.floor(sig * F.lit(float(_Q)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("score_ppm"),
+        F.col("y").cast("bigint").alias("label"),
+    )

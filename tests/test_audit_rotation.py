@@ -73,11 +73,13 @@ def test_r10_head_leads_with_late_registrations_and_stale_rows_only():
         "ann_ivf_topk",
     }
     assert head[5] == "corpus_pipeline_decontaminated"
-    assert set(head[6:10]) == {
+    assert set(catalog.AUDIT_SCHEDULE[6:12]) == {
         "vec_drift_retrain_refreeze",
         "docs_exact_substring_ingest",
         "streaming_exact_substring_ingest",
         "corpus_pipeline_intake",
+        "docs_quality_logreg_weights",
+        "docs_quality_logreg_scores",
     }
 
 
