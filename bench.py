@@ -187,6 +187,15 @@ HEADLINE += [
     # codegen projection — one exp per row)
     "docs_quality_logreg_scores",
 ]
+HEADLINE += [
+    # round-10 session-2 additions: the CCNet-style bigram-LM
+    # perplexity filter (train + token-scale scoring join + per-source
+    # terciles — the heaviest text entry, worth tracking per round),
+    # and hybrid BM25+cosine reciprocal-rank fusion (two TakeOrdered
+    # candidate lists + a 50-row fusion join)
+    "docs_bigram_perplexity",
+    "retrieval_hybrid_rrf",
+]
 
 # Entries OMITTED from the stdout line's per-query dict (still RUN
 # every round; medians/spread/raw reps publish in bench_runs.json under
@@ -197,14 +206,16 @@ HEADLINE += [
 # envelope (headline_total, sf, noise flags) plus the perf-meaningful
 # per-query subset inside an ENFORCED 1800-char budget
 # (tests/test_bench_line.py) — so the stable sub-second entries below
-# (every one <0.9 s median with sub-0.2 s spread since they landed)
-# move to the side file only. STATIC list, not a runtime threshold: a
+# (every one <0.9 s median with sub-quarter-second spread since they
+# landed) move to the side file only. STATIC list, not a runtime threshold: a
 # 0.88 s vs 0.91 s run must not flicker an entry in and out of
 # cross-round comparisons.
 STDOUT_OMIT = frozenset(
     {
         "tpch_q13_customer_order_distribution",
         "tpch_q17_small_quantity_revenue",
+        "text_bpe_top_pairs",
+        "events_hourly_cusum_shift",
         "events_asof_purchase_view",
         "multimodal_features",
         "text_tfidf_top_terms",

@@ -13,11 +13,13 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     joinopt,
     jobs,
     layout,
+    lm,
     multimodal,
     neardup,
     pca,
     pipeline_ops,
     quality_model,
+    retrieval,
     sampling,
     sinks,
     sketches,

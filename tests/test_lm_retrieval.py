@@ -1,0 +1,155 @@
+"""Semantic tests for the bigram-LM perplexity filter (queries/lm.py)
+and hybrid RRF retrieval (queries/retrieval.py) — the cross-engine
+hash parity is the driver's job; these pin the semantics on planted
+fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import all_queries
+from dataengineer_job_scraper_etl_spark.queries.retrieval import (
+    DEPTH,
+    QUERY_VEC_ID,
+    RRF_K,
+    TOP_N,
+)
+
+
+def _write_fixture(spark, base, docs_rows, emb_rows=None):
+    docs = spark.createDataFrame(
+        [
+            (i, t, "en", src, len(t))
+            for i, (t, src) in enumerate(docs_rows)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(f"{base}/documents.parquet")
+    if emb_rows is not None:
+        emb = spark.createDataFrame(
+            [(i, v, 0) for i, v in enumerate(emb_rows)],
+            "vec_id long, embedding array<float>, label int",
+        ).select(
+            "vec_id",
+            F.col("embedding").cast("array<float>").alias("embedding"),
+            F.col("label").cast("int").alias("label"),
+        )
+        emb.write.mode("overwrite").parquet(f"{base}/embeddings.parquet")
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def lm_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("lmfix")
+    # 6 docs, one source: 3 maximally-repetitive (every transition is
+    # the corpus's dominant bigram), 2 built from singleton transitions
+    # seen nowhere else, 1 single-token doc (no transitions — must
+    # drop from the scored set).
+    rows = [
+        ("go stop " * 20, "web"),
+        ("go stop " * 20, "web"),
+        ("go stop " * 20, "web"),
+        ("alpha beta gamma delta epsilon zeta eta theta", "web"),
+        ("iota kappa mu nu xi omicron rho sigma", "web"),
+        ("lonely", "web"),
+    ]
+    return _write_fixture(spark, base, rows)
+
+
+def test_bigram_ppl_ranks_fluent_docs_into_head(spark, lm_dir):
+    out = (
+        all_queries()["docs_bigram_perplexity"]
+        .spark_fn(spark, lm_dir)
+        .collect()
+    )
+    by_id = {r.doc_id: r for r in out}
+    # the 1-token doc has no transitions: inner-join semantics drop it
+    assert set(by_id) == {0, 1, 2, 3, 4}
+    # repetitive docs score strictly lower (more probable transitions)
+    rep = [by_id[i].avg_neg_logprob for i in (0, 1, 2)]
+    rare = [by_id[i].avg_neg_logprob for i in (3, 4)]
+    assert max(rep) < min(rare)
+    # ntile(3) over 5 docs: buckets sized 2/2/1, heads are the
+    # repetitive docs
+    assert [by_id[i].ppl_bucket for i in (0, 1, 2)] == [1, 1, 2]
+    assert {by_id[3].ppl_bucket, by_id[4].ppl_bucket} == {2, 3}
+    # transition counts: 39 for the 40-token repeats, 7 for the 8-token
+    assert by_id[0].n_transitions == 39 and by_id[3].n_transitions == 7
+
+
+def test_bigram_ppl_buckets_are_per_source(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("lmsrc")
+    rows = [(f"tok{i} tok{i} tok{i}", "a" if i < 3 else "b") for i in range(6)]
+    d = _write_fixture(spark, base, rows)
+    out = all_queries()["docs_bigram_perplexity"].spark_fn(spark, d)
+    per_src = {
+        (r.source, r.ppl_bucket)
+        for r in out.select("source", "ppl_bucket").collect()
+    }
+    # each source independently spans buckets 1..3 (3 docs per source)
+    assert per_src == {(s, b) for s in ("a", "b") for b in (1, 2, 3)}
+
+
+@pytest.fixture(scope="module")
+def rrf_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("rrffix")
+    # doc 1: matches the BM25 query terms heavily AND is the nearest
+    # vector to the query embedding -> must fuse to rank 1.
+    # doc 2: lexical-only hit. doc 3: dense-only hit (near the query
+    # vector, no query terms). docs 4..9: filler.
+    from dataengineer_job_scraper_etl_spark.queries.text import (
+        BM25_QUERY_TERMS,
+    )
+
+    t = BM25_QUERY_TERMS  # ["spark", "hash", "window"]
+    rows = [
+        ("filler text about nothing in particular at all", "web"),
+        (f"{t[0]} {t[1]} {t[2]} " * 5, "web"),
+        (f"{t[0]} {t[0]} plain prose otherwise", "web"),
+        ("dense only document no query words here", "web"),
+    ] + [(f"noise{i} words{i} pad{i} filler{i}", "web") for i in range(6)]
+    dim = 8
+    q = [1.0] + [0.0] * (dim - 1)  # vec_id 0 = the query vector
+
+    def v(x, y):
+        out = [0.0] * dim
+        out[0], out[1] = x, y
+        return out
+
+    embs = [
+        q,
+        v(0.99, 0.14),  # doc 1: nearly parallel to q
+        v(0.0, 1.0),    # doc 2: orthogonal
+        v(0.95, 0.31),  # doc 3: close second
+    ] + [v(-1.0, float(i) / 10) for i in range(6)]
+    return _write_fixture(spark, base, rows, embs)
+
+
+def test_rrf_fuses_dual_hit_to_rank_one(spark, rrf_dir):
+    out = (
+        all_queries()["retrieval_hybrid_rrf"].spark_fn(spark, rrf_dir).collect()
+    )
+    assert 0 < len(out) <= TOP_N
+    by_rank = {r.fused_rank: r for r in out}
+    top = by_rank[1]
+    assert top.doc_id == 1  # best lexical AND best dense
+    assert top.rank_bm25 == 1 and top.rank_vec == 1
+    # rrf arithmetic: two rank-1 lists -> 2/(K+1), ppm-rounded
+    assert top.rrf_ppm == round(2 / (RRF_K + 1) * 1e6)
+    # the dense-only doc appears with rank_bm25 == 0 (absent marker)
+    dense_only = [r for r in out if r.doc_id == 3]
+    assert dense_only and dense_only[0].rank_bm25 == 0
+    assert dense_only[0].rank_vec == 2
+    # ranks never exceed the candidate depth, fused ranks are 1..n
+    assert all(0 <= r.rank_bm25 <= DEPTH and 0 <= r.rank_vec <= DEPTH for r in out)
+    assert sorted(r.fused_rank for r in out) == list(range(1, len(out) + 1))
+    # the query vector itself never appears as a dense candidate
+    assert all(r.doc_id != QUERY_VEC_ID or r.rank_vec == 0 for r in out)
+
+
+def test_rrf_plan_has_no_python_nodes(spark, rrf_dir):
+    df = all_queries()["retrieval_hybrid_rrf"].spark_fn(spark, rrf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
