@@ -153,3 +153,32 @@ def test_rrf_plan_has_no_python_nodes(spark, rrf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_sq_bits_tradeoff_monotone(spark, sf_dir):
+    from dataengineer_job_scraper_etl_spark.queries.retrieval import (
+        _SQ_TRADEOFF_POOL,
+        SQ_LEVELS,
+    )
+
+    rows = {
+        r.q_levels: r
+        for r in all_queries()["ann_sq_bits_tradeoff"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == set(SQ_LEVELS)
+    # coarser codes can never BEAT finer ones by much on average; pin
+    # the monotone ladder this fixture actually exhibits
+    hits = [rows[lvl].n_hits for lvl in sorted(SQ_LEVELS, reverse=True)]
+    assert all(0 <= h <= _SQ_TRADEOFF_POOL for h in hits)
+    assert hits[0] >= hits[1] >= hits[2]
+    assert rows[127].recall_ppm == rows[127].n_hits * 1_000_000 // _SQ_TRADEOFF_POOL
+
+
+def test_sq8_serve_recall_is_full_at_this_budget(spark, sf_dir):
+    """The serve path (shortlist 5x k + exact rerank) is recall-
+    lossless on this fixture — the documented SQ8 serving contract."""
+    out = all_queries()["ann_recall_sq8"].spark_fn(spark, sf_dir).collect()
+    assert len(out) == 5
+    assert all(r.n_hits == 10 and r.recall_ppm == 1_000_000 for r in out)
