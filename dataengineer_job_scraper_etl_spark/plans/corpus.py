@@ -59,6 +59,7 @@ def build_pretraining_corpus(
     strip_boilerplate: bool = False,
     decontaminate_against: DataFrame | None = None,
     pair_fn: Callable[[DataFrame], DataFrame] | None = None,
+    ppl_keep_buckets: int | None = None,
 ) -> DataFrame:
     """docs(doc_id, source, text, ...) -> one row per SURVIVING doc:
     (doc_id, source, split, shard_id, n_toks). Survivors passed the
@@ -80,6 +81,18 @@ def build_pretraining_corpus(
     could survive as its cluster's canonical).
     ``mixture_weights=None`` skips mixture sampling (keep everything
     that survives dedup).
+    ``ppl_keep_buckets=K`` adds the CCNet perplexity filter after the
+    dedup canonical step: train the interpolated bigram LM
+    (queries/lm.bigram_neg_logprob) on the deterministic REFERENCE
+    slice of the canonical survivors (doc_id % lm.REF_MOD == 0 — the
+    curated-corpus stand-in; training on the scored set itself
+    rewards token-unique gibberish, see queries/lm.py), score each
+    survivor, and keep only the K most-fluent of the 3 per-source
+    terciles (K=2 = CCNet's usual head+middle). Runs after dedup so
+    duplicated content can't dominate the LM's counts, and before the
+    mixture so dropped-tail docs don't consume mixture budget. Every
+    gated doc has >= min_tokens >= 2 tokens, so the scorer's
+    no-transition drop rule can't fire here.
 
     ``pair_fn`` swaps the near-dup candidate generator: given the
     post-exact-dedup frame (doc_id, source, text, n_toks), return
@@ -175,6 +188,35 @@ def build_pretraining_corpus(
         .filter(F.col("doc_id") == F.col("__keep"))
         .drop("__keep", "cluster")
     )
+
+    # 3.5 CCNet perplexity filter (optional): LM trained on the dedup
+    # canonicals (duplicates would otherwise dominate its counts),
+    # tail tercile(s) dropped per source
+    if ppl_keep_buckets is not None:
+        from dataengineer_job_scraper_etl_spark.queries.lm import (
+            REF_MOD,
+            bigram_neg_logprob,
+        )
+
+        # canonical fans out (LM train/score consumes it via the text
+        # join AND the kept filter re-joins it) — stage it once
+        canonical = canonical.localCheckpoint(eager=False)
+        with_text = canonical.select("doc_id").join(
+            gated.select("doc_id", "text"), "doc_id"
+        )
+        nlp = bigram_neg_logprob(
+            with_text,
+            reference=with_text.filter(F.col("doc_id") % REF_MOD == 0),
+        ).select("doc_id", "avg_neg_logprob")
+        ppl_w = Window.partitionBy("source").orderBy(
+            "avg_neg_logprob", "doc_id"
+        )
+        canonical = (
+            canonical.join(nlp, "doc_id")
+            .withColumn("__ppl_b", F.ntile(3).over(ppl_w))
+            .filter(F.col("__ppl_b") <= ppl_keep_buckets)
+            .drop("__ppl_b", "avg_neg_logprob")
+        )
 
     # 4. training mixture (optional): scarcest source bounds the total
     if mixture_weights is not None:

@@ -3,48 +3,62 @@
 
 CCNet (Wenzek et al. 2020) and its descendants (LLaMA, RedPajama,
 FineWeb) bucket web documents into head/middle/tail by the perplexity
-of a small n-gram LM and keep the fluent head. The engine's rendering
-trains the LM ON THE CORPUS ITSELF, fully distributed, and scores
-every document with it — the KenLM-analog re-expressed as DataFrame
-aggregates (reference parity note: the reference repo,
+of a small n-gram LM trained on a CURATED REFERENCE corpus (Wikipedia
+in the paper) and keep the fluent head. The engine's rendering is the
+KenLM-analog re-expressed as DataFrame aggregates, with a
+deterministic reference slice standing in for Wikipedia (reference
+parity note: the reference repo,
 lalelisealstad/dataengineer-job-scraper-etl, has no LM stage; this
 extends its transform battery toward the training-data brief, like
 the quality classifier in queries/quality_model.py).
 
-Model: interpolated bigram LM,
+THE REFERENCE CORPUS MATTERS — measured, not assumed: the first cut
+trained the LM on the scored corpus itself, and a doc made of
+never-seen-elsewhere tokens scored as maximally fluent, because an
+MLE bigram with a singleton context is deterministic (a word seen
+once is "always" followed by the same word — p saturates at the
+interpolation weight, ~-ln(0.7) per transition), so token-unique
+gibberish beat real text into the head bucket. Training on a
+disjoint-by-construction reference slice makes gibberish OOV (its
+probability collapses to the smoothed unigram floor) — exactly why
+CCNet scores Common Crawl with a Wikipedia-trained model rather than
+a self-trained one.
 
-    p(cur | prev) = 0.7 * c(prev,cur)/c(prev,*) + 0.3 * c(cur)/N
+Model: interpolated bigram LM trained on the reference slice
+(doc_id % 5 == 0 — the curated-corpus stand-in), scoring EVERY doc:
+
+    p(cur | prev) = 0.7 * c(prev,cur)/c(prev,*)           [0 if unseen]
+                  + 0.3 * (c(cur) + 0.5)/(N + 0.5*(V+1))  [OOV-smoothed]
 
 with MLE counts from the whitespace-token contract
 (functions/strings.ws_tokens — the catalog-wide tokenizer). The
 context denominator c(prev,*) is the TRANSITION count (sum of bigram
-counts sharing the prefix), not the raw unigram count, so rows sum to
-exactly 1 over the observed vocabulary; the 0.3 unigram back-off
-keeps every observed transition strictly positive without a
-vocabulary-size smoothing constant both engines would have to agree
-on. Doc score = mean negative log-probability over its transitions
-(docs with fewer than 2 tokens have no transitions and drop out of
-the scored set on BOTH engines — inner-join semantics).
+counts sharing the prefix), so seen rows sum to 1 over the observed
+continuations; the unigram back-off carries add-half smoothing over
+V+1 outcomes (the +1 is the OOV bucket) so unseen tokens get a
+strictly positive floor both engines compute identically. Doc score =
+mean negative log-probability over its transitions (docs with fewer
+than 2 tokens have no transitions and drop out of the scored set on
+BOTH engines — inner-join semantics on the transition stream).
 
-Scale shape (the 100 TB story): the trained model is the distinct-
-bigram table — Zipf-bounded, orders of magnitude smaller than the
-token stream — built by ONE groupBy over the transition stream, with
-the context totals a second vocab-scale groupBy OVER THE MODEL, never
-over the corpus. Scoring is one token-scale shuffle join (transitions
-against the model on the (prev, cur) key — the unavoidable join, and
-it is hash-partitioned, AQE-broadcastable when the model is small).
-The tokenize scan runs once (localCheckpoint shared by the unigram
-and transition branches, the operators/ranking.py device). The final
-head/middle/tail split is an ntile over DOC-scale rows — at real
-scale the cutoffs come from approx_percentile instead of a global
-sort; the oracle-checked tercile is the exact twin, same device as
-docs_quality_terciles. The bucket window is PER SOURCE — the CCNet
-unit (perplexity buckets are computed per language/snapshot, Wenzek
-et al. §4.3), and per-source windows parallelize across sources.
+Scale shape (the 100 TB story): the trained model is the reference
+slice's distinct-bigram table — Zipf-bounded, orders of magnitude
+smaller than the token stream — built by ONE groupBy over the
+reference transitions, with context totals a vocab-scale groupBy OVER
+THE MODEL. Scoring is two token-scale LEFT joins (transitions against
+the model on the (prev,cur) key, tokens against the unigram table —
+hash-partitioned, AQE-broadcastable when the model is small) plus a
+1-row stats broadcast. The tokenize scan runs once (localCheckpoint
+shared by branches, the operators/ranking.py device). The final
+head/middle/tail split is PER SOURCE — the CCNet unit (per
+language/snapshot, Wenzek et al. §4.3) — over doc-scale rows; at
+extreme per-source scale the ntile swaps for approx_percentile
+cutoffs (the docs_quality_terciles escape hatch).
 
 Float parity: counts are integer-exact on both engines and cast to
-double before ONE division each; the interpolation weights are the
-exact literals 0.7 / 0.3 in both texts; ln parity is proven by the
+double; the interpolation/smoothing constants are the exact literals
+0.7 / 0.3 / 0.5 in both texts (never computed as 1 - lam, which would
+print 0.30000000000000004 into the SQL); ln parity is proven by the
 PSI entries; the order-sensitive avg is absorbed by the 1e-6 rounding
 (the text_unigram_logprob precedent, green since r4).
 """
@@ -57,44 +71,53 @@ from pyspark.sql import functions as F
 from dataengineer_job_scraper_etl_spark.catalog import register
 from dataengineer_job_scraper_etl_spark.functions.strings import ws_tokens
 
-# Interpolation weights — rendered as EXACT decimal literals in both
-# engine texts (never computed as 1 - lam, which would print
-# 0.30000000000000004 into the SQL).
+# Rendered as EXACT decimal literals in both engine texts.
 _LAM_BIGRAM = "0.7"
 _LAM_UNIGRAM = "0.3"
+_OOV_HALF = "0.5"
 _N_BUCKETS = 3
+REF_MOD = 5  # reference slice: doc_id % REF_MOD == 0
 
 _BIGRAM_PPL_ORACLE = f"""
 WITH tok AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS t
   FROM documents),
-flat_tok AS (SELECT doc_id, unnest(t) AS tok FROM tok),
-uni AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c_uni FROM flat_tok GROUP BY tok),
-total AS (SELECT CAST(sum(c_uni) AS DOUBLE) AS n FROM uni),
+ref_tok AS (SELECT doc_id, t FROM tok WHERE doc_id % {REF_MOD} = 0),
+uni AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c_uni
+        FROM (SELECT unnest(t) AS tok FROM ref_tok) GROUP BY tok),
+stats AS (SELECT CAST(sum(c_uni) AS DOUBLE) AS n,
+                 CAST(count(*) AS DOUBLE) AS v FROM uni),
+ref_tr AS (
+  SELECT pc.prev AS prev, pc.cur AS cur
+  FROM (SELECT unnest(list_transform(range(2, len(t) + 1),
+                      i -> struct_pack(prev := t[i - 1], cur := t[i]))) AS pc
+        FROM ref_tok WHERE len(t) >= 2)),
+big AS (SELECT prev, cur, CAST(count(*) AS DOUBLE) AS c_big
+        FROM ref_tr GROUP BY prev, cur),
+ctx AS (SELECT prev, CAST(sum(c_big) AS DOUBLE) AS c_ctx
+        FROM big GROUP BY prev),
+probs AS (
+  SELECT b.prev, b.cur, b.c_big / x.c_ctx AS p_big
+  FROM big b JOIN ctx x ON x.prev = b.prev),
 tr AS (
   SELECT doc_id, pc.prev AS prev, pc.cur AS cur
   FROM (SELECT doc_id,
                unnest(list_transform(range(2, len(t) + 1),
                       i -> struct_pack(prev := t[i - 1], cur := t[i]))) AS pc
         FROM tok WHERE len(t) >= 2)),
-big AS (SELECT prev, cur, CAST(count(*) AS DOUBLE) AS c_big
-        FROM tr GROUP BY prev, cur),
-ctx AS (SELECT prev, CAST(sum(c_big) AS DOUBLE) AS c_ctx
-        FROM big GROUP BY prev),
-probs AS (
-  SELECT b.prev, b.cur,
-         {_LAM_BIGRAM} * (b.c_big / x.c_ctx)
-           + {_LAM_UNIGRAM} * (u.c_uni / total.n) AS p
-  FROM big b
-  JOIN ctx x ON x.prev = b.prev
-  JOIN uni u ON u.tok = b.cur
-  CROSS JOIN total),
 scored AS (
   SELECT tr.doc_id,
          CAST(count(*) AS BIGINT) AS n_transitions,
-         round(avg(-ln(p.p)), 6) AS avg_neg_logprob
-  FROM tr JOIN probs p ON p.prev = tr.prev AND p.cur = tr.cur
+         round(avg(-ln(
+           {_LAM_BIGRAM} * coalesce(p.p_big, 0.0)
+           + {_LAM_UNIGRAM} * ((coalesce(u.c_uni, 0.0) + {_OOV_HALF})
+                               / (stats.n + {_OOV_HALF} * (stats.v + 1.0)))
+         )), 6) AS avg_neg_logprob
+  FROM tr
+  LEFT JOIN probs p ON p.prev = tr.prev AND p.cur = tr.cur
+  LEFT JOIN uni u ON u.tok = tr.cur
+  CROSS JOIN stats
   GROUP BY tr.doc_id)
 SELECT s.doc_id, d.source, s.n_transitions, s.avg_neg_logprob,
        CAST(ntile({_N_BUCKETS}) OVER (PARTITION BY d.source
@@ -104,39 +127,51 @@ FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 """
 
 
-@register(
-    "docs_bigram_perplexity",
-    _BIGRAM_PPL_ORACLE,
-    doc="CCNet-style perplexity filter: train an interpolated bigram "
-    "LM on the corpus (one groupBy over the transition stream — the "
-    "model is the Zipf-bounded distinct-bigram table, never "
-    "corpus-sized), score each doc as mean negative log-probability "
-    "of its transitions (one token-scale hash join against the "
-    "model), bucket head/middle/tail by exact PER-SOURCE terciles "
-    "(the CCNet unit). The hashed contract covers the LM arithmetic, "
-    "the scoring join, and the bucket assignment.",
-)
-def docs_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # One tokenize scan shared by the unigram and transition branches
-    # (the operators/ranking.py localCheckpoint device).
-    tokd = d.select(
-        "doc_id", ws_tokens(F.col("text")).alias("t")
+def bigram_neg_logprob(
+    base: DataFrame,
+    reference: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_transitions, avg_neg_logprob): train the interpolated
+    bigram LM on ``reference`` and score every doc of ``base`` — the
+    reusable core of docs_bigram_perplexity, also composed into
+    plans/corpus.build_pretraining_corpus(ppl_keep_buckets=...).
+
+    ``reference=None`` self-trains on ``base`` — ONLY appropriate when
+    base is already curated: self-training rewards token-unique
+    gibberish (singleton contexts make MLE transitions deterministic,
+    see the module docstring) — pass a curated slice for filtering.
+    Docs with < 2 tokens have no transitions and DROP (inner-join
+    semantics) — compose after a min-length gate. avg_neg_logprob is
+    1e-6-rounded, so downstream ordering on it is hash-stable."""
+    if reference is None:
+        reference = base
+    # One tokenize scan per frame, shared by branches (the
+    # operators/ranking.py localCheckpoint device).
+    ref_tok = reference.select(
+        ws_tokens(F.col(text_col)).alias("t")
+    ).localCheckpoint(eager=False)
+    tokd = base.select(
+        F.col(id_col).alias("doc_id"), ws_tokens(F.col(text_col)).alias("t")
     ).localCheckpoint(eager=False)
 
     uni = (
-        tokd.select(F.explode("t").alias("tok"))
+        ref_tok.select(F.explode("t").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("double").alias("c_uni"))
     )
-    total = uni.agg(F.sum("c_uni").alias("n"))
+    stats = uni.agg(
+        F.sum("c_uni").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
 
-    # Transition stream. The struct array is built in its OWN select
+    # Transition streams. The struct array is built in its OWN select
     # and exploded in the next one — a non-generator expression in the
     # same select as a generator re-evaluates per generated row (the
     # text.py dup-bigram lesson).
     tcol = F.col("t")
-    pairs = F.when(
+    pair_arr = F.when(
         F.size(tcol) >= 2,
         F.transform(
             F.sequence(F.lit(2), F.size(tcol)),
@@ -146,44 +181,72 @@ def docs_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
-    tr = (
-        tokd.select("doc_id", pairs.alias("pcs"))
-        .select("doc_id", F.explode("pcs").alias("pc"))
-        .select("doc_id", F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur"))
-    )
 
-    # The trained model: distinct-bigram scale, built once; context
-    # totals aggregate the MODEL (vocab-scale), not the corpus.
-    big = tr.groupBy("prev", "cur").agg(
+    def transitions(frame: DataFrame, cols: list[str]) -> DataFrame:
+        return (
+            frame.select(*cols, pair_arr.alias("pcs"))
+            .select(*cols, F.explode("pcs").alias("pc"))
+            .select(
+                *cols,
+                F.col("pc.prev").alias("prev"),
+                F.col("pc.cur").alias("cur"),
+            )
+        )
+
+    # The trained model: the REFERENCE slice's distinct-bigram table,
+    # built once; context totals aggregate the MODEL (vocab-scale).
+    ref_tr = transitions(ref_tok, [])
+    big = ref_tr.groupBy("prev", "cur").agg(
         F.count(F.lit(1)).cast("double").alias("c_big")
     )
     ctx = big.groupBy("prev").agg(F.sum("c_big").alias("c_ctx"))
-    lam_b = F.lit(float(_LAM_BIGRAM))
-    lam_u = F.lit(float(_LAM_UNIGRAM))
-    probs = (
-        big.join(ctx, "prev")
-        .join(uni.withColumnRenamed("tok", "cur"), "cur")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "prev",
-            "cur",
-            (
-                lam_b * (F.col("c_big") / F.col("c_ctx"))
-                + lam_u * (F.col("c_uni") / F.col("n"))
-            ).alias("p"),
-        )
+    probs = big.join(ctx, "prev").select(
+        "prev", "cur", (F.col("c_big") / F.col("c_ctx")).alias("p_big")
     )
 
-    # Scoring: THE token-scale shuffle join (transitions x model on
-    # the bigram key), then a doc-keyed aggregate.
-    scored = (
-        tr.join(probs, ["prev", "cur"])
+    # Scoring: two token-scale LEFT joins (transitions x model on the
+    # bigram key; tokens x unigram table), then a doc-keyed aggregate.
+    # Unseen pairs fall to 0 bigram mass; unseen tokens to the
+    # add-half OOV floor — identical expressions in the SQL twin.
+    lam_b = F.lit(float(_LAM_BIGRAM))
+    lam_u = F.lit(float(_LAM_UNIGRAM))
+    half = F.lit(float(_OOV_HALF))
+    tr = transitions(tokd, ["doc_id"])
+    p = lam_b * F.coalesce(F.col("p_big"), F.lit(0.0)) + lam_u * (
+        (F.coalesce(F.col("c_uni"), F.lit(0.0)) + half)
+        / (F.col("n") + half * (F.col("v") + F.lit(1.0)))
+    )
+    return (
+        tr.join(probs, ["prev", "cur"], "left")
+        .join(uni.withColumnRenamed("tok", "cur"), "cur", "left")
+        .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
-            F.round(F.avg(-F.log(F.col("p"))), 6).alias("avg_neg_logprob"),
+            F.round(F.avg(-F.log(p)), 6).alias("avg_neg_logprob"),
         )
+        .withColumnRenamed("doc_id", id_col)
     )
+
+
+@register(
+    "docs_bigram_perplexity",
+    _BIGRAM_PPL_ORACLE,
+    doc="CCNet-style perplexity filter: train an interpolated bigram "
+    "LM on the deterministic reference slice (doc_id % 5 == 0 — the "
+    "curated-corpus stand-in; training on the scored corpus itself "
+    "rewards token-unique gibberish, see queries/lm.py), score EVERY "
+    "doc as mean negative log-probability of its transitions with "
+    "unseen pairs at 0 bigram mass and OOV tokens on an add-half "
+    "unigram floor, bucket head/middle/tail by exact PER-SOURCE "
+    "terciles (the CCNet unit). The hashed contract covers the LM "
+    "arithmetic, the OOV handling, the scoring joins, and the bucket "
+    "assignment.",
+)
+def docs_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = d.filter(F.col("doc_id") % REF_MOD == 0)
+    scored = bigram_neg_logprob(d, reference=ref)
     # Exact PER-SOURCE terciles (the CCNet per-language unit; windows
     # parallelize across sources — at extreme per-source scale the
     # window swaps for approx_percentile cutoffs, the

@@ -63,9 +63,9 @@ def test_every_registered_entry_evidenced_or_scheduled():
 
 def test_r10_head_leads_with_late_registrations_and_stale_rows_only():
     """The 5 rows-only refresh slots (r3-dated no-oracle entries,
-    VERDICT r9 ask #5) + the 11 never-audited entries registered this
+    VERDICT r9 ask #5) + the 12 never-audited entries registered this
     round (ask #2's late-registration rule) lead."""
-    head = catalog.AUDIT_SCHEDULE[:16]
+    head = catalog.AUDIT_SCHEDULE[:17]
     assert set(head[:5]) == {
         "neardup_minhash_lsh",
         "neardup_simhash",
@@ -74,7 +74,7 @@ def test_r10_head_leads_with_late_registrations_and_stale_rows_only():
         "ann_ivf_topk",
     }
     assert head[5] == "corpus_pipeline_decontaminated"
-    assert set(catalog.AUDIT_SCHEDULE[6:16]) == {
+    assert set(catalog.AUDIT_SCHEDULE[6:17]) == {
         "vec_drift_retrain_refreeze",
         "docs_exact_substring_ingest",
         "streaming_exact_substring_ingest",
@@ -82,6 +82,7 @@ def test_r10_head_leads_with_late_registrations_and_stale_rows_only():
         "docs_quality_logreg_weights",
         "docs_quality_logreg_scores",
         "docs_bigram_perplexity",
+        "corpus_pipeline_ppl_filtered",
         "retrieval_hybrid_rrf",
         "ann_recall_sq8",
         "ann_sq_bits_tradeoff",

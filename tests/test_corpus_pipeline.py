@@ -189,3 +189,51 @@ def test_intake_default_minhash_path_classifies_planted_copies(spark):
     for d in (50, 51):
         assert out[d]["removed_decon"] == 0
         assert out[d]["removed_exsub"] == 0
+
+
+def test_pipeline_ppl_filter_drops_per_source_tail_tercile(spark):
+    """ppl_keep_buckets=2: the LM trains on the dedup canonicals and
+    each source's least-fluent tercile drops BEFORE the mixture — the
+    kept set must be a subset of the unfiltered survivors with exactly
+    ntile-2/3 of each source's canonicals."""
+    corpus = _corpus(spark)
+    base = build_pretraining_corpus(corpus).collect()
+    filt = build_pretraining_corpus(corpus, ppl_keep_buckets=2).collect()
+    base_ids = {r["doc_id"] for r in base}
+    filt_ids = {r["doc_id"] for r in filt}
+    assert filt_ids < base_ids  # strict subset: the tail really drops
+    # per source: ntile(3) keeps buckets 1-2 = n - floor-ish n/3
+    from collections import Counter
+
+    base_n = Counter(r["source"] for r in base)
+    filt_n = Counter(r["source"] for r in filt)
+    for src, n in base_n.items():
+        big = n - n // 3  # ntile: first n%3 buckets get the extra rows
+        kept = big if n % 3 >= 1 else n - n // 3
+        assert filt_n[src] == n - n // 3, (src, n, filt_n[src])
+
+
+def test_pipeline_ppl_filter_prefers_fluent_docs(spark):
+    """A doc whose transitions all repeat the corpus's dominant bigram
+    must survive the ppl filter; gibberish-unique docs fill the tail."""
+    rows = []
+    # 9 fluent docs: "c1 c2 u" units repeat the common bigram (c1,c2)
+    # 8x per doc (72 corpus-wide -> high-prob transition) while the
+    # u-tokens keep diversity at 11/25 = 44% (over the 40% gate) and
+    # pairwise Jaccard at 2/20 = 0.1 (under the 0.5 near-dup bar)
+    for i in range(9):
+        units = " ".join(f"c1 c2 u{i}x{j}" for j in range(8))
+        rows.append((i, "web", f"{units} z{i}"))
+    # 3 gibberish docs, ids chosen OFF the reference slice (% 5 != 0):
+    # a reference member would self-score fluent — the exact CCNet
+    # property the reference-trained design documents
+    for i in range(21, 24):
+        rows.append((i, "web", " ".join(f"g{i}x{j}" for j in range(25))))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = build_pretraining_corpus(docs, ppl_keep_buckets=2).collect()
+    ids = {r["doc_id"] for r in out}
+    # 12 canonicals -> tail tercile (4 worst) drops: all 3 gibberish
+    # docs are in it (OOV against the reference-trained LM; the
+    # fluent docs share the reference's dominant bigram)
+    assert not ids & {21, 22, 23}
+    assert len(ids) == 8
