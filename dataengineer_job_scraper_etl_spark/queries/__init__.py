@@ -11,6 +11,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     corpusq,
     dq,
     events,
+    graphrank,
     joinopt,
     jobs,
     layout,
@@ -26,6 +27,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     sketches,
     skewq,
     spans,
+    streaming_lm,
     streaming_queries,
     text,
     tokenizer,

@@ -65,7 +65,7 @@ PSI entries; the order-sensitive avg is absorbed by the 1e-6 rounding
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataengineer_job_scraper_etl_spark.catalog import register
@@ -127,6 +127,87 @@ FROM scored s JOIN documents d ON d.doc_id = s.doc_id
 """
 
 
+def _pair_arr():
+    """Adjacent-token struct array. Built in its OWN select and
+    exploded in the next one — a non-generator expression in the same
+    select as a generator re-evaluates per generated row (the text.py
+    dup-bigram lesson)."""
+    tcol = F.col("t")
+    return F.when(
+        F.size(tcol) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(tcol)),
+            lambda i: F.struct(
+                F.element_at(tcol, i - 1).alias("prev"),
+                F.element_at(tcol, i).alias("cur"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+
+
+def transitions(frame: DataFrame, cols: list[str]) -> DataFrame:
+    """(cols..., prev, cur) transition stream of a tokenized frame
+    carrying the token array as column ``t``. Stateless — safe on
+    streaming frames."""
+    return (
+        frame.select(*cols, _pair_arr().alias("pcs"))
+        .select(*cols, F.explode("pcs").alias("pc"))
+        .select(
+            *cols,
+            F.col("pc.prev").alias("prev"),
+            F.col("pc.cur").alias("cur"),
+        )
+    )
+
+
+def train_bigram_lm(
+    reference: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(probs, uni, stats): the frozen model tables — the REFERENCE
+    slice's distinct-bigram conditional MLE (prev, cur, p_big), the
+    unigram counts (tok, c_uni), and a 1-row (n, v) stats frame.
+    Zipf-bounded; built by one groupBy over the reference transitions,
+    context totals aggregating the MODEL (vocab-scale)."""
+    ref_tok = reference.select(
+        ws_tokens(F.col(text_col)).alias("t")
+    ).localCheckpoint(eager=False)
+    uni = (
+        ref_tok.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c_uni"))
+    )
+    stats = uni.agg(
+        F.sum("c_uni").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    ref_tr = transitions(ref_tok, [])
+    big = ref_tr.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).cast("double").alias("c_big")
+    )
+    ctx = big.groupBy("prev").agg(F.sum("c_big").alias("c_ctx"))
+    probs = big.join(ctx, "prev").select(
+        "prev", "cur", (F.col("c_big") / F.col("c_ctx")).alias("p_big")
+    )
+    return probs, uni, stats
+
+
+def interp_prob(n, v):
+    """The interpolated, OOV-smoothed probability of a transition row
+    carrying LEFT-joined ``p_big`` and ``c_uni`` columns. ``n``/``v``
+    are Columns (batch: from the broadcast stats frame) or literal
+    floats (streaming: frozen-model constants) — same arithmetic
+    either way, matching the SQL twin token for token."""
+    lam_b = F.lit(float(_LAM_BIGRAM))
+    lam_u = F.lit(float(_LAM_UNIGRAM))
+    half = F.lit(float(_OOV_HALF))
+    n = n if isinstance(n, Column) else F.lit(float(n))
+    v = v if isinstance(v, Column) else F.lit(float(v))
+    return lam_b * F.coalesce(F.col("p_big"), F.lit(0.0)) + lam_u * (
+        (F.coalesce(F.col("c_uni"), F.lit(0.0)) + half)
+        / (n + half * (v + F.lit(1.0)))
+    )
+
+
 def bigram_neg_logprob(
     base: DataFrame,
     reference: DataFrame | None = None,
@@ -147,75 +228,17 @@ def bigram_neg_logprob(
     1e-6-rounded, so downstream ordering on it is hash-stable."""
     if reference is None:
         reference = base
-    # One tokenize scan per frame, shared by branches (the
-    # operators/ranking.py localCheckpoint device).
-    ref_tok = reference.select(
-        ws_tokens(F.col(text_col)).alias("t")
-    ).localCheckpoint(eager=False)
+    probs, uni, stats = train_bigram_lm(reference, text_col)
     tokd = base.select(
         F.col(id_col).alias("doc_id"), ws_tokens(F.col(text_col)).alias("t")
     ).localCheckpoint(eager=False)
-
-    uni = (
-        ref_tok.select(F.explode("t").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("double").alias("c_uni"))
-    )
-    stats = uni.agg(
-        F.sum("c_uni").alias("n"),
-        F.count(F.lit(1)).cast("double").alias("v"),
-    )
-
-    # Transition streams. The struct array is built in its OWN select
-    # and exploded in the next one — a non-generator expression in the
-    # same select as a generator re-evaluates per generated row (the
-    # text.py dup-bigram lesson).
-    tcol = F.col("t")
-    pair_arr = F.when(
-        F.size(tcol) >= 2,
-        F.transform(
-            F.sequence(F.lit(2), F.size(tcol)),
-            lambda i: F.struct(
-                F.element_at(tcol, i - 1).alias("prev"),
-                F.element_at(tcol, i).alias("cur"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
-
-    def transitions(frame: DataFrame, cols: list[str]) -> DataFrame:
-        return (
-            frame.select(*cols, pair_arr.alias("pcs"))
-            .select(*cols, F.explode("pcs").alias("pc"))
-            .select(
-                *cols,
-                F.col("pc.prev").alias("prev"),
-                F.col("pc.cur").alias("cur"),
-            )
-        )
-
-    # The trained model: the REFERENCE slice's distinct-bigram table,
-    # built once; context totals aggregate the MODEL (vocab-scale).
-    ref_tr = transitions(ref_tok, [])
-    big = ref_tr.groupBy("prev", "cur").agg(
-        F.count(F.lit(1)).cast("double").alias("c_big")
-    )
-    ctx = big.groupBy("prev").agg(F.sum("c_big").alias("c_ctx"))
-    probs = big.join(ctx, "prev").select(
-        "prev", "cur", (F.col("c_big") / F.col("c_ctx")).alias("p_big")
-    )
 
     # Scoring: two token-scale LEFT joins (transitions x model on the
     # bigram key; tokens x unigram table), then a doc-keyed aggregate.
     # Unseen pairs fall to 0 bigram mass; unseen tokens to the
     # add-half OOV floor — identical expressions in the SQL twin.
-    lam_b = F.lit(float(_LAM_BIGRAM))
-    lam_u = F.lit(float(_LAM_UNIGRAM))
-    half = F.lit(float(_OOV_HALF))
     tr = transitions(tokd, ["doc_id"])
-    p = lam_b * F.coalesce(F.col("p_big"), F.lit(0.0)) + lam_u * (
-        (F.coalesce(F.col("c_uni"), F.lit(0.0)) + half)
-        / (F.col("n") + half * (F.col("v") + F.lit(1.0)))
-    )
+    p = interp_prob(F.col("n"), F.col("v"))
     return (
         tr.join(probs, ["prev", "cur"], "left")
         .join(uni.withColumnRenamed("tok", "cur"), "cur", "left")

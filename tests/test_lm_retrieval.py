@@ -182,3 +182,58 @@ def test_sq8_serve_recall_is_full_at_this_budget(spark, sf_dir):
     out = all_queries()["ann_recall_sq8"].spark_fn(spark, sf_dir).collect()
     assert len(out) == 5
     assert all(r.n_hits == 10 and r.recall_ppm == 1_000_000 for r in out)
+
+
+def test_streaming_ppl_ingest_matches_batch_scoring(spark, sf_dir):
+    """Differential: the streamed serve path (stream-static joins +
+    post-drain mean) must reproduce the batch scorer bit-for-bit on
+    the arriving slice, and buckets come from the FROZEN corpus
+    cutoffs."""
+    from pyspark.sql import functions as F
+
+    from dataengineer_job_scraper_etl_spark.queries.lm import (
+        REF_MOD,
+        bigram_neg_logprob,
+    )
+
+    out = (
+        all_queries()["streaming_bigram_ppl_ingest"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    )
+    assert out and all(r.ppl_bucket in (1, 2, 3) for r in out)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    arriving = docs.filter(F.col("doc_id") % 10 >= 8)
+    batch = {
+        r["doc_id"]: (r["n_transitions"], r["avg_neg_logprob"])
+        for r in bigram_neg_logprob(
+            arriving, reference=corpus.filter(F.col("doc_id") % REF_MOD == 0)
+        ).collect()
+    }
+    assert len(out) == len(batch)
+    for r in out:
+        assert batch[r.doc_id] == (r.n_transitions, r.avg_neg_logprob)
+
+
+def test_knn_pagerank_fixed_point_invariants(spark, sf_dir):
+    from dataengineer_job_scraper_etl_spark.queries.graphrank import (
+        _BASE_PPM,
+        _R0_PPM,
+        N_NODES,
+    )
+
+    out = (
+        all_queries()["vec_knn_pagerank_centrality"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    )
+    assert len(out) == N_NODES
+    ranks = [r.rank_ppm for r in out]
+    # every node holds at least the teleport base; centrality must
+    # actually differentiate (some node above the uniform start)
+    assert min(ranks) >= _BASE_PPM
+    assert max(ranks) > _R0_PPM
+    # fixed-point mass: starts at 1e6 ppm, integer-floor leakage is
+    # bounded (<= K-1 per node per DIV, 8 steps) and never inflates
+    assert 950_000 <= sum(ranks) <= 1_000_000
