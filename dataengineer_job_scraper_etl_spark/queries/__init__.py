@@ -11,6 +11,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     corpusq,
     dq,
     events,
+    gopher,
     graphrank,
     joinopt,
     jobs,
