@@ -13,6 +13,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     events,
     gopher,
     graphrank,
+    intervaljoin,
     joinopt,
     jobs,
     layout,

@@ -1,0 +1,106 @@
+"""Interval-containment join via bucket decomposition over ``events``
+(analytics extension, SURVEY §2.10/§2.19).
+
+The missing named join: match point events to CONTAINING time
+intervals (session attribution, maintenance windows, promo windows).
+Spark has no native interval join — a naive
+``a.join(b, (b.ts > a.start) & (b.ts < a.end))`` has no equi-key, so
+Catalyst plans BroadcastNestedLoopJoin (fine for a broadcastable
+interval side, a scale-killer otherwise). The scalable rewrite is
+BUCKET DECOMPOSITION: explode each interval into the fixed-width time
+buckets it covers (bounded fan-out = ceil(len/width)+1 rows), map
+each probe to its single bucket, equi-join on (key, bucket), then
+re-check the exact range predicate. The range join becomes a
+hash-partitioned equi-join — shuffle on (user, bucket), no nested
+loop — and a probe matches each interval exactly once (its one
+bucket appears once per interval), so no dedup pass is needed.
+
+Fixture instance: per (user, day), the "opening window" is the 6
+hours after the user's first event of the day; probes are that
+user's purchase events strictly inside the window (the defining
+first event is excluded by the strict lower bound). Bucket width
+1 hour -> each interval explodes to <= 7 rows. The ORACLE is the
+direct range join in DuckDB — the engines must agree on the result
+SET, while the bucketing stays a Spark-side physical strategy (plan
+test pins: no BNLJ, no CartesianProduct; the join is an equi-join
+on the bucket key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+
+WINDOW_MINUTES = 360  # the 6-hour opening window
+BUCKET_SECONDS = 3600  # 1-hour buckets: <= 7 buckets per interval
+
+_INTERVAL_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+  FROM events),
+win AS (
+  SELECT user_id, min(ts) AS w_start,
+         min(ts) + INTERVAL {WINDOW_MINUTES} MINUTE AS w_end
+  FROM ev GROUP BY user_id, date_trunc('day', ts))
+SELECT p.event_id, p.user_id, p.ts, w.w_start
+FROM ev p JOIN win w
+  ON w.user_id = p.user_id
+ AND p.ts > w.w_start AND p.ts < w.w_end
+WHERE p.event_type = 'purchase'
+"""
+
+
+@register(
+    "events_interval_containment_join",
+    _INTERVAL_ORACLE,
+    doc="Interval-containment join (point events -> containing time "
+    "window) via bucket decomposition: intervals (per-user-day 6-hour "
+    "opening windows) explode into <= 7 one-hour buckets, purchases "
+    "map to their single bucket, and the range predicate re-checks "
+    "after a hash equi-join on (user_id, bucket) — the rewrite that "
+    "turns Spark's BroadcastNestedLoopJoin range join into a "
+    "shuffle-partitioned equi-join at any scale. The oracle is the "
+    "DIRECT range join (DuckDB), so the bucketing is pinned as pure "
+    "physical strategy: same result set, different plan; a probe "
+    "matches each interval exactly once (one bucket per probe), so "
+    "no dedup pass exists to hide double-matches.",
+)
+def events_interval_containment_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    win = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("__day"))
+        .agg(F.min("ts").alias("w_start"))
+        .select(
+            "user_id",
+            "w_start",
+            (F.col("w_start") + F.expr(f"INTERVAL {WINDOW_MINUTES} MINUTES"))
+            .alias("w_end"),
+        )
+    )
+    # bucket decomposition: every bucket the interval touches
+    start_b = F.floor(F.unix_timestamp("w_start") / BUCKET_SECONDS)
+    end_b = F.floor(F.unix_timestamp("w_end") / BUCKET_SECONDS)
+    wexp = win.select(
+        "user_id",
+        "w_start",
+        "w_end",
+        F.explode(F.sequence(start_b, end_b)).alias("bucket"),
+    )
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.unix_timestamp("ts") / BUCKET_SECONDS).alias("bucket"),
+    )
+    return (
+        probe.join(wexp, ["user_id", "bucket"])
+        .filter((F.col("ts") > F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .select("event_id", "user_id", "ts", "w_start")
+    )
