@@ -199,6 +199,17 @@ HEADLINE += [
     # exact rerank, one checkpointed corpus pass)
     "ann_recall_sq8",
 ]
+HEADLINE += [
+    # round-10 session-2 tail: the composed CCNet pipeline variant,
+    # the always-on LM serve path, the iterative-join PageRank, the
+    # shuffle-free Gopher gate, and the bucket-decomposed interval
+    # join — each a distinct plan shape worth tracking per round
+    "corpus_pipeline_ppl_filtered",
+    "streaming_bigram_ppl_ingest",
+    "vec_knn_pagerank_centrality",
+    "docs_gopher_quality_rules",
+    "events_interval_containment_join",
+]
 
 # Entries OMITTED from the stdout line's per-query dict (still RUN
 # every round; medians/spread/raw reps publish in bench_runs.json under
@@ -223,6 +234,10 @@ STDOUT_OMIT = frozenset(
         "events_hourly_cusum_shift",
         "window_top3_orders_per_customer",
         "events_sessionization",
+        "docs_quality_logreg_scores",
+        "docs_near_dup_jaccard",
+        "vec_cosine_topk",
+        "docs_dsir_importance_topk",
         "events_asof_purchase_view",
         "multimodal_features",
         "text_tfidf_top_terms",
