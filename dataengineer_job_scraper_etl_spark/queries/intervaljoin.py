@@ -104,3 +104,122 @@ def events_interval_containment_join(
         .filter((F.col("ts") > F.col("w_start")) & (F.col("ts") < F.col("w_end")))
         .select("event_id", "user_id", "ts", "w_start")
     )
+
+
+# --- streaming twin: stream-static bucket equi-join -------------------
+
+_STREAM_PROBE_MOD, _STREAM_PROBE_GE = 10, 8  # arriving purchases
+
+_INTERVAL_STREAM_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+  FROM events),
+win AS (
+  SELECT user_id, min(ts) AS w_start,
+         min(ts) + INTERVAL {WINDOW_MINUTES} MINUTE AS w_end
+  FROM ev GROUP BY user_id, date_trunc('day', ts))
+SELECT p.event_id, p.user_id, p.ts, w.w_start
+FROM ev p JOIN win w
+  ON w.user_id = p.user_id
+ AND p.ts > w.w_start AND p.ts < w.w_end
+WHERE p.event_type = 'purchase'
+  AND p.event_id % {_STREAM_PROBE_MOD} >= {_STREAM_PROBE_GE}
+"""
+
+
+def _stage_interval_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A 2-file queue of ARRIVING purchase events (event_id % 10 >= 8,
+    split even/odd). Shared staging protocol (staging.py)."""
+    import os
+
+    from dataengineer_job_scraper_etl_spark.staging import (
+        stage_once,
+        write_ordered_batches,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(staged: str) -> None:
+        d = (
+            spark.read.parquet(src)
+            .filter(
+                (F.col("event_type") == "purchase")
+                & (F.col("event_id") % _STREAM_PROBE_MOD >= _STREAM_PROBE_GE)
+            )
+            .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        )
+        write_ordered_batches(
+            staged,
+            [d.filter(F.col("event_id") % 2 == 0),
+             d.filter(F.col("event_id") % 2 == 1)],
+        )
+
+    return stage_once(src, "ivstream", build)
+
+
+@register(
+    "streaming_interval_containment_join",
+    _INTERVAL_STREAM_ORACLE,
+    doc="The interval-containment join ALWAYS-ON: arriving purchases "
+    "are attributed to their containing opening window per "
+    "micro-batch via the SAME bucket decomposition — probe maps to "
+    "its one bucket inside the streamed plan, stream-static hash "
+    "equi-join against the frozen exploded-window table (broadcast "
+    "here; bucket-bucketed at scale), exact range re-check, STATELESS "
+    "append into the memory sink. The frozen window table is the "
+    "production shape (attribution windows are built by the batch "
+    "layer and served to the stream); the oracle is the direct range "
+    "join restricted to the arriving slice.",
+)
+def streaming_interval_containment_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    win = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("__day"))
+        .agg(F.min("ts").alias("w_start"))
+        .select(
+            "user_id",
+            "w_start",
+            (F.col("w_start") + F.expr(f"INTERVAL {WINDOW_MINUTES} MINUTES"))
+            .alias("w_end"),
+        )
+    )
+    start_b = F.floor(F.unix_timestamp("w_start") / BUCKET_SECONDS)
+    end_b = F.floor(F.unix_timestamp("w_end") / BUCKET_SECONDS)
+    wexp = win.select(
+        "user_id",
+        "w_start",
+        "w_end",
+        F.explode(F.sequence(start_b, end_b)).alias("bucket"),
+    ).localCheckpoint(eager=False)
+
+    from dataengineer_job_scraper_etl_spark.queries.streaming_queries import (
+        _drain,
+    )
+
+    d = _stage_interval_stream_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+            " value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    probe = stream.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor(F.unix_timestamp("ts") / BUCKET_SECONDS).alias("bucket"),
+    )
+    joined = (
+        probe.join(F.broadcast(wexp), ["user_id", "bucket"])
+        .filter(
+            (F.col("ts") > F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+        )
+        .select("event_id", "user_id", "ts", "w_start")
+    )
+    return _drain(joined, spark, output_mode="append")

@@ -68,3 +68,22 @@ def test_interval_join_plan_is_equi_join(spark, iv_dir):
         if "HashJoin" in ln or "SortMergeJoin" in ln
     ]
     assert join_lines and any("bucket" in ln for ln in join_lines), plan
+
+
+def test_streaming_interval_join_matches_batch_subset(spark, sf_dir):
+    """Differential: the streamed attribution equals the batch join
+    restricted to the arriving (event_id %10 >= 8) purchase slice."""
+    batch = {
+        (r.event_id, r.w_start)
+        for r in all_queries()["events_interval_containment_join"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+        if r.event_id % 10 >= 8
+    }
+    streamed = {
+        (r.event_id, r.w_start)
+        for r in all_queries()["streaming_interval_containment_join"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert streamed == batch and streamed
