@@ -3,17 +3,24 @@
 
 The missing named join: match point events to CONTAINING time
 intervals (session attribution, maintenance windows, promo windows).
-Spark has no native interval join — a naive
-``a.join(b, (b.ts > a.start) & (b.ts < a.end))`` has no equi-key, so
-Catalyst plans BroadcastNestedLoopJoin (fine for a broadcastable
-interval side, a scale-killer otherwise). The scalable rewrite is
-BUCKET DECOMPOSITION: explode each interval into the fixed-width time
+Spark has no native interval join. Two failure shapes, one fix:
+UNKEYED interval sets (global windows) leave
+``a.join(b, (b.ts > a.start) & (b.ts < a.end))`` with no equi-key at
+all, so Catalyst plans BroadcastNestedLoopJoin — a scale-killer once
+the interval side outgrows broadcast; KEYED sets (this instance:
+per-user windows) do equi-join on the key, but every probe meets
+EVERY interval of its key before the range filter — measured at
+sf0.1: 538,966 candidate pairs for a 4,487-row result (one window
+per user-day x 30 days = ~120x fan-out). The fix for both is BUCKET
+DECOMPOSITION: explode each interval into the fixed-width time
 buckets it covers (bounded fan-out = ceil(len/width)+1 rows), map
 each probe to its single bucket, equi-join on (key, bucket), then
-re-check the exact range predicate. The range join becomes a
-hash-partitioned equi-join — shuffle on (user, bucket), no nested
-loop — and a probe matches each interval exactly once (its one
-bucket appears once per interval), so no dedup pass is needed.
+re-check the exact range predicate. The time dimension joins the
+equi-key, so only temporally-plausible pairs materialize — measured:
+13,013 candidates, a 41x reduction, same result set — and for
+unkeyed sets the bucket IS the equi-key that prevents the nested
+loop. A probe matches each interval at most once (its one bucket
+appears once per interval), so no dedup pass is needed.
 
 Fixture instance: per (user, day), the "opening window" is the 6
 hours after the user's first event of the day; probes are that
@@ -59,12 +66,14 @@ WHERE p.event_type = 'purchase'
     "window) via bucket decomposition: intervals (per-user-day 6-hour "
     "opening windows) explode into <= 7 one-hour buckets, purchases "
     "map to their single bucket, and the range predicate re-checks "
-    "after a hash equi-join on (user_id, bucket) — the rewrite that "
-    "turns Spark's BroadcastNestedLoopJoin range join into a "
-    "shuffle-partitioned equi-join at any scale. The oracle is the "
-    "DIRECT range join (DuckDB), so the bucketing is pinned as pure "
-    "physical strategy: same result set, different plan; a probe "
-    "matches each interval exactly once (one bucket per probe), so "
+    "after a hash equi-join on (user_id, bucket). Adding the time "
+    "dimension to the join key cuts the candidate fan-out 41x at "
+    "sf0.1 (538,966 -> 13,013 pairs for the same 4,487-row result), "
+    "and for UNKEYED interval sets the bucket is the equi-key that "
+    "prevents the BroadcastNestedLoopJoin outright. The oracle is "
+    "the DIRECT range join (DuckDB), so the bucketing is pinned as "
+    "pure physical strategy: same set, different plan; a probe "
+    "matches each interval at most once (one bucket per probe), so "
     "no dedup pass exists to hide double-matches.",
 )
 def events_interval_containment_join(
