@@ -26,7 +26,13 @@ Fixture instance: per (user, day), the "opening window" is the 6
 hours after the user's first event of the day; probes are that
 user's purchase events strictly inside the window (the defining
 first event is excluded by the strict lower bound). Bucket width
-1 hour -> each interval explodes to <= 7 rows. The ORACLE is the
+1 hour -> each interval explodes to <= 7 rows. Timestamp handling
+follows the catalog convention (events.py:_events): the fixture's
+NTZ timestamps are cast once, offset-free under the UTC session
+session.py pins — the same documented dependency every
+date_trunc-bearing events entry carries. The bucket arithmetic
+itself is TZ-robust to any FIXED offset (intervals and probes shift
+together), and the exact range re-check compares raw timestamps. The ORACLE is the
 direct range join in DuckDB — the engines must agree on the result
 SET, while the bucketing stays a Spark-side physical strategy (plan
 test pins: no BNLJ, no CartesianProduct; the join is an equi-join
