@@ -63,9 +63,9 @@ def test_every_registered_entry_evidenced_or_scheduled():
 
 def test_r10_head_leads_with_late_registrations_and_stale_rows_only():
     """The 5 rows-only refresh slots (r3-dated no-oracle entries,
-    VERDICT r9 ask #5) + the 17 never-audited entries registered this
+    VERDICT r9 ask #5) + the 18 never-audited entries registered this
     round (ask #2's late-registration rule) lead."""
-    head = catalog.AUDIT_SCHEDULE[:22]
+    head = catalog.AUDIT_SCHEDULE[:23]
     assert set(head[:5]) == {
         "neardup_minhash_lsh",
         "neardup_simhash",
@@ -74,9 +74,10 @@ def test_r10_head_leads_with_late_registrations_and_stale_rows_only():
         "ann_ivf_topk",
     }
     assert head[5] == "corpus_pipeline_decontaminated"
-    assert set(catalog.AUDIT_SCHEDULE[6:22]) == {
+    assert set(catalog.AUDIT_SCHEDULE[6:23]) == {
         "docs_gopher_quality_rules",
         "vec_knn_pagerank_centrality",
+        "vec_knn_pagerank_ivf",
         "events_interval_containment_join",
         "streaming_interval_containment_join",
         "vec_drift_retrain_refreeze",
