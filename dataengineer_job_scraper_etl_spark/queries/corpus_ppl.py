@@ -69,7 +69,7 @@ lm_scored AS (
          round(avg(-ln(
            0.7 * coalesce(p.p_big, 0.0)
            + 0.3 * ((coalesce(u.c_uni, 0.0) + 0.5)
-                    / (lm_stats.n + 0.5 * (lm_stats.v + 1.0)))
+                    / (coalesce(lm_stats.n, 0.0) + 0.5 * (lm_stats.v + 1.0)))
          )), 6) AS nlp
   FROM lm_tr
   LEFT JOIN lm_probs p ON p.prev = lm_tr.prev AND p.cur = lm_tr.cur

@@ -112,7 +112,7 @@ scored AS (
          round(avg(-ln(
            {_LAM_BIGRAM} * coalesce(p.p_big, 0.0)
            + {_LAM_UNIGRAM} * ((coalesce(u.c_uni, 0.0) + {_OOV_HALF})
-                               / (stats.n + {_OOV_HALF} * (stats.v + 1.0)))
+                               / (coalesce(stats.n, 0.0) + {_OOV_HALF} * (stats.v + 1.0)))
          )), 6) AS avg_neg_logprob
   FROM tr
   LEFT JOIN probs p ON p.prev = tr.prev AND p.cur = tr.cur
@@ -196,7 +196,12 @@ def interp_prob(n, v):
     carrying LEFT-joined ``p_big`` and ``c_uni`` columns. ``n``/``v``
     are Columns (batch: from the broadcast stats frame) or literal
     floats (streaming: frozen-model constants) — same arithmetic
-    either way, matching the SQL twin token for token."""
+    either way, matching the SQL twin token for token. ``n`` is
+    null-coalesced to 0: an EMPTY reference (sum over no rows is NULL
+    on both engines) then degrades to the deterministic all-OOV floor
+    p = 0.3 * (0.5/0.5) instead of NULL scores, whose ordering the
+    engines disagree on (Spark sorts NULLS FIRST asc, DuckDB LAST) —
+    the ntile downstream would silently diverge."""
     lam_b = F.lit(float(_LAM_BIGRAM))
     lam_u = F.lit(float(_LAM_UNIGRAM))
     half = F.lit(float(_OOV_HALF))
@@ -204,7 +209,7 @@ def interp_prob(n, v):
     v = v if isinstance(v, Column) else F.lit(float(v))
     return lam_b * F.coalesce(F.col("p_big"), F.lit(0.0)) + lam_u * (
         (F.coalesce(F.col("c_uni"), F.lit(0.0)) + half)
-        / (n + half * (v + F.lit(1.0)))
+        / (F.coalesce(n, F.lit(0.0)) + half * (v + F.lit(1.0)))
     )
 
 

@@ -82,7 +82,7 @@ def _lm_serve_oracle() -> str:
     score = (
         f"{_LAM_BIGRAM} * coalesce(p.p_big, 0.0)"
         f" + {_LAM_UNIGRAM} * ((coalesce(u.c_uni, 0.0) + {_OOV_HALF})"
-        f" / (stats.n + {_OOV_HALF} * (stats.v + 1.0)))"
+        f" / (coalesce(stats.n, 0.0) + {_OOV_HALF} * (stats.v + 1.0)))"
     )
     return f"""
 WITH tok AS (
@@ -184,7 +184,8 @@ def streaming_bigram_ppl_ingest(
     probs = probs.localCheckpoint(eager=False)
     uni = uni.localCheckpoint(eager=False)
     n_v = stats.collect()[0]
-    n, v = float(n_v["n"]), float(n_v["v"])
+    n = float(n_v["n"] if n_v["n"] is not None else 0.0)
+    v = float(n_v["v"])
 
     # frozen per-source cutoffs from the corpus's own scored ranking
     corpus_scored = bigram_neg_logprob(corpus, reference=ref).join(

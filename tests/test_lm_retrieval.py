@@ -261,3 +261,27 @@ def test_ivf_pagerank_agreement_floor(spark, sf_dir):
     assert set(ex) == set(iv)
     assert len(top(ex, 20) & top(iv, 20)) >= 7
     assert len(top(ex, 50) & top(iv, 50)) >= 22
+
+
+def test_bigram_scorer_degrades_deterministically_on_empty_reference(
+    spark, tmp_path_factory
+):
+    """An EMPTY reference must yield the deterministic all-OOV floor
+    (-ln(0.3 * 0.5/0.5)), never NULL scores — Spark and DuckDB sort
+    NULLs on opposite ends, so a NULL score would silently diverge in
+    the downstream ntile."""
+    import math
+
+    from dataengineer_job_scraper_etl_spark.queries.lm import (
+        bigram_neg_logprob,
+    )
+
+    base = tmp_path_factory.mktemp("lmempty")
+    rows = [("alpha beta gamma delta", "web"), ("one two three four", "web")]
+    d = _write_fixture(spark, base, rows)
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    empty_ref = docs.filter(F.col("doc_id") < 0)
+    out = bigram_neg_logprob(docs, reference=empty_ref).collect()
+    assert len(out) == 2
+    floor = round(-math.log(0.3), 6)
+    assert all(r.avg_neg_logprob == floor for r in out)
