@@ -181,7 +181,8 @@ def vec_knn_pagerank_centrality(
 # from the IVF index" — this entry IS that claim, oracle-checked: the
 # candidate generator is the hash-checked data-derived k-means
 # (queries/clustering._kmeans_body — init = k lowest ids, 2 quantized
-# Lloyd rounds), each node probes its 2 nearest centroids' lists, and
+# Lloyd rounds), each node probes its IVF_PROBES nearest centroids'
+# lists (4 of 8 — the ann_recall_ivf probe convention), and
 # edges are the top-5 cosine candidates FROM THOSE LISTS ONLY. Edge
 # shares divide by the node's ACTUAL out-degree (IVF candidates can
 # run short in small clusters), still in pure integer arithmetic.

@@ -19,10 +19,13 @@ MLE bigram with a singleton context is deterministic (a word seen
 once is "always" followed by the same word — p saturates at the
 interpolation weight, ~-ln(0.7) per transition), so token-unique
 gibberish beat real text into the head bucket. Training on a
-disjoint-by-construction reference slice makes gibberish OOV (its
-probability collapses to the smoothed unigram floor) — exactly why
-CCNet scores Common Crawl with a Wikipedia-trained model rather than
-a self-trained one.
+held-out-by-convention subset (doc_id % 5 == 0 — a SUBSET of the
+scored corpus, not a disjoint corpus) makes gibberish OUTSIDE the
+slice OOV (its probability collapses to the smoothed unigram floor);
+docs INSIDE the reference slice still partially self-score, which is
+deterministic and oracle-matched — production swaps in a genuinely
+external curated corpus, exactly why CCNet scores Common Crawl with
+a Wikipedia-trained model rather than a self-trained one.
 
 Model: interpolated bigram LM trained on the reference slice
 (doc_id % 5 == 0 — the curated-corpus stand-in), scoring EVERY doc:

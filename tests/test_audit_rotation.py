@@ -16,16 +16,38 @@ from dataengineer_job_scraper_etl_spark import catalog
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _last_rounds():
+def _last_rounds(upto: int | None = None):
+    """Latest CORRECTNESS round per entry, restricted to rounds
+    <= ``upto`` when given — the schedule's generation-time view.
+    VERDICT r10 "What's wrong" #1: evaluating the committed schedule
+    against evidence that POSTDATES it (the driver's new CORRECTNESS
+    file audits the window head) made the head read as wasted slots;
+    the clock is catalog.AUDIT_SCHEDULE_META, not max(rounds on disk).
+    """
     import glob
 
     last = {}
     for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int("".join(c for c in os.path.basename(p) if c.isdigit()))
+        if upto is not None and rnd > upto:
+            continue
         with open(p, encoding="utf-8") as f:
             for n in json.load(f):
                 last[n] = max(rnd, last.get(n, 0))
     return last
+
+
+def _wasted_no_oracle_slots(schedule, qs, last, next_round):
+    """No-oracle entries holding a slot despite fresh evidence under
+    the given clock — the waste rule shared by the freshness test and
+    the future-evidence replay test."""
+    return [
+        n
+        for n in schedule
+        if qs[n].oracle is None
+        and n in last
+        and next_round - last[n] <= 2
+    ]
 
 
 def test_schedule_names_are_registered_and_unique():
@@ -35,17 +57,64 @@ def test_schedule_names_are_registered_and_unique():
     assert len(set(catalog.AUDIT_SCHEDULE)) == len(catalog.AUDIT_SCHEDULE)
     # no-oracle entries only earn slots under the head rules: never any
     # driver evidence, or evidence >2 rounds stale by the next round
-    # (VERDICT r9 ask #5) — anything fresher is a wasted slot.
-    last = _last_rounds()
-    next_round = max(last.values(), default=0) + 1
-    wasted = [
-        n
-        for n in catalog.AUDIT_SCHEDULE
-        if qs[n].oracle is None
-        and n in last
-        and next_round - last[n] <= 2
-    ]
+    # (VERDICT r9 ask #5) — anything fresher is a wasted slot. The
+    # clock is the schedule's OWN generation stamp: evidence written
+    # after generation must not retroactively invalidate it.
+    gen = catalog.AUDIT_SCHEDULE_META["generated_after_round"]
+    last = _last_rounds(upto=gen)
+    wasted = _wasted_no_oracle_slots(
+        catalog.AUDIT_SCHEDULE, qs, last, gen + 1
+    )
     assert not wasted, f"wasted slots on fresh no-oracle entries: {wasted}"
+
+
+def test_schedule_meta_clock_is_plausible():
+    """The stamp must not POSTdate the evidence on disk at commit time
+    (a schedule can't have been generated after rounds that don't
+    exist yet it claims to know), and must not lag so far that the
+    window was generated blind to >1 existing round — the driver
+    writes exactly one CORRECTNESS file per round, so at most one may
+    postdate a freshly generated schedule."""
+    gen = catalog.AUDIT_SCHEDULE_META["generated_after_round"]
+    on_disk = max(_last_rounds().values(), default=0)
+    assert gen <= on_disk
+    assert on_disk - gen <= 1, (
+        f"schedule generated after r{gen} but evidence reaches "
+        f"r{on_disk} — regenerate tools/audit_rotation.py"
+    )
+
+
+def test_schedule_survives_next_round_evidence_landing():
+    """The replay test (VERDICT r10 "What's wrong" #2): simulate the
+    driver landing CORRECTNESS_r{gen+1}.json containing the ENTIRE
+    committed window head — the exact event that flipped r10's
+    committed schedule red — and assert the waste rule still returns
+    empty because the clock pins evaluation to the generation stamp."""
+    qs = catalog.all_queries()
+    gen = catalog.AUDIT_SCHEDULE_META["generated_after_round"]
+    last = _last_rounds(upto=gen)
+    # synthetic next-round evidence: the driver audits the window head
+    future = dict(last)
+    for n in catalog.AUDIT_SCHEDULE:
+        future[n] = gen + 1
+    # a clock-less evaluation (max of evidence + 1) over the future
+    # file WOULD flag every no-oracle head slot as wasted...
+    clockless = _wasted_no_oracle_slots(
+        catalog.AUDIT_SCHEDULE, qs, future, max(future.values()) + 1
+    )
+    heads = [
+        n for n in catalog.AUDIT_SCHEDULE
+        if qs[n].oracle is None and n in last
+    ]
+    assert set(clockless) == set(heads), (
+        "replay premise broke: clock-less evaluation should flag "
+        "exactly the evidenced no-oracle head slots"
+    )
+    # ...while the stamped clock ignores evidence past the stamp:
+    stamped_view = {n: r for n, r in future.items() if r <= gen}
+    assert not _wasted_no_oracle_slots(
+        catalog.AUDIT_SCHEDULE, qs, stamped_view, gen + 1
+    )
 
 
 def test_every_registered_entry_evidenced_or_scheduled():

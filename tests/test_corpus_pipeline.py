@@ -208,8 +208,8 @@ def test_pipeline_ppl_filter_drops_per_source_tail_tercile(spark):
     base_n = Counter(r["source"] for r in base)
     filt_n = Counter(r["source"] for r in filt)
     for src, n in base_n.items():
-        big = n - n // 3  # ntile: first n%3 buckets get the extra rows
-        kept = big if n % 3 >= 1 else n - n // 3
+        # ntile(3) keep-2-of-3: the dropped bucket is the LAST, which
+        # ntile sizes at exactly n // 3 rows (extras go to early buckets)
         assert filt_n[src] == n - n // 3, (src, n, filt_n[src])
 
 

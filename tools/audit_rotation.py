@@ -198,6 +198,17 @@ def main() -> int:
             json.dump(dict(sorted(ledger.items(), key=str)), f, indent=1)
             f.write("\n")
 
+    # The schedule's CLOCK (VERDICT r10 "What's wrong" #1): freshness
+    # judgments above used evidence from rounds <= generated_after_round.
+    # The moment the driver writes CORRECTNESS_r{N+1}.json, recomputing
+    # "next round" from files ON DISK would make the committed window
+    # head read as wasted slots — so the tests must evaluate the
+    # schedule against THIS stamp, never against evidence that
+    # postdates the schedule.
+    print(
+        "AUDIT_SCHEDULE_META = "
+        f'{{"generated_after_round": {next_round - 1}}}'
+    )
     print(
         f"# next AUDIT_SCHEDULE ({len(pick)} entries: "
         f"{len(no_oracle_head)} rows-only head (never-seen or "
