@@ -238,3 +238,271 @@ def streaming_interval_containment_join(
         .select("event_id", "user_id", "ts", "w_start")
     )
     return _drain(joined, spark, output_mode="append")
+
+
+# --- multi-scale intervals: tiered bucket decomposition ----------------
+#
+# VERDICT r10 ask #6: the fixed 1-hour bucket width above is sized for
+# the fixture's uniform 6-hour windows. Real attribution tables mix
+# minute-scale and month-scale intervals, and a single width fails in
+# one of two directions: a narrow width explodes long intervals into
+# ceil(len/width)+1 rows (a month over 1-hour buckets = 745 rows PER
+# INTERVAL), while a wide width fattens every short-interval key's
+# candidate set back toward the unbucketed fan-out. The standard remedy
+# is RESOLUTION TIERS: each interval lands in exactly ONE tier — the
+# finest whose width keeps its explode bounded (<= _TIER_FANOUT+1
+# buckets) — and explodes at that tier's width only; each probe maps to
+# ONE bucket PER TIER (a constant #tiers rows), and the equi-join key
+# grows a tier column, so cross-tier pairs never materialize. A probe
+# still matches each interval at most once (the interval lives in one
+# tier; the probe has one bucket there), so no dedup pass exists to
+# hide double-matches. At 100 TB the probe-side x#tiers constant is the
+# whole extra cost, and it shrinks further by exploding probes only
+# into OCCUPIED tiers (a 3-row broadcast of `SELECT DISTINCT tier FROM
+# intervals`) — kept static here because the fixture occupies all
+# three and a broadcast cross-join would read as BNLJ to the plan lint
+# that guards the real failure shape.
+
+_TIER_WIDTHS = (900, 21600, 259200)  # 15 min / 6 h / 3 days
+_TIER_FANOUT = 6  # tier = finest width with ceil(len/width) <= 6
+
+# mixed-duration fixture rule: the per-user-day window's duration spans
+# >= 2 orders of magnitude by user hash — 15 min, 6 h, or 2 days
+_DUR_MINUTES_SQL = (
+    "CASE user_id % 3 WHEN 0 THEN 15 WHEN 1 THEN 360 ELSE 2880 END"
+)
+
+_MULTISCALE_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+  FROM events),
+win AS (
+  SELECT user_id, min(ts) AS w_start,
+         min(ts) + INTERVAL ({_DUR_MINUTES_SQL}) MINUTE AS w_end
+  FROM ev GROUP BY user_id, date_trunc('day', ts))
+SELECT p.event_id, p.user_id, p.ts, w.w_start
+FROM ev p JOIN win w
+  ON w.user_id = p.user_id
+ AND p.ts > w.w_start AND p.ts < w.w_end
+WHERE p.event_type = 'purchase'
+"""
+
+
+def _tiered_windows(ev: DataFrame) -> DataFrame:
+    """Per-user-day opening windows with mixed durations, each exploded
+    into its ONE tier's buckets: (user_id, tier, bucket, w_start, w_end)."""
+    win = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("__day"))
+        .agg(F.min("ts").alias("w_start"))
+        .select(
+            "user_id",
+            "w_start",
+            F.expr(
+                f"w_start + make_interval(0, 0, 0, 0, 0,"
+                f" {_DUR_MINUTES_SQL}, 0)"
+            ).alias("w_end"),
+        )
+    )
+    len_s = F.unix_timestamp("w_end") - F.unix_timestamp("w_start")
+    tier = (
+        F.when(len_s <= _TIER_WIDTHS[0] * _TIER_FANOUT, F.lit(0))
+        .when(len_s <= _TIER_WIDTHS[1] * _TIER_FANOUT, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    width = F.element_at(
+        F.array(*[F.lit(w) for w in _TIER_WIDTHS]), tier + 1
+    )
+    return win.select(
+        "user_id",
+        "w_start",
+        "w_end",
+        tier.alias("tier"),
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("w_start") / width),
+                F.floor(F.unix_timestamp("w_end") / width),
+            )
+        ).alias("bucket"),
+    )
+
+
+@register(
+    "events_interval_join_multiscale",
+    _MULTISCALE_ORACLE,
+    doc="Interval-containment join over MIXED-DURATION intervals "
+    "(15-minute, 6-hour, and 2-day per-user-day windows — a 192x "
+    "length spread) via tiered bucket decomposition: each interval "
+    "explodes in exactly one resolution tier (the finest of "
+    "15min/6h/3d whose width bounds its explode at <= 7 buckets), "
+    "each probe maps to one bucket per tier, and the hash equi-join "
+    "keys on (user_id, tier, bucket) before the exact range "
+    "re-check. A single fixed width either explodes long intervals "
+    "(ceil(len/width) rows each) or fattens short-probe candidate "
+    "sets; the tier column bounds BOTH sides by construction. The "
+    "oracle is the same DIRECT range join as the uniform entry, so "
+    "the tiering is pinned as pure physical strategy; the plan test "
+    "forbids BNLJ/cartesian.",
+)
+def events_interval_join_multiscale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    wexp = _tiered_windows(ev)
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.explode(
+            F.array(*[F.lit(t) for t in range(len(_TIER_WIDTHS))])
+        ).alias("tier"),
+    ).withColumn(
+        "bucket",
+        F.floor(
+            F.unix_timestamp("ts")
+            / F.element_at(
+                F.array(*[F.lit(w) for w in _TIER_WIDTHS]),
+                F.col("tier") + 1,
+            )
+        ),
+    )
+    return (
+        probe.join(wexp, ["user_id", "tier", "bucket"])
+        .filter(
+            (F.col("ts") > F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+        )
+        .select("event_id", "user_id", "ts", "w_start")
+    )
+
+
+# --- interval x interval OVERLAP join ----------------------------------
+#
+# The third shape in the family: both sides are INTERVALS and the
+# predicate is overlap (a.start < b.end AND b.start < a.end), the
+# classic "no equi-key" join (room bookings vs maintenance windows,
+# promo windows vs attribution windows). Bucket decomposition extends
+# from the containment case with one twist: BOTH sides explode, so an
+# overlapping pair can now share SEVERAL buckets. The standard
+# single-assignment rule restores exactly-once semantics without a
+# distinct pass: every overlap has a well-defined first instant,
+# greatest(a_start, b_start), and exactly ONE bucket contains it — a
+# pair is emitted only from that bucket. (A distinct over the pair key
+# would also dedup, but it costs a second full shuffle of the
+# candidate set; the single-assignment filter is a codegen predicate
+# on rows already joined.)
+
+_PROMO_MINUTES = 90  # each purchase opens a 90-min follow-up window
+
+
+_OVERLAP_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+  FROM events),
+win AS (
+  SELECT user_id, min(ts) AS w_start,
+         min(ts) + INTERVAL {WINDOW_MINUTES} MINUTE AS w_end
+  FROM ev GROUP BY user_id, date_trunc('day', ts)),
+promo AS (
+  SELECT event_id, user_id, ts AS p_start,
+         ts + INTERVAL {_PROMO_MINUTES} MINUTE AS p_end
+  FROM ev WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, w.w_start, p.p_start,
+       round(CAST(epoch(least(w.w_end, p.p_end))
+                  - epoch(greatest(w.w_start, p.p_start)) AS DOUBLE)
+             / 60.0, 6) AS overlap_minutes
+FROM promo p JOIN win w
+  ON w.user_id = p.user_id
+ AND w.w_start < p.p_end AND p.p_start < w.w_end
+"""
+
+
+@register(
+    "events_interval_overlap_join",
+    _OVERLAP_ORACLE,
+    doc="Interval OVERLAP join (interval x interval, the no-equi-key "
+    "classic): per-user-day 6-hour opening windows vs 90-minute "
+    "post-purchase promo windows, overlap = strict half-open "
+    "intersection. Both sides bucket-decompose at 1-hour width and "
+    "hash-equi-join on (user_id, bucket); because both sides explode, "
+    "a pair can share several buckets, so the single-assignment rule "
+    "emits each pair only from the ONE bucket containing "
+    "greatest(w_start, p_start) — exactly-once without a second "
+    "shuffle for distinct. Returns the overlap length in minutes; "
+    "oracle is the direct range-overlap join.",
+)
+def events_interval_overlap_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    win = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("__day"))
+        .agg(F.min("ts").alias("w_start"))
+        .select(
+            "user_id",
+            "w_start",
+            (F.col("w_start") + F.expr(f"INTERVAL {WINDOW_MINUTES} MINUTES"))
+            .alias("w_end"),
+        )
+    )
+    wexp = win.select(
+        "user_id",
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("w_start") / BUCKET_SECONDS),
+                F.floor(F.unix_timestamp("w_end") / BUCKET_SECONDS),
+            )
+        ).alias("bucket"),
+    )
+    promo = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("p_start"),
+        (F.col("ts") + F.expr(f"INTERVAL {_PROMO_MINUTES} MINUTES"))
+        .alias("p_end"),
+    )
+    pexp = promo.select(
+        "event_id",
+        "user_id",
+        "p_start",
+        "p_end",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp("p_start") / BUCKET_SECONDS),
+                F.floor(F.unix_timestamp("p_end") / BUCKET_SECONDS),
+            )
+        ).alias("bucket"),
+    )
+    first_instant = F.greatest(F.col("w_start"), F.col("p_start"))
+    # timestamp->double keeps microseconds (unix_timestamp truncates
+    # to whole seconds and drifts from DuckDB's fractional epoch())
+    overlap_min = (
+        F.least(F.col("w_end"), F.col("p_end")).cast("double")
+        - first_instant.cast("double")
+    ) / 60.0
+    return (
+        pexp.join(wexp, ["user_id", "bucket"])
+        .filter(
+            (F.col("w_start") < F.col("p_end"))
+            & (F.col("p_start") < F.col("w_end"))
+            # single-assignment: only the bucket holding the overlap's
+            # first instant emits the pair
+            & (
+                F.floor(F.unix_timestamp(first_instant) / BUCKET_SECONDS)
+                == F.col("bucket")
+            )
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "w_start",
+            "p_start",
+            F.round(overlap_min, 6).alias("overlap_minutes"),
+        )
+    )

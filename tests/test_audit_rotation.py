@@ -130,38 +130,44 @@ def test_every_registered_entry_evidenced_or_scheduled():
     assert unevidenced_not_scheduled() == []
 
 
-def test_r10_head_leads_with_late_registrations_and_stale_rows_only():
-    """The 5 rows-only refresh slots (r3-dated no-oracle entries,
-    VERDICT r9 ask #5) + the 18 never-audited entries registered this
-    round (ask #2's late-registration rule) lead."""
-    head = catalog.AUDIT_SCHEDULE[:23]
-    assert set(head[:5]) == {
-        "neardup_minhash_lsh",
-        "neardup_simhash",
-        "neardup_simhash_fingerprints",
-        "ann_rhp_lsh_topk",
-        "ann_ivf_topk",
+def test_r11_head_leads_with_late_registrations_and_stale_rows_only():
+    """The 3 rows-only refresh slots (r8-dated no-oracle entries,
+    VERDICT r10 ask #5) + the 3 never-audited late registrations (the
+    ask #3/#4 remedies and the ask #6 multi-scale interval join) + the
+    7 source-changed entries (those remedies edited their defining
+    modules) lead; the tail drains the entire r6 cohort (ask #2)."""
+    head = catalog.AUDIT_SCHEDULE[:13]
+    assert set(head[:3]) == {
+        "corpus_pipeline_full",
+        "ann_ivfpq_topk",
+        "vec_neardup_lsh_pairs",
     }
-    assert head[5] == "corpus_pipeline_decontaminated"
-    assert set(catalog.AUDIT_SCHEDULE[6:23]) == {
-        "docs_gopher_quality_rules",
+    assert set(head[3:6]) == {
+        "vec_knn_pagerank_ivf_deep",
+        "docs_quality_logreg_converged",
+        "events_interval_join_multiscale",
+    }
+    assert set(head[6:13]) == {
+        "docs_bigram_perplexity",
         "vec_knn_pagerank_centrality",
         "vec_knn_pagerank_ivf",
         "events_interval_containment_join",
         "streaming_interval_containment_join",
-        "vec_drift_retrain_refreeze",
-        "docs_exact_substring_ingest",
-        "streaming_exact_substring_ingest",
-        "corpus_pipeline_intake",
         "docs_quality_logreg_weights",
         "docs_quality_logreg_scores",
-        "docs_bigram_perplexity",
-        "corpus_pipeline_ppl_filtered",
-        "retrieval_hybrid_rrf",
-        "ann_recall_sq8",
-        "ann_sq_bits_tradeoff",
-        "streaming_bigram_ppl_ingest",
     }
+    # ask #2: no r6-dated oracle-bearing entry survives outside the
+    # window — the schedule's tail must absorb all of them
+    last = _last_rounds(upto=catalog.AUDIT_SCHEDULE_META[
+        "generated_after_round"])
+    qs = catalog.all_queries()
+    r6_dated = {
+        n for n, q in qs.items()
+        if q.oracle is not None and last.get(n) == 6
+    }
+    assert r6_dated <= set(catalog.AUDIT_SCHEDULE), (
+        r6_dated - set(catalog.AUDIT_SCHEDULE)
+    )
 
 
 def test_audit_order_puts_schedule_first():
