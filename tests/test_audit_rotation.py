@@ -132,22 +132,23 @@ def test_every_registered_entry_evidenced_or_scheduled():
 
 def test_r11_head_leads_with_late_registrations_and_stale_rows_only():
     """The 3 rows-only refresh slots (r8-dated no-oracle entries,
-    VERDICT r10 ask #5) + the 3 never-audited late registrations (the
-    ask #3/#4 remedies and the ask #6 multi-scale interval join) + the
-    7 source-changed entries (those remedies edited their defining
-    modules) lead; the tail drains the entire r6 cohort (ask #2)."""
-    head = catalog.AUDIT_SCHEDULE[:13]
-    assert set(head[:3]) == {
+    VERDICT r10 ask #5) + the never-audited late registrations (the
+    ask #3/#4 remedies, the ask #6 multi-scale interval join, and the
+    round's new entries) + the source-changed entries (those remedies
+    edited their defining modules) lead; the tail drains the entire
+    r6 cohort (ask #2)."""
+    rows_only_head = {
         "corpus_pipeline_full",
         "ann_ivfpq_topk",
         "vec_neardup_lsh_pairs",
     }
-    assert set(head[3:6]) == {
+    never_audited = {
         "vec_knn_pagerank_ivf_deep",
         "docs_quality_logreg_converged",
         "events_interval_join_multiscale",
+        "events_interval_overlap_join",
     }
-    assert set(head[6:13]) == {
+    source_changed = {
         "docs_bigram_perplexity",
         "vec_knn_pagerank_centrality",
         "vec_knn_pagerank_ivf",
@@ -156,6 +157,13 @@ def test_r11_head_leads_with_late_registrations_and_stale_rows_only():
         "docs_quality_logreg_weights",
         "docs_quality_logreg_scores",
     }
+    head = catalog.AUDIT_SCHEDULE[: len(rows_only_head) + len(
+        never_audited) + len(source_changed)]
+    assert set(head[:3]) == rows_only_head
+    # every never-audited late registration and every source-changed
+    # entry precedes the staleness tail (exact interleave is the
+    # tool's sort key; membership in the head block is the contract)
+    assert never_audited | source_changed == set(head[3:])
     # ask #2: no r6-dated oracle-bearing entry survives outside the
     # window — the schedule's tail must absorb all of them
     last = _last_rounds(upto=catalog.AUDIT_SCHEDULE_META[
@@ -281,3 +289,61 @@ def test_ledger_covers_every_scheduled_entry():
         ledger = json.load(f)
     missing = [n for n in catalog.AUDIT_SCHEDULE if n not in ledger]
     assert not missing, missing
+
+
+def test_committed_schedule_matches_regeneration_when_current():
+    """Self-maintaining integrity check: whenever the committed
+    schedule's clock is CURRENT (no driver evidence postdates it —
+    i.e. max CORRECTNESS round on disk == generated_after_round), a
+    regeneration must reproduce the committed window exactly. Catches
+    'entry registered after the schedule froze' (the r10->r11 red) and
+    any hand-edit drift, while staying green the moment the driver's
+    next artifact lands (the plausibility test bounds that lag at 1;
+    the regenerated schedule then supersedes this one)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from audit_rotation import plan_window
+
+    gen = catalog.AUDIT_SCHEDULE_META["generated_after_round"]
+    on_disk = max(_last_rounds().values(), default=0)
+    if on_disk != gen:
+        import pytest
+
+        pytest.skip(
+            f"driver evidence (r{on_disk}) postdates the schedule "
+            f"(generated after r{gen}) — the next regeneration "
+            "supersedes this window"
+        )
+    plan = plan_window(update_ledger=False)
+    assert plan["pick"] == list(catalog.AUDIT_SCHEDULE), (
+        "committed AUDIT_SCHEDULE drifted from regeneration: "
+        f"missing={set(plan['pick']) - set(catalog.AUDIT_SCHEDULE)} "
+        f"extra={set(catalog.AUDIT_SCHEDULE) - set(plan['pick'])}"
+    )
+
+
+def test_audited_baseline_promotes_only_on_landed_evidence():
+    """The two-hash ledger (r11): an entry edited after its last audit
+    stays 'changed' through ANY number of within-round regenerations
+    (scheduled-hash rewrites), and its baseline advances exactly when
+    the driver's evidence for the scheduled window lands."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from audit_rotation import promote_audited_baselines
+
+    ledger = {
+        # scheduled into the r11 window (clock 10), not yet audited
+        "edited": {"audited": "old", "scheduled": "new", "sched_clock": 10},
+        # audited in r11 already (evidence landed)
+        "landed": {"audited": "old", "scheduled": "new", "sched_clock": 10},
+        # legacy row migrated without a clock: never promotes
+        "legacy": {"audited": "h", "scheduled": "h", "sched_clock": None},
+    }
+    promote_audited_baselines(
+        ledger, {"edited": 10, "landed": 11, "legacy": 11}
+    )
+    assert ledger["edited"]["audited"] == "old"   # still must re-prove
+    assert ledger["landed"]["audited"] == "new"   # baseline advanced
+    assert ledger["legacy"]["audited"] == "h"

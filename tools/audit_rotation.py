@@ -110,9 +110,24 @@ def entry_source_hash(q) -> str:
     return hashlib.sha256("\x00".join(parts).encode()).hexdigest()[:16]
 
 
-def main() -> int:
-    update_ledger = "--no-ledger-update" not in sys.argv
+def promote_audited_baselines(
+    ledger: dict[str, dict], last_round: dict[str, int]
+) -> None:
+    """Advance each entry's audited baseline to its scheduled snapshot
+    once driver evidence lands for a round PAST the snapshot's clock —
+    the driver audited exactly the scheduled code, so edits made since
+    then (and only those) should read as changed."""
+    for n, row in ledger.items():
+        sc = row.get("sched_clock")
+        if sc is not None and last_round.get(n, 0) > sc:
+            row["audited"] = row["scheduled"]
 
+
+def plan_window(update_ledger: bool = False) -> dict:
+    """Compute the next audit window. Returns a dict with the pick and
+    the evidence snapshot it was derived from — importable by tests so
+    the committed schedule can be checked against a regeneration
+    whenever the clock is current (no new driver evidence landed)."""
     from dataengineer_job_scraper_etl_spark import catalog
 
     qs = catalog.all_queries()  # registration order
@@ -137,22 +152,39 @@ def main() -> int:
             elif name in failed_latest and last_round[name] == rnd:
                 failed_latest.discard(name)  # later round went green
 
-    ledger: dict[str, str] = {}
+    # Ledger rows are {"audited": H_a, "scheduled": H_s, "sched_clock": N}:
+    # H_a is the hash of the code the DRIVER LAST AUDITED (the baseline
+    # the changed-rule compares against), H_s the hash snapshotted when
+    # the entry was last picked into a window, N that window's clock.
+    # H_a promotes to H_s automatically once driver evidence LANDS for
+    # a round past N — so plan_window is idempotent within a round (a
+    # mid-round regeneration can rewrite H_s freely without un-flagging
+    # entries whose edits the driver has not yet re-proven; the r11
+    # session hit exactly that: two generations in one round silently
+    # dropped the 5 post-r10-edited entries from the window). Legacy
+    # bare-string rows (format <= r10) migrate as audited == scheduled.
+    ledger: dict[str, dict] = {}
     ledger_stale = False
     if os.path.exists(LEDGER):
         with open(LEDGER, encoding="utf-8") as f:
-            ledger = json.load(f)
-        if ledger.pop("__hash_version__", 1) != HASH_VERSION:
+            raw = json.load(f)
+        if raw.pop("__hash_version__", 1) != HASH_VERSION:
             # hash recipe changed: old snapshots are incomparable —
             # re-snapshot everything; this round's genuinely-edited
             # entries must be pinned by hand (catalog window comment)
-            ledger = {}
             ledger_stale = True
+        else:
+            for k, v in raw.items():
+                ledger[k] = (
+                    v if isinstance(v, dict)
+                    else {"audited": v, "scheduled": v, "sched_clock": None}
+                )
+    promote_audited_baselines(ledger, last_round)
     current = {n: entry_source_hash(qs[n]) for n in qs}
     changed = {
         n
         for n in names
-        if n in ledger and ledger[n] != current[n]
+        if n in ledger and ledger[n]["audited"] != current[n]
     }
 
     # Head slots for no-oracle entries: never seen (one-time, VERDICT
@@ -187,16 +219,55 @@ def main() -> int:
     pick = no_oracle_head + order[: WINDOW - len(no_oracle_head)]
 
     if update_ledger:
-        # scheduled entries: snapshot NOW (this code is what the next
-        # window audits); first-seen entries: snapshot so their next
-        # edit trips; everything else keeps its last-audited snapshot.
+        # Picked entries: snapshot the SCHEDULED hash now (this code is
+        # what the next driver window audits; the audited baseline only
+        # advances when that window's evidence lands). First-seen
+        # entries: seed audited=current so their NEXT edit trips.
+        clock = next_round - 1
         for n in qs:
-            if n in pick or n not in ledger:
-                ledger[n] = current[n]
-        ledger["__hash_version__"] = HASH_VERSION
+            if n in pick:
+                row = ledger.setdefault(n, {"audited": current[n]})
+                row["scheduled"] = current[n]
+                row["sched_clock"] = clock
+            elif n not in ledger:
+                ledger[n] = {
+                    "audited": current[n],
+                    "scheduled": current[n],
+                    "sched_clock": clock,
+                }
+        out: dict = dict(sorted(ledger.items()))
+        out["__hash_version__"] = HASH_VERSION
         with open(LEDGER, "w", encoding="utf-8") as f:
-            json.dump(dict(sorted(ledger.items(), key=str)), f, indent=1)
+            json.dump(out, f, indent=1)
             f.write("\n")
+
+    return {
+        "pick": pick,
+        "no_oracle_head": no_oracle_head,
+        "failed_latest": failed_latest,
+        "changed": changed,
+        "last_round": last_round,
+        "next_round": next_round,
+        "names": names,
+        "skipped": skipped,
+        "ledger_stale": ledger_stale,
+        "rounds": rounds,
+    }
+
+
+def main() -> int:
+    update_ledger = "--no-ledger-update" not in sys.argv
+    plan = plan_window(update_ledger=update_ledger)
+    pick = plan["pick"]
+    no_oracle_head = plan["no_oracle_head"]
+    failed_latest = plan["failed_latest"]
+    changed = plan["changed"]
+    last_round = plan["last_round"]
+    next_round = plan["next_round"]
+    names = plan["names"]
+    skipped = plan["skipped"]
+    ledger_stale = plan["ledger_stale"]
+    rounds = plan["rounds"]
 
     # The schedule's CLOCK (VERDICT r10 "What's wrong" #1): freshness
     # judgments above used evidence from rounds <= generated_after_round.
