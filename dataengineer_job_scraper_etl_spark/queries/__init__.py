@@ -7,6 +7,7 @@ inventory; module docstrings map queries to operator IDs.
 
 from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     clustering,
+    containment,
     corpus_ppl,
     corpusq,
     dq,
@@ -18,6 +19,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     jobs,
     layout,
     lm,
+    markov,
     multimodal,
     neardup,
     pca,

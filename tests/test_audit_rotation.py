@@ -147,6 +147,8 @@ def test_r11_head_leads_with_late_registrations_and_stale_rows_only():
         "docs_quality_logreg_converged",
         "events_interval_join_multiscale",
         "events_interval_overlap_join",
+        "events_type_markov_transitions",
+        "docs_shingle_containment",
     }
     source_changed = {
         "docs_bigram_perplexity",
