@@ -210,6 +210,17 @@ HEADLINE += [
     "docs_gopher_quality_rules",
     "events_interval_containment_join",
 ]
+HEADLINE += [
+    # round-11 additions: the tiered (mixed-duration) and overlap
+    # renderings of the interval join, Broder shingle containment
+    # (inverted-index self-join + df prune), and the Markov transition
+    # matrix (per-user window + tiny-key agg) — four distinct plan
+    # shapes worth tracking per round
+    "events_interval_join_multiscale",
+    "events_interval_overlap_join",
+    "docs_shingle_containment",
+    "events_type_markov_transitions",
+]
 
 # Entries OMITTED from the stdout line's per-query dict (still RUN
 # every round; medians/spread/raw reps publish in bench_runs.json under
