@@ -24,6 +24,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     neardup,
     pca,
     pipeline_ops,
+    prf,
     quality_model,
     retrieval,
     sampling,

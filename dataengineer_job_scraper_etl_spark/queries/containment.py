@@ -48,8 +48,7 @@ _EXCERPT_FROM, _EXCERPT_LEN = 11, 30  # tokens 11..40
 _MAX_DF = 10
 _THRESHOLD = 0.8
 
-_CONTAINMENT_ORACLE = f"""
-WITH base AS (
+_CONTAINMENT_CTES = f"""base AS (
   SELECT doc_id, string_split(text, ' ') AS t
   FROM documents WHERE doc_id < {_DOC_BOUND}),
 exc AS (
@@ -72,7 +71,10 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
   FROM kept a JOIN kept b
     ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
+  GROUP BY a.doc_id, b.doc_id)"""
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_CONTAINMENT_CTES}
 SELECT i.doc_a, i.doc_b,
        round(i.i * 1.0 / sa.n, 6) AS containment,
        round(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
@@ -97,22 +99,9 @@ def _corpus_with_excerpts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(exc)
 
 
-@register(
-    "docs_shingle_containment",
-    _CONTAINMENT_ORACLE,
-    doc="Broder containment C(A->B) = |S_A n S_B| / |S_A| over "
-    "3-gram shingle sets, alongside Jaccard for the same ordered "
-    "pair — surfaces EXCERPT-style duplication (planted: tokens "
-    "11..40 of every doc_id % 20 == 0 doc) that symmetric Jaccard "
-    "scores ~0.3 and misses. Inverted-index candidates with a "
-    "df <= 10 stopword-shingle prune before the self-join (posting "
-    "lists bounded, no hot key); at 100 TB this is the exact "
-    "re-score stage behind LSH banding, kept candidate-proportional "
-    "by the same prune.",
-)
-def docs_shingle_containment(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def _containment_frames(spark: SparkSession, sf_dir: str):
+    """(tok, sizes, inter): per-doc pruned shingle-set sizes and the
+    ordered-pair intersection counts the containment family shares."""
     tok = _corpus_with_excerpts(spark, sf_dir)
     sh = (
         tok.select("doc_id", F.explode(_trigrams(F.col("t"))).alias("shingle"))
@@ -139,6 +128,26 @@ def docs_shingle_containment(
         )
         .agg(F.count(F.lit(1)).alias("i"))
     )
+    return tok, sizes, inter
+
+
+@register(
+    "docs_shingle_containment",
+    _CONTAINMENT_ORACLE,
+    doc="Broder containment C(A->B) = |S_A n S_B| / |S_A| over "
+    "3-gram shingle sets, alongside Jaccard for the same ordered "
+    "pair — surfaces EXCERPT-style duplication (planted: tokens "
+    "11..40 of every doc_id % 20 == 0 doc) that symmetric Jaccard "
+    "scores ~0.3 and misses. Inverted-index candidates with a "
+    "df <= 10 stopword-shingle prune before the self-join (posting "
+    "lists bounded, no hot key); at 100 TB this is the exact "
+    "re-score stage behind LSH banding, kept candidate-proportional "
+    "by the same prune.",
+)
+def docs_shingle_containment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _, sizes, inter = _containment_frames(spark, sf_dir)
     containment = F.col("i") / F.col("sa.n")
     jaccard = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
     return (
@@ -151,4 +160,69 @@ def docs_shingle_containment(
             F.round(containment, 6).alias("containment"),
             F.round(jaccard, 6).alias("jaccard"),
         )
+    )
+
+
+# --- containment-driven dedup: drop the contained, keep the container --
+
+_DEDUP_THRESHOLD = 0.95
+
+_CONTAINMENT_DEDUP_ORACLE = f"""
+WITH {_CONTAINMENT_CTES},
+dom AS (
+  SELECT i.doc_a AS doc_id, min(i.doc_b) AS dominated_by
+  FROM inter i
+  JOIN sz sa ON i.doc_a = sa.doc_id
+  JOIN sz sb ON i.doc_b = sb.doc_id
+  WHERE i.i * 1.0 / sa.n >= {_DEDUP_THRESHOLD}
+    AND (sb.n > sa.n OR (sb.n = sa.n AND i.doc_b < i.doc_a))
+  GROUP BY i.doc_a)
+SELECT t.doc_id,
+       d.dominated_by IS NOT NULL AS is_dropped,
+       d.dominated_by
+FROM (SELECT doc_id FROM tok) t
+LEFT JOIN dom d ON t.doc_id = d.doc_id
+"""
+
+
+@register(
+    "docs_containment_dedup",
+    _CONTAINMENT_DEDUP_ORACLE,
+    doc="The dedup POLICY containment enables and symmetric Jaccard "
+    "cannot: a doc is DROPPED when >= 95% of its pruned shingle set "
+    "is contained in a STRICTLY LARGER doc's (ties break to the "
+    "smaller doc_id) — the excerpt dies, the container survives, "
+    "and near-misses keep both. Unlike cluster-canonical dedup "
+    "(docs_dedup_canonical) this needs no connected components: "
+    "domination is a per-edge decision, one agg over the "
+    "already-bounded containment pairs. dominated_by = the smallest "
+    "dominating doc_id (the audit trail a 100 TB erasure pass "
+    "propagates).",
+)
+def docs_containment_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    tok, sizes, inter = _containment_frames(spark, sf_dir)
+    dom = (
+        inter.join(
+            sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id")
+        )
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(
+            (F.col("i") / F.col("sa.n") >= _DEDUP_THRESHOLD)
+            & (
+                (F.col("sb.n") > F.col("sa.n"))
+                | (
+                    (F.col("sb.n") == F.col("sa.n"))
+                    & (F.col("doc_b") < F.col("doc_a"))
+                )
+            )
+        )
+        .groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("dominated_by"))
+    )
+    return tok.select("doc_id").join(dom, "doc_id", "left").select(
+        "doc_id",
+        F.col("dominated_by").isNotNull().alias("is_dropped"),
+        "dominated_by",
     )

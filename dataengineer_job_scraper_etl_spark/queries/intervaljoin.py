@@ -506,3 +506,82 @@ def events_interval_overlap_join(
             F.round(overlap_min, 6).alias("overlap_minutes"),
         )
     )
+
+
+# --- streaming twin of the multi-scale join ----------------------------
+
+_MULTISCALE_STREAM_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+  FROM events),
+win AS (
+  SELECT user_id, min(ts) AS w_start,
+         min(ts) + INTERVAL ({_DUR_MINUTES_SQL}) MINUTE AS w_end
+  FROM ev GROUP BY user_id, date_trunc('day', ts))
+SELECT p.event_id, p.user_id, p.ts, w.w_start
+FROM ev p JOIN win w
+  ON w.user_id = p.user_id
+ AND p.ts > w.w_start AND p.ts < w.w_end
+WHERE p.event_type = 'purchase'
+  AND p.event_id % {_STREAM_PROBE_MOD} >= {_STREAM_PROBE_GE}
+"""
+
+
+@register(
+    "streaming_interval_join_multiscale",
+    _MULTISCALE_STREAM_ORACLE,
+    doc="The multi-scale (tiered) interval join ALWAYS-ON: arriving "
+    "purchases explode to one bucket PER TIER inside the streamed "
+    "plan (a constant x3), stream-static hash equi-join on "
+    "(user_id, tier, bucket) against the frozen tier-exploded "
+    "mixed-duration window table, exact range re-check, STATELESS "
+    "append. Same frozen-index production shape as the uniform "
+    "streaming twin; the oracle is the direct range join over the "
+    "mixed durations restricted to the arriving slice.",
+)
+def streaming_interval_join_multiscale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    wexp = _tiered_windows(ev).localCheckpoint(eager=False)
+
+    from dataengineer_job_scraper_etl_spark.queries.streaming_queries import (
+        _drain,
+    )
+
+    d = _stage_interval_stream_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+            " value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    probe = stream.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.explode(
+            F.array(*[F.lit(t) for t in range(len(_TIER_WIDTHS))])
+        ).alias("tier"),
+    ).withColumn(
+        "bucket",
+        F.floor(
+            F.unix_timestamp("ts")
+            / F.element_at(
+                F.array(*[F.lit(w) for w in _TIER_WIDTHS]),
+                F.col("tier") + 1,
+            )
+        ),
+    )
+    joined = (
+        probe.join(F.broadcast(wexp), ["user_id", "tier", "bucket"])
+        .filter(
+            (F.col("ts") > F.col("w_start")) & (F.col("ts") < F.col("w_end"))
+        )
+        .select("event_id", "user_id", "ts", "w_start")
+    )
+    return _drain(joined, spark, output_mode="append")

@@ -149,6 +149,9 @@ def test_r11_head_leads_with_late_registrations_and_stale_rows_only():
         "events_interval_overlap_join",
         "events_type_markov_transitions",
         "docs_shingle_containment",
+        "streaming_interval_join_multiscale",
+        "docs_containment_dedup",
+        "retrieval_prf_expansion",
     }
     source_changed = {
         "docs_bigram_perplexity",

@@ -90,3 +90,97 @@ def test_containment_plan_has_no_cartesian(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_dedup_drops_exactly_the_excerpts(spark, sf_dir):
+    """Every planted excerpt is dominated by its (strictly larger)
+    source doc; no base doc is dropped on this corpus at the 0.95
+    bar; dominated_by names the source."""
+    rows = all_queries()["docs_containment_dedup"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    dropped = {r.doc_id: r.dominated_by for r in rows if r.is_dropped}
+    # the PLANTED guarantee: every excerpt is dominated (its source is
+    # always a valid dominator; min-id may name another container —
+    # on this ~30-word vocabulary a handful of short BASE docs are
+    # genuinely >=95% contained in larger docs too, which the oracle
+    # hash confirms as real corpus behavior, not a bug)
+    for d in range(0, 150, 20):
+        assert d + 2_000_000 in dropped, d
+        assert dropped[d + 2_000_000] is not None
+    kept = [r for r in rows if not r.is_dropped]
+    assert all(r.dominated_by is None for r in kept)
+    # full accounting: 150 base + 8 excerpts
+    assert len(rows) == 158
+    # an excerpt can never dominate its own strictly-larger source
+    assert all(
+        dropped.get(d) != d + 2_000_000 for d in range(0, 150, 20)
+    )
+
+
+def test_prf_expansion_is_deterministic_and_bounded(spark, sf_dir):
+    """Two runs pick identical expansion-driven rankings (the mined
+    terms are ppm-quantized with term tiebreaks); the output is the
+    bounded top-20 with rank audit columns."""
+    q = all_queries()["retrieval_prf_expansion"].spark_fn
+    a = [tuple(r) for r in q(spark, sf_dir).collect()]
+    b = [tuple(r) for r in q(spark, sf_dir).collect()]
+    assert a == b
+    assert len(a) == 20
+    ranks = [r[2] for r in a]
+    assert ranks == list(range(1, 21))
+    # rank_first is 0 (absent) or within the feedback depth
+    assert all(r[3] == 0 or 1 <= r[3] <= 10 for r in a)
+
+
+def test_prf_second_pass_differs_from_first(spark, sf_dir):
+    """The expansion must actually change retrieval: the expanded
+    top-20 is not just the first-pass BM25 top-20 reordered —
+    at least one doc enters on expansion terms alone."""
+    from dataengineer_job_scraper_etl_spark.operators.ranking import (
+        bm25_scores,
+    )
+    from dataengineer_job_scraper_etl_spark.queries.text import (
+        _BM25_B,
+        _BM25_K1,
+        BM25_QUERY_TERMS,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    first20 = {
+        r.doc_id
+        for r in bm25_scores(
+            docs, BM25_QUERY_TERMS, k1=_BM25_K1, b=_BM25_B
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+        .collect()
+    }
+    expanded20 = {
+        r.doc_id
+        for r in all_queries()["retrieval_prf_expansion"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert expanded20 - first20, "expansion changed nothing"
+
+
+def test_streaming_multiscale_matches_batch_subset(spark, sf_dir):
+    """Differential: the streamed tiered attribution equals the batch
+    multiscale join restricted to the arriving purchase slice."""
+    batch = {
+        (r.event_id, r.w_start)
+        for r in all_queries()["events_interval_join_multiscale"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+        if r.event_id % 10 >= 8
+    }
+    streamed = {
+        (r.event_id, r.w_start)
+        for r in all_queries()["streaming_interval_join_multiscale"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert streamed == batch and streamed
