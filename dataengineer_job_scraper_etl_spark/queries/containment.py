@@ -113,7 +113,9 @@ def _containment_frames(spark: SparkSession, sf_dir: str):
         .filter(F.col("df") <= _MAX_DF)
         .select("shingle")
     )
-    kept = sh.join(rare, "shingle", "left_semi")
+    # the pruned posting list feeds three consumers (sizes + both join
+    # sides): materialize once (the operators/ranking.py device)
+    kept = sh.join(rare, "shingle", "left_semi").localCheckpoint(eager=False)
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = kept.alias("a"), kept.alias("b")
     inter = (

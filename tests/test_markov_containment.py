@@ -93,9 +93,9 @@ def test_containment_plan_has_no_cartesian(spark, sf_dir):
 
 
 def test_containment_dedup_drops_exactly_the_excerpts(spark, sf_dir):
-    """Every planted excerpt is dominated by its (strictly larger)
-    source doc; no base doc is dropped on this corpus at the 0.95
-    bar; dominated_by names the source."""
+    """Every planted excerpt is dominated (its source doc is always a
+    valid dominator); kept docs carry no dominator; an excerpt never
+    dominates its own strictly-larger source."""
     rows = all_queries()["docs_containment_dedup"].spark_fn(
         spark, sf_dir
     ).collect()
@@ -184,3 +184,19 @@ def test_streaming_multiscale_matches_batch_subset(spark, sf_dir):
         .collect()
     }
     assert streamed == batch and streamed
+
+
+def test_prf_plan_nested_loops_are_only_1row_cross_folds(spark, sf_dir):
+    """The PRF plan's only BroadcastNestedLoopJoins are the
+    condition-free 1-row Cross folds (the corpus stats broadcast);
+    an Inner/LeftOuter BNLJ here would be a data-sized broadcast
+    regression (the curve-entry lint, extended to retrieval)."""
+    df = all_queries()["retrieval_prf_expansion"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    bad = [
+        ln.strip()
+        for ln in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in ln and "Cross" not in ln
+    ]
+    assert not bad, bad
+    assert "CartesianProduct" not in plan
