@@ -80,3 +80,147 @@ def events_type_markov_transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(per_prev), 6).alias("p"),
     )
+
+
+# --- streaming twin: per-user state bridges micro-batch boundaries -----
+#
+# The transition stream needs each event's PREDECESSOR, and in an
+# always-on deployment that predecessor may have arrived in an earlier
+# micro-batch — a stateless stream-static join cannot express it. The
+# stateful rendering keeps one row of state per user (the last seen
+# (ts, event_id, event_type)), prepends it to each batch's sorted
+# per-user rows, emits the transition facts, and saves the new last
+# event. The ORACLE is the exact batch SQL (not an arriving-slice
+# restriction): the staged queue feeds ALL events through two
+# time-ordered batches, so hash equality holds only if the state
+# correctly bridges the boundary — the bridge IS the contract.
+# Batches split on day(ts) <= 15: a time split guarantees every
+# batch-2 event follows every batch-1 event per user, matching the
+# batch ordering; same-ts ties cannot straddle the split and sort on
+# event_id inside it, exactly the batch window's tiebreak.
+
+_SPLIT_DAY = 15
+
+
+def _stage_markov_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from dataengineer_job_scraper_etl_spark.staging import (
+        stage_once,
+        write_ordered_batches,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(staged: str) -> None:
+        d = spark.read.parquet(src).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type",
+        )
+        write_ordered_batches(
+            staged,
+            [
+                d.filter(F.dayofmonth("ts") <= _SPLIT_DAY),
+                d.filter(F.dayofmonth("ts") > _SPLIT_DAY),
+            ],
+        )
+
+    return stage_once(src, "mkstream", build)
+
+
+@register(
+    "streaming_markov_transitions",
+    _MARKOV_ORACLE,
+    doc="The Markov transition matrix ALWAYS-ON via a custom stateful "
+    "operator (applyInPandasWithState): per-user state holds the last "
+    "seen event; each micro-batch sorts its per-user rows by "
+    "(ts, event_id), prepends the state, emits transition facts, and "
+    "saves the new tail. The oracle is the FULL batch SQL — the two "
+    "staged batches split mid-sequence (day <= 15), so the hash "
+    "matches only if state bridges the micro-batch boundary. "
+    "Post-drain the transition facts aggregate to the same "
+    "(prev, next, n, p) table; state is one tiny row per user "
+    "(RocksDB-ready), batch work is batch-proportional.",
+)
+def streaming_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from dataengineer_job_scraper_etl_spark.queries.streaming_queries import (
+        _drain,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("prev_type", T.StringType()),
+            T.StructField("next_type", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_us", T.LongType()),
+            T.StructField("last_eid", T.LongType()),
+            T.StructField("last_type", T.StringType()),
+        ]
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        types = rows["event_type"].tolist()
+        prevs = types[:-1]
+        nexts = types[1:]
+        if state.exists:
+            _, _, last_type = state.get
+            prevs = [last_type] + types[:-1] if types else [last_type]
+            nexts = types
+        if types:
+            state.update(
+                (
+                    int(rows["ts"].iloc[-1].value // 1000),
+                    int(rows["event_id"].iloc[-1]),
+                    types[-1],
+                )
+            )
+        if prevs and nexts:
+            yield pd.DataFrame({"prev_type": prevs, "next_type": nexts})
+
+    d = _stage_markov_stream_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    trans = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    facts = _drain(trans, spark, output_mode="append")
+    from pyspark.sql import Window
+
+    per_prev = Window.partitionBy("prev_type")
+    return (
+        facts.groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(per_prev), 6).alias("p"),
+        )
+    )

@@ -152,6 +152,7 @@ def test_r11_head_leads_with_late_registrations_and_stale_rows_only():
         "streaming_interval_join_multiscale",
         "docs_containment_dedup",
         "retrieval_prf_expansion",
+        "streaming_markov_transitions",
     }
     source_changed = {
         "docs_bigram_perplexity",

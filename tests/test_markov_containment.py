@@ -200,3 +200,34 @@ def test_prf_plan_nested_loops_are_only_1row_cross_folds(spark, sf_dir):
     ]
     assert not bad, bad
     assert "CartesianProduct" not in plan
+
+
+def test_streaming_markov_bridges_the_batch_boundary(spark, tmp_path):
+    """A user whose consecutive events straddle the day-15 batch split
+    must still produce the boundary transition — the per-user state is
+    what carries it (a stateless per-batch lag would lose it)."""
+    from datetime import datetime as dt
+
+    rows = [
+        # user 1: click on day 14 (batch 1), purchase on day 16
+        # (batch 2) -> the ONLY click->purchase in the fixture crosses
+        # the boundary
+        (1, dt(2024, 3, 14, 12), 1, "click", 1.0, "{}"),
+        (2, dt(2024, 3, 16, 12), 1, "purchase", 1.0, "{}"),
+        # user 2: both in batch 1 (control)
+        (3, dt(2024, 3, 1, 1), 2, "view", 1.0, "{}"),
+        (4, dt(2024, 3, 1, 2), 2, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        (r.prev_type, r.next_type): r.n
+        for r in all_queries()["streaming_markov_transitions"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out == {("click", "purchase"): 1, ("view", "click"): 1}
