@@ -1,0 +1,97 @@
+"""IVF probe-count provisioning ladder (ANN extension, SURVEY §2.20).
+
+The SQ8 bits-tradeoff entry (queries/retrieval.py) gives the
+STORAGE-sizing curve; this gives the LATENCY-sizing curve for the same
+serve stack: recall@10 of the seeded-k-means IVF path at n_probe = 1,
+2, 4, 8, 16 of 16 lists — the number an index operator reads to pick
+the probe budget that meets a recall SLO. Probed lists are nested
+(top-p ⊆ top-p' for p < p'), so per-query hits are monotone
+non-decreasing in probes by construction; the entry checks that
+in-plan over the 5-row ladder (a constant-bounded window, the
+_ranked_topk argument) and pins per-probe TOTAL-hit floors measured
+across sf0.001/0.01/0.1 (14/19/29/45/45 of 50 at the three rungs;
+floors pinned with margin at 12/16/24/40/40). The k-means here is the
+Spark-native seeded operator (operators/similarity.py), not the
+SQL-replayable quantized Lloyd of graphrank — so like the other
+ann_recall_* contracts the ORACLE asserts the ladder booleans, and the
+driver's hash enforces them as hard floors; the measured totals live
+in pytest.
+
+Full-probe recall saturates at 9/10 per query on this fixture (the
+same 45/50 ceiling every probe count converges to): one exact-top-10
+neighbor per query ties at the k boundary and resolves differently —
+the ceiling is the fixture's, not a probing loss, which is exactly why
+the ladder floors are stated against 45, not 50.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+from dataengineer_job_scraper_etl_spark.operators.similarity import ivf_topk
+from dataengineer_job_scraper_etl_spark.queries.neardup import (
+    EMBED_DIM,
+    _vectors,
+)
+
+PROBE_LADDER = (1, 2, 4, 8, 16)
+# measured totals across the 3 rungs: p1 14-16, p2 19-26, p4 29-44,
+# p8 45, p16 45 (of 50) — floors pinned with margin
+PROBE_FLOORS = {1: 12, 2: 16, 4: 24, 8: 40, 16: 40}
+
+_LADDER_ORACLE = """
+SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS n_probe,
+       TRUE AS floor_ok, TRUE AS monotone_ok
+"""
+
+
+@register(
+    "ann_ivf_probe_tradeoff",
+    _LADDER_ORACLE,
+    doc="IVF probe-budget ladder: recall@10 totals over the 5 query "
+    "vectors at n_probe = 1/2/4/8/16 of 16 lists, each pinned above "
+    "its measured floor (12/16/24/40/40 of 50) and checked monotone "
+    "non-decreasing in-plan (probed lists are nested, so more probes "
+    "can only add candidates). The latency-sizing twin of "
+    "ann_sq_bits_tradeoff's storage curve: together they are the "
+    "provisioning surface an embedding-serving tier is sized from.",
+)
+def ann_ivf_probe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.queries.vectors import (
+        vec_cosine_topk,
+    )
+
+    e, q = _vectors(spark, sf_dir)
+    exact = vec_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    rows = []
+    for probes in PROBE_LADDER:
+        ann = ivf_topk(
+            e, q, dim=EMBED_DIM, k=10, n_probe=probes,
+            centroid_cache_key=sf_dir,
+        )
+        total = (
+            ann.join(exact, ["qid", "vec_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(
+                F.lit(probes).cast("bigint").alias("n_probe"),
+                "hits",
+                (F.col("hits") >= PROBE_FLOORS[probes]).alias("floor_ok"),
+            )
+        )
+        rows.append(total)
+    ladder = reduce(DataFrame.unionAll, rows)
+    # 5-row constant-bounded frame: the single-task window is explicit
+    # and bounded by the ladder length, never by data
+    w = Window.partitionBy(F.lit(0)).orderBy("n_probe")
+    return ladder.select(
+        "n_probe",
+        "floor_ok",
+        (
+            F.col("hits")
+            >= F.coalesce(F.lag("hits").over(w), F.lit(0))
+        ).alias("monotone_ok"),
+    )

@@ -224,3 +224,82 @@ def streaming_markov_transitions(
             F.round(F.col("n") / F.sum("n").over(per_prev), 6).alias("p"),
         )
     )
+
+
+# --- per-user surprise under the global transition model ---------------
+
+_ANOMALY_ORACLE = """
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+  FROM events),
+tr AS (
+  SELECT user_id,
+         lag(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM ev),
+model AS (
+  SELECT prev_type, next_type,
+         count(*) * 1.0
+           / sum(count(*)) OVER (PARTITION BY prev_type) AS p
+  FROM tr WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type),
+scored AS (
+  SELECT t.user_id,
+         CAST(round(-ln(m.p) * 1e6) AS BIGINT) AS s_ppm
+  FROM tr t JOIN model m
+    ON t.prev_type = m.prev_type AND t.next_type = m.next_type)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_trans,
+       CAST(sum(s_ppm) // count(*) AS BIGINT) AS avg_surprise_ppm
+FROM scored GROUP BY user_id
+"""
+
+
+@register(
+    "events_user_markov_anomaly",
+    _ANOMALY_ORACLE,
+    doc="Clickstream anomaly scoring: each user's mean transition "
+    "surprise -ln P(next | prev) under the GLOBAL first-order model — "
+    "the sequence analog of the CCNet perplexity filter (improbable "
+    "journeys score high; bots and scripted flows score near the "
+    "model's entropy floor). Per-transition surprise quantizes to ppm "
+    "BIGINTs before the per-user mean (exact integer sum + integer "
+    "division), so the aggregate is summation-order-independent — the "
+    "graphrank fixed-point device. Costs ONE extra vocabulary-scale "
+    "join over the transitions the model entry already computes.",
+)
+def events_user_markov_anomaly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull()).localCheckpoint(eager=False)
+    per_prev = Window.partitionBy("prev_type")
+    model = (
+        trans.groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "prev_type",
+            "next_type",
+            (F.col("n") / F.sum("n").over(per_prev)).alias("p"),
+        )
+    )
+    scored = trans.join(
+        F.broadcast(model), ["prev_type", "next_type"]
+    ).select(
+        "user_id",
+        F.round(-F.log("p") * 1e6, 0).cast("bigint").alias("s_ppm"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trans"),
+        F.expr("sum(s_ppm) div count(*)").cast("bigint")
+        .alias("avg_surprise_ppm"),
+    )

@@ -153,6 +153,8 @@ def test_r11_head_leads_with_late_registrations_and_stale_rows_only():
         "docs_containment_dedup",
         "retrieval_prf_expansion",
         "streaming_markov_transitions",
+        "events_user_markov_anomaly",
+        "ann_ivf_probe_tradeoff",
     }
     source_changed = {
         "docs_bigram_perplexity",

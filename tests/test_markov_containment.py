@@ -231,3 +231,73 @@ def test_streaming_markov_bridges_the_batch_boundary(spark, tmp_path):
         .collect()
     }
     assert out == {("click", "purchase"): 1, ("view", "click"): 1}
+
+
+def test_markov_anomaly_scores_rare_transitions_higher(spark, tmp_path):
+    """10 users take the common view->click path; one takes the rare
+    view->purchase path — the rare journey's mean surprise must be
+    the -ln(1/11) ppm value, the common ones -ln(10/11)."""
+    import math
+    from datetime import datetime as dt
+
+    rows = []
+    for u in range(10):
+        rows.append((u * 2, dt(2024, 3, 1, 1), u, "view", 1.0, "{}"))
+        rows.append((u * 2 + 1, dt(2024, 3, 1, 2), u, "click", 1.0, "{}"))
+    rows.append((100, dt(2024, 3, 1, 1), 99, "view", 1.0, "{}"))
+    rows.append((101, dt(2024, 3, 1, 2), 99, "purchase", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.user_id: r.avg_surprise_ppm
+        for r in all_queries()["events_user_markov_anomaly"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    rare = round(-math.log(1 / 11) * 1e6)
+    common = round(-math.log(10 / 11) * 1e6)
+    assert out[99] == rare
+    assert all(out[u] == common for u in range(10))
+    assert rare > 20 * common
+
+
+def test_ivf_probe_ladder_measured_totals(spark, sf_dir):
+    """The floors the oracle enforces are stated against measured
+    totals; re-measure here so a silent recall regression (or an
+    operator change) shows up as a failing NUMBER, not just a flipped
+    boolean. Nested probing also makes per-probe totals monotone."""
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        ivf_topk,
+    )
+    from dataengineer_job_scraper_etl_spark.queries.annladder import (
+        PROBE_FLOORS,
+        PROBE_LADDER,
+    )
+    from dataengineer_job_scraper_etl_spark.queries.neardup import (
+        EMBED_DIM,
+        _vectors,
+    )
+    from dataengineer_job_scraper_etl_spark.queries.vectors import (
+        vec_cosine_topk,
+    )
+
+    e, q = _vectors(spark, sf_dir)
+    exact = vec_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    totals = []
+    for probes in PROBE_LADDER:
+        ann = ivf_topk(
+            e, q, dim=EMBED_DIM, k=10, n_probe=probes,
+            centroid_cache_key=sf_dir,
+        )
+        totals.append(
+            ann.join(exact, ["qid", "vec_id"], "left_semi").count()
+        )
+    assert totals == sorted(totals), totals
+    for probes, total in zip(PROBE_LADDER, totals):
+        assert total >= PROBE_FLOORS[probes], (probes, total)
+    # full probe saturates at the fixture's tie ceiling, not 50
+    assert totals[-1] == 45
