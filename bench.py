@@ -221,6 +221,15 @@ HEADLINE += [
     "docs_shingle_containment",
     "events_type_markov_transitions",
 ]
+HEADLINE += [
+    # round-11 tail: the two-pass PRF retrieval loop (the join-
+    # formulation BM25's cost vs the static-column first pass) and the
+    # stateful streaming Markov twin (applyInPandasWithState — the
+    # only per-user custom-state plan in the headline, tracking the
+    # Python state-boundary cost per round)
+    "retrieval_prf_expansion",
+    "streaming_markov_transitions",
+]
 
 # Entries OMITTED from the stdout line's per-query dict (still RUN
 # every round; medians/spread/raw reps publish in bench_runs.json under

@@ -7,6 +7,8 @@ inventory; module docstrings map queries to operator IDs.
 
 from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     annladder,
+    attribution,
+    basket,
     clustering,
     containment,
     corpus_ppl,

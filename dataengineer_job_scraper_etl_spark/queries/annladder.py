@@ -39,9 +39,12 @@ from dataengineer_job_scraper_etl_spark.queries.neardup import (
 )
 
 PROBE_LADDER = (1, 2, 4, 8, 16)
-# measured totals across the 3 rungs: p1 14-16, p2 19-26, p4 29-44,
-# p8 45, p16 45 (of 50) — floors pinned with margin
-PROBE_FLOORS = {1: 12, 2: 16, 4: 24, 8: 40, 16: 40}
+# measured totals: p1 14/14/16 at sf0.001/0.01/0.1 and 10 at sf1,
+# p2 19-26 (20 at sf1), p4 29-44 (34 at sf1), p8 45 (41 at sf1),
+# p16 45 everywhere — floors pinned with margin under the MINIMUM
+# across all four fixture scales (the sf1 rotation re-checks this
+# entry, so a floor that only holds at driver rungs would flag there)
+PROBE_FLOORS = {1: 8, 2: 16, 4: 24, 8: 38, 16: 40}
 
 _LADDER_ORACLE = """
 SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS n_probe,
@@ -54,7 +57,8 @@ SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS n_probe,
     _LADDER_ORACLE,
     doc="IVF probe-budget ladder: recall@10 totals over the 5 query "
     "vectors at n_probe = 1/2/4/8/16 of 16 lists, each pinned above "
-    "its measured floor (12/16/24/40/40 of 50) and checked monotone "
+    "its measured floor (8/16/24/38/40 of 50, min across all four "
+    "fixture scales) and checked monotone "
     "non-decreasing in-plan (probed lists are nested, so more probes "
     "can only add candidates). The latency-sizing twin of "
     "ann_sq_bits_tradeoff's storage curve: together they are the "

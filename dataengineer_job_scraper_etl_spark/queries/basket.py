@@ -1,0 +1,120 @@
+"""Market-basket co-purchase analysis over ``lineitem``
+(analytics extension, SURVEY §2.10/§2.20).
+
+Association mining's unit step — support / confidence / lift for part
+pairs co-occurring in an order — rendered the apriori way: the
+FREQUENCY PRUNE runs before the pair join (parts below the support
+floor cannot be in any frequent pair, so they never enter the
+self-join), and pair generation is an equi-join on the ORDER key, so
+fan-out is bounded by basket size squared, never corpus-wide. That
+basket-local shape is the whole 100 TB story: no cross join exists to
+forbid, the heavy key is the order id (bounded baskets), and the part
+frequency table is dimension-sized (AQE broadcasts it).
+
+Metrics per unordered pair (a < b), all over DISTINCT (order, part)
+rows so quantity never double-counts:
+  support_ppm   = co / n_orders
+  conf_a_b_ppm  = co / orders(a)     [P(b | a)]
+  conf_b_a_ppm  = co / orders(b)
+  lift_ppm      = co * n_orders / (orders(a) * orders(b))
+ppm BIGINTs by the shared half-up rule; pairs kept at co >= 3. Lift's
+integer numerator/denominator are exact in both engines; the division
+is one IEEE op — identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataengineer_job_scraper_etl_spark.catalog import register
+
+_MIN_CO = 3  # pair support floor (absolute co-order count)
+
+_BASKET_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+pc AS (SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM op GROUP BY p),
+-- apriori prune: a part in fewer than MIN_CO orders cannot reach the
+-- pair floor
+freq AS (SELECT op.o, op.p FROM op JOIN pc ON op.p = pc.p
+         WHERE pc.cnt >= {_MIN_CO}),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS co
+  FROM freq a JOIN freq b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= {_MIN_CO})
+SELECT pr.part_a, pr.part_b, pr.co,
+       CAST(round(pr.co * 1e6 / n.n_orders) AS BIGINT) AS support_ppm,
+       CAST(round(pr.co * 1e6 / ca.cnt) AS BIGINT) AS conf_a_b_ppm,
+       CAST(round(pr.co * 1e6 / cb.cnt) AS BIGINT) AS conf_b_a_ppm,
+       CAST(round(pr.co * n.n_orders * 1e6 / (ca.cnt * cb.cnt)) AS BIGINT)
+         AS lift_ppm
+FROM pairs pr
+JOIN pc ca ON pr.part_a = ca.p
+JOIN pc cb ON pr.part_b = cb.p
+CROSS JOIN n
+"""
+
+
+@register(
+    "lineitem_copurchase_lift",
+    _BASKET_ORACLE,
+    doc="Market-basket association metrics (support / confidence both "
+    "directions / lift) for part pairs co-ordered at least 3 times — "
+    "the apriori unit step: the part-frequency prune runs BEFORE the "
+    "pair self-join (an infrequent part cannot reach the pair floor), "
+    "pair generation equi-joins on the order key (fan-out bounded by "
+    "basket size, never corpus-wide), the frequency table is "
+    "dimension-sized and broadcastable. All metrics ppm BIGINTs over "
+    "exact integer counts.",
+)
+def lineitem_copurchase_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    op = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)  # shared by counts + both join sides
+    )
+    n = op.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    pc = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    freq = op.join(
+        pc.filter(F.col("cnt") >= _MIN_CO).select("p"), "p", "left_semi"
+    )
+    a, b = freq.alias("a"), freq.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .filter(F.col("co") >= _MIN_CO)
+    )
+    ca, cb = pc.alias("ca"), pc.alias("cb")
+    return (
+        pairs.join(ca, F.col("part_a") == F.col("ca.p"))
+        .join(cb, F.col("part_b") == F.col("cb.p"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "co",
+            F.round(F.col("co") * 1e6 / F.col("n_orders"), 0)
+            .cast("bigint")
+            .alias("support_ppm"),
+            F.round(F.col("co") * 1e6 / F.col("ca.cnt"), 0)
+            .cast("bigint")
+            .alias("conf_a_b_ppm"),
+            F.round(F.col("co") * 1e6 / F.col("cb.cnt"), 0)
+            .cast("bigint")
+            .alias("conf_b_a_ppm"),
+            F.round(
+                F.col("co") * F.col("n_orders") * 1e6
+                / (F.col("ca.cnt") * F.col("cb.cnt")),
+                0,
+            )
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )

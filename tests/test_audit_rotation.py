@@ -155,6 +155,8 @@ def test_r11_head_leads_with_late_registrations_and_stale_rows_only():
         "streaming_markov_transitions",
         "events_user_markov_anomaly",
         "ann_ivf_probe_tradeoff",
+        "lineitem_copurchase_lift",
+        "events_multitouch_attribution",
     }
     source_changed = {
         "docs_bigram_perplexity",
