@@ -275,6 +275,17 @@ STDOUT_OMIT = frozenset(
         "text_unigram_logprob",
         "events_purchase_cohort_retention",
         "vec_pca_pc1_scores",
+        # round-11 omissions: all <0.9 s median at sf0.1 since landing
+        # (the interval/markov family is sub-second by design — the
+        # signal is the plan shape, tracked in bench_runs.json)
+        "events_interval_containment_join",
+        "docs_gopher_quality_rules",
+        "tpch_q18_large_orders",
+        "docs_global_token_offsets",
+        "jobs_skills_trie_udf",
+        "events_interval_join_multiscale",
+        "events_interval_overlap_join",
+        "events_type_markov_transitions",
     }
 )
 

@@ -157,6 +157,7 @@ def test_r11_head_leads_with_late_registrations_and_stale_rows_only():
         "ann_ivf_probe_tradeoff",
         "lineitem_copurchase_lift",
         "events_multitouch_attribution",
+        "events_markov_incremental_update",
     }
     source_changed = {
         "docs_bigram_perplexity",

@@ -301,3 +301,39 @@ def test_ivf_probe_ladder_measured_totals(spark, sf_dir):
         assert total >= PROBE_FLOORS[probes], (probes, total)
     # full probe saturates at the fixture's tie ceiling, not 50
     assert totals[-1] == 45
+
+
+def test_markov_incremental_counts_the_boundary_pair(spark, tmp_path):
+    """The frozen-tail -> first-arriving boundary transition must be
+    counted exactly once; a user with no corpus history contributes
+    only within-slice transitions."""
+    from datetime import datetime as dt
+
+    rows = [
+        # user 1: corpus click (day 14) -> arriving purchase (day 16)
+        (1, dt(2024, 3, 14, 12), 1, "click", 1.0, "{}"),
+        (2, dt(2024, 3, 16, 12), 1, "purchase", 1.0, "{}"),
+        # user 2: arriving-only pair (no tail row -> no boundary)
+        (3, dt(2024, 3, 17, 1), 2, "view", 1.0, "{}"),
+        (4, dt(2024, 3, 17, 2), 2, "click", 1.0, "{}"),
+        # user 3: corpus-only pair (frozen counts carry it)
+        (5, dt(2024, 3, 2, 1), 3, "view", 1.0, "{}"),
+        (6, dt(2024, 3, 2, 2), 3, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        (r.prev_type, r.next_type): r.n
+        for r in all_queries()["events_markov_incremental_update"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out == {
+        ("click", "purchase"): 1,  # the boundary pair
+        ("view", "click"): 1,      # within the arriving slice
+        ("view", "purchase"): 1,   # frozen corpus counts
+    }
