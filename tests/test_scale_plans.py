@@ -93,6 +93,19 @@ def test_catalog_docstring_plan_claims_hold(spark, sf_dir):
         # stats are two partial aggs + TakeOrderedAndProject
         "bloom_semi_prune_orders": (2, 0, 0),
         "text_bpe_top_pairs": (2, 0, 0),
+        # round-11 additions (measured at sf0.01 where AQE broadcasts
+        # the small sides: exchange maxima leave headroom for the SMJ
+        # rendering of the same joins at scale; window counts are
+        # exact — they encode the per-user / per-group design)
+        "events_type_markov_transitions": (3, 2, 0),
+        "events_user_markov_anomaly": (4, 1, 1),
+        "events_markov_incremental_update": (7, 4, 1),
+        "events_interval_join_multiscale": (3, 0, 1),
+        "events_interval_overlap_join": (3, 0, 1),
+        "docs_shingle_containment": (5, 0, 2),
+        "docs_containment_dedup": (7, 0, 2),
+        "lineitem_copurchase_lift": (8, 0, 2),
+        "events_multitouch_attribution": (3, 1, 1),
     }
     qs = all_queries()
     bad = []

@@ -26,8 +26,15 @@ def main() -> int:
     for p in paths:
         with open(p, encoding="utf-8") as f:
             d = json.load(f)
-        # driver rounds wrap bench.py's JSON line under 'parsed'
-        runs.append(d.get("parsed", d))
+        # driver rounds wrap bench.py's JSON line under 'parsed';
+        # a capture-truncated round lands parsed:null (r9) — name it
+        # instead of crashing on the subscript
+        parsed = d.get("parsed", d)
+        if parsed is None:
+            print(f"{os.path.basename(p)}: parsed is null "
+                  "(truncated driver capture) — pick another round")
+            return 1
+        runs.append(parsed)
     old, new = runs
     oq, nq = old["queries"], new["queries"]
     print(f"{os.path.basename(paths[0])} -> {os.path.basename(paths[1])}")
