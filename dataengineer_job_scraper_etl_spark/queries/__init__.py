@@ -30,6 +30,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     prf,
     quality_model,
     retrieval,
+    rfm,
     sampling,
     sinks,
     sketches,

@@ -158,6 +158,7 @@ def test_r11_head_leads_with_late_registrations_and_stale_rows_only():
         "lineitem_copurchase_lift",
         "events_multitouch_attribution",
         "events_markov_incremental_update",
+        "events_user_rfm_segments",
     }
     source_changed = {
         "docs_bigram_perplexity",

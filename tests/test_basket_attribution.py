@@ -115,3 +115,37 @@ def test_multitouch_credits_sum_to_one_per_purchase(spark, sf_dir):
         # ppm rounding leaves at most n_touches/2 ppm of drift
         assert abs(r.lin - 1_000_000) < 500, r
         assert abs(r.dec - 1_000_000) < 500, r
+
+
+def test_rfm_quartiles_rank_exact_rule(spark, tmp_path):
+    """8 users with strictly increasing spend and frequency: the
+    rank-exact rule puts exactly 2 users in each quartile (N=8
+    divides evenly, edges at cum >= 2/4/6)."""
+    from datetime import datetime as dt, timedelta
+
+    rows = []
+    eid = 0
+    t0 = dt(2024, 3, 1, 12)
+    for u in range(8):
+        for k in range(u + 1):  # frequency u+1, spend 10*(u+1)
+            eid += 1
+            rows.append((eid, t0 + timedelta(minutes=k), u, "purchase",
+                         10.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.user_id: r
+        for r in all_queries()["events_user_rfm_segments"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert len(out) == 8
+    # frequency quartiles: users 0-1 -> 1, 2-3 -> 2, 4-5 -> 3, 6-7 -> 4
+    assert [out[u].f_q for u in range(8)] == [1, 1, 2, 2, 3, 3, 4, 4]
+    assert [out[u].m_q for u in range(8)] == [1, 1, 2, 2, 3, 3, 4, 4]
+    assert out[5].frequency == 6
+    assert out[5].monetary_ppm == 6 * 10_000_000
