@@ -118,3 +118,131 @@ def events_multitouch_attribution(
         .cast("bigint")
         .alias("decay_credit_ppm"),
     )
+
+
+# --- streaming twin: arriving purchases vs the frozen view store -------
+
+_STREAM_MOD, _STREAM_GE = 10, 8  # arriving purchases: event_id % 10 >= 8
+
+_ATTRIBUTION_STREAM_ORACLE = f"""
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+  FROM events),
+touch AS (
+  SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+         CAST(round(exp(-(epoch(p.ts) - epoch(v.ts)) / {_TAU_S})
+                    * 1e6) AS BIGINT) AS w_ppm
+  FROM ev p JOIN ev v
+    ON v.user_id = p.user_id
+   AND v.ts < p.ts
+   AND v.ts >= p.ts - INTERVAL {_LOOKBACK_H} HOUR
+  WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    AND p.event_id % {_STREAM_MOD} >= {_STREAM_GE})
+SELECT purchase_id, view_id,
+       CAST(round(1e6 / count(*) OVER (PARTITION BY purchase_id))
+         AS BIGINT) AS linear_credit_ppm,
+       CAST(round(w_ppm * 1e6
+                  / sum(w_ppm) OVER (PARTITION BY purchase_id))
+         AS BIGINT) AS decay_credit_ppm
+FROM touch
+"""
+
+
+def _stage_purchase_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    import os
+
+    from dataengineer_job_scraper_etl_spark.staging import (
+        stage_once,
+        write_ordered_batches,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def build(staged: str) -> None:
+        d = (
+            spark.read.parquet(src)
+            .filter(
+                (F.col("event_type") == "purchase")
+                & (F.col("event_id") % _STREAM_MOD >= _STREAM_GE)
+            )
+            .select("event_id", "ts", "user_id", "event_type", "value",
+                    "props")
+        )
+        write_ordered_batches(
+            staged,
+            [d.filter(F.col("event_id") % 2 == 0),
+             d.filter(F.col("event_id") % 2 == 1)],
+        )
+
+    return stage_once(src, "attrstream", build)
+
+
+@register(
+    "streaming_multitouch_attribution",
+    _ATTRIBUTION_STREAM_ORACLE,
+    doc="Multi-touch attribution ALWAYS-ON: arriving purchases "
+    "stream-static join the FROZEN view store (the production shape — "
+    "the view warehouse is built by the batch layer, purchases "
+    "arrive), the 24h range re-checks in-stream, and the ppm decay "
+    "weight computes per touch inside the streamed plan (stateless "
+    "append); the per-purchase normalization runs post-drain on the "
+    "batch-proportional fact set, exactly the batch entry's window. "
+    "Oracle: the batch attribution SQL restricted to the arriving "
+    "purchase slice.",
+)
+def streaming_multitouch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.queries.streaming_queries import (
+        _drain,
+    )
+
+    views = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("vu"),
+            F.col("ts").cast("timestamp").alias("vts"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    d = _stage_purchase_stream_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+            " value DOUBLE, props STRING"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    age_s = F.col("ts").cast("double") - F.col("vts").cast("double")
+    facts = (
+        stream.join(F.broadcast(views), stream["user_id"] == views["vu"])
+        .filter(
+            (F.col("vts") < F.col("ts"))
+            & (
+                F.col("vts")
+                >= F.col("ts") - F.expr(f"INTERVAL {_LOOKBACK_H} HOURS")
+            )
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "view_id",
+            F.round(F.exp(-age_s / _TAU_S) * 1e6, 0)
+            .cast("bigint")
+            .alias("w_ppm"),
+        )
+    )
+    drained = _drain(facts, spark, output_mode="append")
+    per_p = Window.partitionBy("purchase_id")
+    return drained.select(
+        "purchase_id",
+        "view_id",
+        F.round(1e6 / F.count(F.lit(1)).over(per_p), 0)
+        .cast("bigint")
+        .alias("linear_credit_ppm"),
+        F.round(F.col("w_ppm") * 1e6 / F.sum("w_ppm").over(per_p), 0)
+        .cast("bigint")
+        .alias("decay_credit_ppm"),
+    )

@@ -149,3 +149,22 @@ def test_rfm_quartiles_rank_exact_rule(spark, tmp_path):
     assert [out[u].m_q for u in range(8)] == [1, 1, 2, 2, 3, 3, 4, 4]
     assert out[5].frequency == 6
     assert out[5].monetary_ppm == 6 * 10_000_000
+
+
+def test_streaming_attribution_matches_batch_subset(spark, sf_dir):
+    """Differential: the streamed attribution equals the batch entry
+    restricted to the arriving (event_id % 10 >= 8) purchase slice."""
+    batch = {
+        (r.purchase_id, r.view_id, r.decay_credit_ppm)
+        for r in all_queries()["events_multitouch_attribution"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+        if r.purchase_id % 10 >= 8
+    }
+    streamed = {
+        (r.purchase_id, r.view_id, r.decay_credit_ppm)
+        for r in all_queries()["streaming_multitouch_attribution"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert streamed == batch and streamed
