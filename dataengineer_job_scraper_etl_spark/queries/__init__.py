@@ -31,6 +31,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     quality_model,
     retrieval,
     rfm,
+    seasonality,
     sampling,
     sinks,
     sketches,

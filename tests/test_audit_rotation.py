@@ -160,6 +160,7 @@ def test_r11_head_leads_with_late_registrations_and_stale_rows_only():
         "events_markov_incremental_update",
         "events_user_rfm_segments",
         "streaming_multitouch_attribution",
+        "events_hourly_autocorrelation",
     }
     source_changed = {
         "docs_bigram_perplexity",

@@ -168,3 +168,38 @@ def test_streaming_attribution_matches_batch_subset(spark, sf_dir):
         .collect()
     }
     assert streamed == batch and streamed
+
+
+def test_autocorrelation_finds_planted_daily_rhythm(spark, tmp_path):
+    """10 days of a strict 24h volume rhythm (3 events in 'day' hours,
+    1 in 'night' hours): r(24) must be exactly 1e6 ppm (the series
+    repeats perfectly at lag 24) and r(1) well below it."""
+    from datetime import datetime as dt, timedelta
+
+    rows = []
+    eid = 0
+    t0 = dt(2024, 3, 1)
+    for day in range(10):
+        for hour in range(24):
+            n = 3 if hour < 12 else 1
+            for k in range(n):
+                eid += 1
+                rows.append(
+                    (eid, t0 + timedelta(days=day, hours=hour, minutes=k),
+                     1, "view", 1.0, "{}")
+                )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r.lag_hours: r.autocorr_ppm
+        for r in all_queries()["events_hourly_autocorrelation"]
+        .spark_fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert out[24] == 1_000_000        # perfect daily repetition
+    assert out[168] == 1_000_000       # and weekly (24 | 168)
+    assert out[1] < 900_000            # the hour-to-hour series is not flat
