@@ -41,6 +41,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     streaming_queries,
     text,
     tokenizer,
+    topics,
     tpch,
     tpch_full,
     vectors,

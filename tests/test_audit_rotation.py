@@ -161,6 +161,7 @@ def test_r11_head_leads_with_late_registrations_and_stale_rows_only():
         "events_user_rfm_segments",
         "streaming_multitouch_attribution",
         "events_hourly_autocorrelation",
+        "docs_hashtf_kmeans_topics",
     }
     source_changed = {
         "docs_bigram_perplexity",

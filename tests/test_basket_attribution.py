@@ -203,3 +203,19 @@ def test_autocorrelation_finds_planted_daily_rhythm(spark, tmp_path):
     assert out[24] == 1_000_000        # perfect daily repetition
     assert out[168] == 1_000_000       # and weekly (24 | 168)
     assert out[1] < 900_000            # the hour-to-hour series is not flat
+
+
+def test_hashtf_topics_cover_all_docs_and_use_multiple_clusters(
+    spark, sf_dir
+):
+    """Every non-empty doc under the bound gets exactly one topic;
+    the clustering actually separates (>= 2 occupied clusters on the
+    real corpus) and topics are within range."""
+    rows = all_queries()["docs_hashtf_kmeans_topics"].spark_fn(
+        spark, sf_dir
+    ).collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids)) == 300
+    topics = {r.topic for r in rows}
+    assert topics <= {0, 1, 2, 3}
+    assert len(topics) >= 2
