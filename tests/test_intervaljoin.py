@@ -267,3 +267,131 @@ def test_overlap_join_plan_is_equi_join(spark, ov_dir):
         if "HashJoin" in ln or "SortMergeJoin" in ln
     ]
     assert join_lines and any("bucket" in ln for ln in join_lines), plan
+
+
+# --- hypothesis differentials: random event sets vs pure-Python ---------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# random (user_id, minute-offset, is_purchase) triples over a 4-day
+# span: minute granularity hits tier/bucket boundaries (offsets around
+# multiples of 15 min / 6 h / 1 day) and day rollovers
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),          # user_id
+        st.integers(min_value=0, max_value=4 * 1440),   # minutes from t0
+        st.booleans(),                                  # purchase?
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: (t[0], t[1]),  # one event per (user, minute)
+)
+
+
+def _mk_events(spark, tmp_path, evs):
+    from datetime import datetime as dt, timedelta
+
+    t0 = dt(2024, 3, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=m), u,
+         "purchase" if p else "view", 1.0, "{}")
+        for i, (u, m, p) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    path = f"{tmp_path}/events.parquet"
+    df.write.mode("overwrite").parquet(path)
+    return t0, rows
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evs=_EVENTS)
+def test_multiscale_property_matches_python_reference(
+    spark, tmp_path_factory, evs
+):
+    """Differential property: the tiered decomposition must equal the
+    direct range semantics (per-user-day window of 15min/6h/2d by
+    user_id % 3; purchases strictly inside ANY of the user's windows)
+    on arbitrary small event sets."""
+    tmp = tmp_path_factory.mktemp("ivprop")
+    t0, rows = _mk_events(spark, tmp, evs)
+    from datetime import timedelta
+
+    dur = {0: 15, 1: 360, 2: 2880}
+    windows = {}
+    for eid, ts, u, et, _, _ in rows:
+        day = ts.date()
+        key = (u, day)
+        if key not in windows or ts < windows[key]:
+            windows[key] = ts
+    expected = set()
+    for eid, ts, u, et, _, _ in rows:
+        if et != "purchase":
+            continue
+        for (wu, _), w_start in windows.items():
+            if wu != u:
+                continue
+            w_end = w_start + timedelta(minutes=dur[u % 3])
+            if w_start < ts < w_end:
+                expected.add((eid, w_start))
+    got = {
+        (r.event_id, r.w_start)
+        for r in all_queries()["events_interval_join_multiscale"]
+        .spark_fn(spark, str(tmp))
+        .collect()
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evs=_EVENTS)
+def test_overlap_property_matches_python_reference(
+    spark, tmp_path_factory, evs
+):
+    """Differential property: the single-assignment bucket overlap
+    join must emit every (promo, window) pair with a strict overlap
+    EXACTLY ONCE, with the exact overlap length."""
+    tmp = tmp_path_factory.mktemp("ovprop")
+    t0, rows = _mk_events(spark, tmp, evs)
+    from datetime import timedelta
+
+    windows = {}
+    for eid, ts, u, et, _, _ in rows:
+        key = (u, ts.date())
+        if key not in windows or ts < windows[key]:
+            windows[key] = ts
+    expected = {}
+    for eid, ts, u, et, _, _ in rows:
+        if et != "purchase":
+            continue
+        p_start, p_end = ts, ts + timedelta(minutes=90)
+        for (wu, _), w_start in windows.items():
+            if wu != u:
+                continue
+            w_end = w_start + timedelta(minutes=360)
+            if w_start < p_end and p_start < w_end:
+                ov = (min(w_end, p_end) - max(w_start, p_start))
+                expected[(eid, w_start)] = round(
+                    ov.total_seconds() / 60.0, 6
+                )
+    got = {}
+    for r in (
+        all_queries()["events_interval_overlap_join"]
+        .spark_fn(spark, str(tmp))
+        .collect()
+    ):
+        assert (r.event_id, r.w_start) not in got, "pair emitted twice"
+        got[(r.event_id, r.w_start)] = r.overlap_minutes
+    assert got == expected
