@@ -337,3 +337,144 @@ def test_markov_incremental_counts_the_boundary_pair(spark, tmp_path):
         ("view", "click"): 1,      # within the arriving slice
         ("view", "purchase"): 1,   # frozen corpus counts
     }
+
+
+# --- hypothesis differentials ------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_EV = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),            # user_id
+        st.integers(min_value=0, max_value=30 * 1440),    # minutes
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=2,
+    max_size=25,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(evs=_EV)
+def test_markov_incremental_equals_full_recount_property(
+    spark, tmp_path_factory, evs
+):
+    """Differential property: frozen counts + tail index + arriving
+    slice must equal the full recount on arbitrary event sets — users
+    entirely before, entirely after, and straddling the day-15 split
+    all occur under this generator."""
+    from datetime import datetime as dt, timedelta
+
+    tmp = tmp_path_factory.mktemp("mkivm")
+    t0 = dt(2024, 3, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=m), u, et, 1.0, "{}")
+        for i, (u, m, et) in enumerate(evs)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    # pure-Python full recount
+    from collections import Counter, defaultdict
+
+    by_user = defaultdict(list)
+    for eid, ts, u, et, _, _ in rows:
+        by_user[u].append((ts, eid, et))
+    counts = Counter()
+    for u, seq in by_user.items():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in all_queries()["events_markov_incremental_update"]
+        .spark_fn(spark, str(tmp))
+        .collect()
+    }
+    assert got == dict(counts)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]),
+            min_size=3,
+            max_size=40,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_containment_dedup_matches_python_reference(
+    spark, tmp_path_factory, texts
+):
+    """Differential property over a 4-letter alphabet (maximal shingle
+    collisions): the dominated set and dominators must equal a pure-
+    Python replay of the df-prune + containment + strictly-larger
+    rule. Docs are sized past the excerpt-planting bound's slice so
+    the planted excerpts (from docs at ids 0, 20, ... with >= 13
+    tokens) also participate, exactly as in the entry."""
+    tmp = tmp_path_factory.mktemp("ctprop")
+    rows = [(i, " ".join(t), "en", "src0", len(" ".join(t)))
+            for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    # pure-Python replay, mirroring queries/containment.py exactly
+    docs = {i: t.split(" ") for i, t, _, _, _ in rows}
+    # planted excerpts: doc_id % 20 == 0 -> tokens 11..40, id + 2e6
+    for i in list(docs):
+        if i % 20 == 0:
+            docs[i + 2_000_000] = docs[i][10:40]
+    sh = {
+        i: {
+            " ".join(t[j:j + 3]) for j in range(len(t) - 2)
+        } if len(t) >= 3 else set()
+        for i, t in docs.items()
+    }
+    from collections import Counter
+
+    df_ct = Counter(s for ss in sh.values() for s in ss)
+    kept = {i: {s for s in ss if df_ct[s] <= 10} for i, ss in sh.items()}
+    expected = {}
+    for a, sa in kept.items():
+        if not sa:
+            continue
+        doms = []
+        for b, sb in kept.items():
+            if a == b or not sb:
+                continue
+            c = len(sa & sb) / len(sa)
+            if c >= 0.95 and (
+                len(sb) > len(sa) or (len(sb) == len(sa) and b < a)
+            ):
+                doms.append(b)
+        expected[a] = min(doms) if doms else None
+    # docs with empty kept sets are kept (never dominated)
+    for i, ss in kept.items():
+        if not ss:
+            expected[i] = None
+
+    got = {
+        r.doc_id: r.dominated_by
+        for r in all_queries()["docs_containment_dedup"]
+        .spark_fn(spark, str(tmp))
+        .collect()
+    }
+    assert got == expected
