@@ -114,3 +114,58 @@ def events_hourly_autocorrelation(
             )
         )
     return reduce(DataFrame.unionAll, out)
+
+
+# --- hopping (sliding) window aggregation -------------------------------
+
+_HOP_SIZE_H, _HOP_SLIDE_H = 2, 1
+
+_HOPPING_ORACLE = f"""
+WITH ev AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+w AS (
+  SELECT date_trunc('hour', ts) - j.j * INTERVAL 1 HOUR AS w_start,
+         ts, user_id
+  FROM ev, range(0, {_HOP_SIZE_H // _HOP_SLIDE_H}) j(j))
+SELECT w_start,
+       w_start + INTERVAL {_HOP_SIZE_H} HOUR AS w_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM w GROUP BY w_start
+"""
+
+
+@register(
+    "events_hopping_window_volume",
+    _HOPPING_ORACLE,
+    doc="Hopping (sliding) window aggregation — the overlapping-window "
+    "operator the tumbling entries don't cover: 2-hour windows every "
+    "1 hour via F.window(ts, '2 hours', '1 hour'), each event "
+    "contributing to size/slide = 2 windows. Spark's epoch-aligned "
+    "window starts coincide with hour truncation at this slide, so "
+    "the oracle enumerates the j in [0, size/slide) window starts "
+    "per event explicitly — the same explode-by-constant shape the "
+    "engine executes. Counts and distinct users are exact integers.",
+)
+def events_hopping_window_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    return (
+        ev.groupBy(
+            F.window("ts", f"{_HOP_SIZE_H} hours", f"{_HOP_SLIDE_H} hour")
+            .alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "n_users",
+        )
+    )

@@ -162,6 +162,7 @@ def test_r11_head_leads_with_late_registrations_and_stale_rows_only():
         "streaming_multitouch_attribution",
         "events_hourly_autocorrelation",
         "docs_hashtf_kmeans_topics",
+        "events_hopping_window_volume",
     }
     source_changed = {
         "docs_bigram_perplexity",
