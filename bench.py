@@ -230,6 +230,15 @@ HEADLINE += [
     "retrieval_prf_expansion",
     "streaming_markov_transitions",
 ]
+HEADLINE += [
+    # round-11 session tail: the text-side k-means composition
+    # (featurize -> quantized Lloyd), the purchase-anchored
+    # attribution join, the basket pair self-join (the round's
+    # heaviest shuffle), and the market-basket association pass
+    "docs_hashtf_kmeans_topics",
+    "events_multitouch_attribution",
+    "lineitem_copurchase_lift",
+]
 
 # Entries OMITTED from the stdout line's per-query dict (still RUN
 # every round; medians/spread/raw reps publish in bench_runs.json under
@@ -286,6 +295,10 @@ STDOUT_OMIT = frozenset(
         "events_interval_join_multiscale",
         "events_interval_overlap_join",
         "events_type_markov_transitions",
+        # sub-second at sf0.1 on its landing measurement (0.48 s
+        # median): the purchase-anchored attribution join — plan
+        # shape tracked via bench_runs.json like its siblings
+        "events_multitouch_attribution",
     }
 )
 
