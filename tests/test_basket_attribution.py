@@ -1,6 +1,8 @@
 """Planted semantics for the round-11 analytics tail: market-basket
-association metrics (queries/basket.py) and multi-touch attribution
-(queries/attribution.py)."""
+association metrics (queries/basket.py), multi-touch attribution +
+its streaming twin (queries/attribution.py), RFM segmentation
+(queries/rfm.py), seasonality autocorrelation (queries/seasonality.py),
+and hashed-TF topic k-means (queries/topics.py)."""
 
 from __future__ import annotations
 

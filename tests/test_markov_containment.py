@@ -1,6 +1,9 @@
-"""Planted semantics for the round-11 analytics additions: the
-first-order Markov transition matrix (queries/markov.py) and Broder
-shingle containment (queries/containment.py)."""
+"""Planted semantics + hypothesis differentials for the round-11
+Markov family (queries/markov.py: transitions, stateful streaming
+twin, anomaly scoring, incremental update), the Broder containment
+family (queries/containment.py), PRF expansion (queries/prf.py), the
+streaming multiscale interval twin, and the IVF probe ladder
+(queries/annladder.py)."""
 
 from __future__ import annotations
 
