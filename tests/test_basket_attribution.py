@@ -221,3 +221,164 @@ def test_hashtf_topics_cover_all_docs_and_use_multiple_clusters(
     topics = {r.topic for r in rows}
     assert topics <= {0, 1, 2, 3}
     assert len(topics) >= 2
+
+
+# --- hypothesis differentials ------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    purchases=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),          # user
+            st.integers(min_value=0, max_value=10 * 1440),  # minutes
+            st.integers(min_value=1, max_value=500),        # value*10
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_rfm_property_matches_python_reference(
+    spark, tmp_path_factory, purchases
+):
+    """Differential property: quartile assignment under the rank-exact
+    rule (edge_k = min metric with cum >= ceil(k*N/4); bucket = 1 +
+    #edges strictly below) must equal a pure-Python replay on
+    arbitrary purchase sets — heavy ties included (values quantized
+    to 0.1 steps, minute-grain recency collisions)."""
+    from datetime import datetime as dt, timedelta
+    import math
+
+    tmp = tmp_path_factory.mktemp("rfmprop")
+    t0 = dt(2024, 3, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=m), u, "purchase", v / 10.0, "{}")
+        for i, (u, m, v) in enumerate(purchases)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    # pure-Python replay of queries/rfm.py
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for eid, ts, u, _, v, _ in rows:
+        per_user[u].append((ts, v))
+    now_ts = max(ts for _, ts, *_ in [(0, r[1]) for r in rows])
+    metrics = {}
+    for u, evs in per_user.items():
+        last = max(ts for ts, _ in evs)
+        rec = round((now_ts - last).total_seconds() / 86400.0 * 1e6)
+        freq = len(evs)
+        mon = sum(round(v * 1e6) for _, v in evs)
+        metrics[u] = (rec, freq, mon)
+    n = len(metrics)
+
+    def buckets(idx):
+        vals = sorted(m[idx] for m in metrics.values())
+        edges = []
+        for k in (1, 2, 3):
+            t = math.ceil(k * n / 4)
+            edges.append(vals[t - 1])
+        return {
+            u: 1 + sum(1 for e in edges if m[idx] > e)
+            for u, m in metrics.items()
+        }
+
+    rq, fq, mq = buckets(0), buckets(1), buckets(2)
+    got = {
+        r.user_id: (r.r_q, r.f_q, r.m_q, r.frequency, r.monetary_ppm)
+        for r in all_queries()["events_user_rfm_segments"]
+        .spark_fn(spark, str(tmp))
+        .collect()
+    }
+    assert set(got) == set(metrics)
+    for u in metrics:
+        assert got[u] == (
+            rq[u], fq[u], mq[u], metrics[u][1], metrics[u][2]
+        ), (u, got[u])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),
+            st.integers(min_value=0, max_value=5 * 1440),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_attribution_property_matches_python_reference(
+    spark, tmp_path_factory, evs
+):
+    """Differential property: every (purchase, prior-24h view) pair
+    with the exact ppm-quantized linear and decay credits, on
+    arbitrary event sets (boundary timestamps included)."""
+    from datetime import datetime as dt, timedelta
+    import math
+
+    tmp = tmp_path_factory.mktemp("attrprop")
+    t0 = dt(2024, 3, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=m), u,
+         "purchase" if p else "view", 1.0, "{}")
+        for i, (u, m, p) in enumerate(evs)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    expected = {}
+    for pid, pts, pu, pet, _, _ in rows:
+        if pet != "purchase":
+            continue
+        touches = [
+            (vid, vts)
+            for vid, vts, vu, vet, _, _ in rows
+            if vet == "view" and vu == pu
+            and vts < pts and vts >= pts - timedelta(hours=24)
+        ]
+        if not touches:
+            continue
+        ws = {
+            vid: round(
+                math.exp(-(pts - vts).total_seconds() / 21600.0) * 1e6
+            )
+            for vid, vts in touches
+        }
+        tot = sum(ws.values())
+        for vid, w in ws.items():
+            expected[(pid, vid)] = (
+                round(1e6 / len(ws)),
+                round(w * 1e6 / tot),
+            )
+    got = {
+        (r.purchase_id, r.view_id): (
+            r.linear_credit_ppm, r.decay_credit_ppm
+        )
+        for r in all_queries()["events_multitouch_attribution"]
+        .spark_fn(spark, str(tmp))
+        .collect()
+    }
+    assert got == expected
