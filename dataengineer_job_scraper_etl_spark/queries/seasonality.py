@@ -101,10 +101,17 @@ def events_hourly_autocorrelation(
             F.sum(F.col("x") * F.col("x")).alias("sxx"),
             F.sum(F.col("y") * F.col("y")).alias("syy"),
         )
-        r = (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-            / F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        # try_divide: a zero-variance side (flat series) yields NULL on
+        # both engines (DuckDB's x/0 is NULL; ANSI Spark would THROW —
+        # found by the hypothesis differential, not the fixtures)
+        r = F.try_divide(
+            F.try_divide(
+                F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+                F.sqrt(
+                    F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ),
+            ),
+            F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
         )
         out.append(
             agg.select(

@@ -382,3 +382,147 @@ def test_attribution_property_matches_python_reference(
         .collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    hours=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),  # hour offset
+            st.integers(min_value=1, max_value=5),    # events that hour
+        ),
+        min_size=4,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_autocorrelation_property_matches_numpy(
+    spark, tmp_path_factory, hours
+):
+    """Differential property vs numpy: for every lag with >= 2
+    aligned pairs and nonzero variance on both sides, the engine's
+    ppm autocorrelation equals numpy's Pearson r (+-1 ppm for the
+    rounding); degenerate lags (absent or zero-variance) produce no
+    finite row on either side."""
+    import numpy as np
+    from datetime import datetime as dt, timedelta
+
+    tmp = tmp_path_factory.mktemp("acprop")
+    t0 = dt(2024, 3, 1)
+    rows = []
+    eid = 0
+    for h, n in hours:
+        for k in range(n):
+            eid += 1
+            rows.append(
+                (eid, t0 + timedelta(hours=h, minutes=k), 1, "view",
+                 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    series = dict(hours)
+    got = {
+        r.lag_hours: (r.n_pairs, r.autocorr_ppm)
+        for r in all_queries()["events_hourly_autocorrelation"]
+        .spark_fn(spark, str(tmp))
+        .collect()
+    }
+    for lag in (1, 24, 168):
+        pairs = [
+            (series[h], series[h + lag])
+            for h in series
+            if h + lag in series
+        ]
+        if not pairs:
+            assert lag not in got or got[lag][0] == 0
+            continue
+        n_pairs, r_ppm = got[lag]
+        assert n_pairs == len(pairs)
+        x = np.array([p[0] for p in pairs], dtype=float)
+        y = np.array([p[1] for p in pairs], dtype=float)
+        if len(pairs) < 2 or x.std() == 0 or y.std() == 0:
+            assert r_ppm is None
+            continue
+        ref = float(np.corrcoef(x, y)[0, 1])
+        assert r_ppm is not None and abs(r_ppm - round(ref * 1e6)) <= 1, (
+            lag, r_ppm, ref
+        )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    baskets=st.lists(
+        st.lists(
+            st.integers(min_value=1, max_value=6),  # part ids
+            min_size=1,
+            max_size=4,
+            unique=True,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_copurchase_property_matches_python_reference(
+    spark, tmp_path_factory, baskets
+):
+    """Differential property: support/confidence/lift for every pair
+    clearing the co >= 3 floor equals a pure-Python replay over
+    arbitrary small basket sets."""
+    from collections import Counter
+    from datetime import datetime as dt
+    from itertools import combinations
+
+    tmp = tmp_path_factory.mktemp("bkprop")
+    rows = []
+    ln = 0
+    for o, parts in enumerate(baskets):
+        for p in parts:
+            ln += 1
+            rows.append((100 + o, p, 1, ln, 1.0, 1.0, 0.0, 0.0, "N",
+                         "O", dt(2024, 3, 1).date()))
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate date",
+    ).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+
+    n_orders = len(baskets)
+    pc = Counter(p for b in baskets for p in set(b))
+    co = Counter()
+    for b in baskets:
+        for a, c in combinations(sorted(set(b)), 2):
+            co[(a, c)] += 1
+    expected = {}
+    for (a, c), k in co.items():
+        if k >= 3:
+            expected[(a, c)] = (
+                k,
+                round(k * 1e6 / n_orders),
+                round(k * 1e6 / pc[a]),
+                round(k * 1e6 / pc[c]),
+                round(k * n_orders * 1e6 / (pc[a] * pc[c])),
+            )
+    got = {
+        (r.part_a, r.part_b): (
+            r.co, r.support_ppm, r.conf_a_b_ppm, r.conf_b_a_ppm,
+            r.lift_ppm,
+        )
+        for r in all_queries()["lineitem_copurchase_lift"]
+        .spark_fn(spark, str(tmp))
+        .collect()
+    }
+    assert got == expected
