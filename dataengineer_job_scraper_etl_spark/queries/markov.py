@@ -175,6 +175,10 @@ def streaming_markov_transitions(
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # Under NoTimeout a key is only invoked WITH batch rows, so the
+        # iterator is never empty (pd.concat([]) would raise; timeout
+        # invocations — the empty case — are disabled for availableNow
+        # drains, see running_user_totals in streaming/jobs.py).
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
         types = rows["event_type"].tolist()
@@ -182,7 +186,7 @@ def streaming_markov_transitions(
         nexts = types[1:]
         if state.exists:
             _, _, last_type = state.get
-            prevs = [last_type] + types[:-1] if types else [last_type]
+            prevs = [last_type] + types[:-1]
             nexts = types
         if types:
             state.update(
