@@ -9,8 +9,10 @@ the probe budget that meets a recall SLO. Probed lists are nested
 non-decreasing in probes by construction; the entry checks that
 in-plan over the 5-row ladder (a constant-bounded window, the
 _ranked_topk argument) and pins per-probe TOTAL-hit floors measured
-across sf0.001/0.01/0.1 (14/19/29/45/45 of 50 at the three rungs;
-floors pinned with margin at 12/16/24/40/40). The k-means here is the
+across all four fixture scales (14/19/29/45/45 of 50 at the driver
+rungs, 10/20/34/41/45 at sf1; floors pinned with margin under the
+cross-scale minima at 8/16/24/38/40 — PROBE_FLOORS is the single
+source of truth). The k-means here is the
 Spark-native seeded operator (operators/similarity.py), not the
 SQL-replayable quantized Lloyd of graphrank — so like the other
 ann_recall_* contracts the ORACLE asserts the ladder booleans, and the

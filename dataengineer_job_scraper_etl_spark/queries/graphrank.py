@@ -311,7 +311,7 @@ def _ivf_pagerank_frame(
 ) -> DataFrame:
     """The IVF-edge fixed-point PageRank at a given probe depth —
     shared by the probe-4 entry (the honest-finding configuration)
-    and the probe-6 production-remedy entry."""
+    and the probe-7 production-remedy entry (DEEP_PROBES)."""
     from dataengineer_job_scraper_etl_spark.functions.vector_math import cosine
     from dataengineer_job_scraper_etl_spark.operators.similarity import (
         _as_double,

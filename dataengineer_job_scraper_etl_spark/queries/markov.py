@@ -48,6 +48,21 @@ GROUP BY prev_type, next_type
 """
 
 
+
+def _normalized_model(counts: DataFrame) -> DataFrame:
+    """(prev_type, next_type, n) -> + row-normalized p, rounded to the
+    catalog's 6-decimal grid — the ONE projection all three Markov
+    entries share with _MARKOV_ORACLE's SELECT (a rounding tweak made
+    in one place cannot desynchronize the others)."""
+    per_prev = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(per_prev), 6).alias("p"),
+    )
+
+
 @register(
     "events_type_markov_transitions",
     _MARKOV_ORACLE,
@@ -73,13 +88,7 @@ def events_type_markov_transitions(
     counts = trans.groupBy("prev_type", "next_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    per_prev = Window.partitionBy("prev_type")
-    return counts.select(
-        "prev_type",
-        "next_type",
-        "n",
-        F.round(F.col("n") / F.sum("n").over(per_prev), 6).alias("p"),
-    )
+    return _normalized_model(counts)
 
 
 # --- streaming twin: per-user state bridges micro-batch boundaries -----
@@ -94,12 +103,26 @@ def events_type_markov_transitions(
 # restriction): the staged queue feeds ALL events through two
 # time-ordered batches, so hash equality holds only if the state
 # correctly bridges the boundary — the bridge IS the contract.
-# Batches split on day(ts) <= 15: a time split guarantees every
-# batch-2 event follows every batch-1 event per user, matching the
-# batch ordering; same-ts ties cannot straddle the split and sort on
-# event_id inside it, exactly the batch window's tiebreak.
+# Batches split at an ABSOLUTE cutoff — min(ts) + 15 days, computed
+# from the data — so every batch-2 event follows every batch-1 event
+# per user under ANY fixture date range (the first cut split on
+# dayofmonth, which reverses chronology the moment a corpus crosses a
+# month boundary — caught in the round-11 self-review before any
+# fixture hit it); same-ts ties cannot straddle an absolute cutoff and
+# sort on event_id inside a batch, exactly the batch window's tiebreak.
 
-_SPLIT_DAY = 15
+_SPLIT_DAYS_IN = 15  # cutoff = min(ts) + this many days
+
+
+def _split_cutoff(ev: DataFrame):
+    """The absolute boundary timestamp: min(ts) + _SPLIT_DAYS_IN days,
+    as a 1-row broadcast (a bounded aggregate, not a driver collect)."""
+    return ev.agg(
+        (
+            F.min("ts")
+            + F.expr(f"INTERVAL {_SPLIT_DAYS_IN} DAYS")
+        ).alias("__cutoff")
+    )
 
 
 def _stage_markov_stream_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -117,15 +140,19 @@ def _stage_markov_stream_dir(spark: SparkSession, sf_dir: str) -> str:
             "event_id", F.col("ts").cast("timestamp").alias("ts"),
             "user_id", "event_type",
         )
-        write_ordered_batches(
-            staged,
-            [
-                d.filter(F.dayofmonth("ts") <= _SPLIT_DAY),
-                d.filter(F.dayofmonth("ts") > _SPLIT_DAY),
-            ],
-        )
+        cut = _split_cutoff(d)
+        early = d.crossJoin(F.broadcast(cut)).filter(
+            F.col("ts") < F.col("__cutoff")
+        ).drop("__cutoff")
+        late = d.crossJoin(F.broadcast(cut)).filter(
+            F.col("ts") >= F.col("__cutoff")
+        ).drop("__cutoff")
+        write_ordered_batches(staged, [early, late])
 
-    return stage_once(src, "mkstream", build)
+    # tag names the SPLIT RULE: stage_once keys on (tag, source), not
+    # the build code, so a rule change must rename the tag or cached
+    # stagings from the old rule keep serving
+    return stage_once(src, "mkstream_abs15", build)
 
 
 @register(
@@ -182,20 +209,31 @@ def streaming_markov_transitions(
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
         types = rows["event_type"].tolist()
+        first_us = int(rows["ts"].iloc[0].value // 1000)
+        first_eid = int(rows["event_id"].iloc[0])
         prevs = types[:-1]
         nexts = types[1:]
         if state.exists:
-            _, _, last_type = state.get
+            last_us, last_eid, last_type = state.get
+            # ORDERING GUARD: the prepend is only correct when every
+            # batch row follows the saved tail — the staged queue's
+            # absolute time split guarantees it; an out-of-order file
+            # pickup must fail loudly, not emit reversed transitions
+            if (first_us, first_eid) <= (last_us, last_eid):
+                raise ValueError(
+                    f"out-of-order micro-batch for user {key[0]}: "
+                    f"batch head ({first_us}, {first_eid}) <= saved "
+                    f"tail ({last_us}, {last_eid})"
+                )
             prevs = [last_type] + types[:-1]
             nexts = types
-        if types:
-            state.update(
-                (
-                    int(rows["ts"].iloc[-1].value // 1000),
-                    int(rows["event_id"].iloc[-1]),
-                    types[-1],
-                )
+        state.update(
+            (
+                int(rows["ts"].iloc[-1].value // 1000),
+                int(rows["event_id"].iloc[-1]),
+                types[-1],
             )
+        )
         if prevs and nexts:
             yield pd.DataFrame({"prev_type": prevs, "next_type": nexts})
 
@@ -215,17 +253,9 @@ def streaming_markov_transitions(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     facts = _drain(trans, spark, output_mode="append")
-    from pyspark.sql import Window
-
-    per_prev = Window.partitionBy("prev_type")
-    return (
-        facts.groupBy("prev_type", "next_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "prev_type",
-            "next_type",
-            "n",
-            F.round(F.col("n") / F.sum("n").over(per_prev), 6).alias("p"),
+    return _normalized_model(
+        facts.groupBy("prev_type", "next_type").agg(
+            F.count(F.lit(1)).alias("n")
         )
     )
 
@@ -325,9 +355,6 @@ def events_user_markov_anomaly(
 # contributes only its counts table (|types|^2) and the user-scale
 # tail index.
 
-_INCR_SPLIT_DAY = 15  # corpus = day <= 15, arriving = day > 15
-
-
 @register(
     "events_markov_incremental_update",
     _MARKOV_ORACLE,
@@ -347,8 +374,13 @@ def events_markov_incremental_update(
         "event_id", F.col("ts").cast("timestamp").alias("ts"),
         "user_id", "event_type",
     )
-    corpus = ev.filter(F.dayofmonth("ts") <= _INCR_SPLIT_DAY)
-    arriving = ev.filter(F.dayofmonth("ts") > _INCR_SPLIT_DAY)
+    # corpus/arriving split at the ABSOLUTE cutoff min(ts) + 15 days
+    # (shared with the streaming twin's staging — dayofmonth would
+    # reverse chronology across a month boundary)
+    cut = _split_cutoff(ev)
+    ev = ev.crossJoin(F.broadcast(cut))
+    corpus = ev.filter(F.col("ts") < F.col("__cutoff")).drop("__cutoff")
+    arriving = ev.filter(F.col("ts") >= F.col("__cutoff")).drop("__cutoff")
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
 
@@ -403,10 +435,4 @@ def events_markov_incremental_update(
         .groupBy("prev_type", "next_type")
         .agg(F.sum("n").alias("n"))
     )
-    per_prev = Window.partitionBy("prev_type")
-    return merged.select(
-        "prev_type",
-        "next_type",
-        "n",
-        F.round(F.col("n") / F.sum("n").over(per_prev), 6).alias("p"),
-    )
+    return _normalized_model(merged)

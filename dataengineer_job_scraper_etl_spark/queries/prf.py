@@ -86,9 +86,13 @@ cdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM ptf GROUP BY term),
 orig(term) AS (VALUES {orig_list}),
 mined AS (
   SELECT p.term,
-         CAST(round(sum(p.tf * 1.0 / p.dl)
-                    * ln((SELECT n_docs FROM cstats) * 1.0 / c.df)
-                    * 1e6) AS BIGINT) AS w_ppm
+         -- quantize-then-sum: per-row tf/dl rounds to ppm BIGINT
+         -- before the cross-row sum, so the relevance mass is an
+         -- exact integer under any partitioning; the idf reweight is
+         -- one double multiply of that exact integer
+         CAST(round(sum(CAST(round(p.tf * 1e6 / p.dl) AS BIGINT))
+                    * ln((SELECT n_docs FROM cstats) * 1.0 / c.df))
+              AS BIGINT) AS w_ppm
   FROM ptf p
   JOIN first_pass f ON p.doc_id = f.doc_id
   JOIN cdf c ON p.term = c.term
@@ -101,18 +105,22 @@ query2 AS (
   SELECT term FROM orig UNION SELECT term FROM expansion),
 scored2 AS (
   SELECT p.doc_id,
-         sum(ln(1 + (s.n_docs - c.df + 0.5) / (c.df + 0.5))
+         -- per-term score quantized to ppm BEFORE the per-doc sum
+         -- (same order-independence device as the mined weights)
+         sum(CAST(round(
+             ln(1 + (s.n_docs - c.df + 0.5) / (c.df + 0.5))
              * (p.tf * ({_BM25_K1} + 1))
              / (p.tf + {_BM25_K1}
-                * (1 - {_BM25_B} + {_BM25_B} * p.dl / s.avgdl))) AS bm25
+                * (1 - {_BM25_B} + {_BM25_B} * p.dl / s.avgdl))
+             * 1e6) AS BIGINT)) AS bm25_ppm
   FROM ptf p
   JOIN query2 q ON p.term = q.term
   JOIN cdf c ON p.term = c.term
   CROSS JOIN cstats s
   GROUP BY p.doc_id)
 SELECT s.doc_id,
-       CAST(round(s.bm25 * 1e6) AS BIGINT) AS bm25_ppm,
-       CAST(row_number() OVER (ORDER BY round(s.bm25 * 1e6) DESC,
+       CAST(s.bm25_ppm AS BIGINT) AS bm25_ppm,
+       CAST(row_number() OVER (ORDER BY s.bm25_ppm DESC,
                                s.doc_id ASC) AS INT) AS rank_expanded,
        CAST(coalesce(f.rank_first, 0) AS INT) AS rank_first
 FROM scored2 s
@@ -184,10 +192,16 @@ def retrieval_prf_expansion(
         .crossJoin(F.broadcast(cstats))
         .groupBy("term")
         .agg(
+            # quantize-then-sum (the catalog's order-independence
+            # device): per-row tf/dl rounds to a ppm BIGINT before the
+            # cross-row sum; the idf reweight is one double multiply
+            # of the exact integer mass
             F.round(
-                F.sum(F.col("tf") / F.col("dl"))
-                * F.log(F.first("n_docs") / F.first("df"))
-                * 1e6,
+                F.sum(
+                    F.round(F.col("tf") * 1e6 / F.col("dl"), 0)
+                    .cast("bigint")
+                )
+                * F.log(F.first("n_docs") / F.first("df")),
                 0,
             )
             .cast("bigint")
@@ -219,19 +233,24 @@ def retrieval_prf_expansion(
         .join(cdf, "term")
         .crossJoin(F.broadcast(cstats))
         .groupBy("doc_id")
-        .agg(F.sum(term_score).alias("bm25"))
+        # per-term ppm quantization BEFORE the per-doc sum: the score
+        # is an exact integer under any partial-aggregation order
+        .agg(
+            F.sum(F.round(term_score * 1e6, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("bm25_ppm")
+        )
     )
     w2 = Window.partitionBy(F.lit(0)).orderBy(
-        F.desc(F.round(F.col("bm25") * 1e6, 0)), F.asc("doc_id")
+        F.desc("bm25_ppm"), F.asc("doc_id")
     )
     return (
-        scored2.orderBy(F.desc(F.round(F.col("bm25") * 1e6, 0)), F.asc("doc_id"))
+        scored2.orderBy(F.desc("bm25_ppm"), F.asc("doc_id"))
         .limit(PRF_TOP_N)
         .select(
             "doc_id",
-            F.round(F.col("bm25") * 1e6, 0).cast("bigint").alias("bm25_ppm"),
+            "bm25_ppm",
             F.row_number().over(w2).cast("int").alias("rank_expanded"),
-            "bm25",
         )
         .join(first_pass, "doc_id", "left")
         .select(

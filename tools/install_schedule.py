@@ -62,12 +62,14 @@ def main() -> int:
     l_start = src.index(list_marker) + len(list_marker)
     l_end = src.index("\n]", l_start)
     src = src[:l_start] + "\n" + "\n".join(lines) + src[l_end:]
-    with open(CATALOG, "w", encoding="utf-8") as f:
-        f.write(src)
 
+    # validate BEFORE overwriting: a bad splice must fail side-effect
+    # free, not leave an unparseable catalog.py on disk
     import ast
 
     ast.parse(src)
+    with open(CATALOG, "w", encoding="utf-8") as f:
+        f.write(src)
     print(
         f"installed: {len(plan['pick'])} entries, clock r"
         f"{plan['next_round'] - 1}; head "
