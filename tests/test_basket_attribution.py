@@ -526,3 +526,94 @@ def test_copurchase_property_matches_python_reference(
         .collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=5,
+        max_size=12,
+    )
+)
+def test_topics_property_matches_python_lloyd(
+    spark, tmp_path_factory, texts
+):
+    """Differential property: the full featurize -> normalize ->
+    quantized-Lloyd -> assign chain equals a pure-Python replay
+    (same md5-nibble buckets, same round(mean, 6) quantization, same
+    (d2, cid) tie-break) on arbitrary small corpora."""
+    import hashlib
+
+    tmp = tmp_path_factory.mktemp("tpprop")
+    rows = [(i, " ".join(t), "en", "src0", len(" ".join(t)))
+            for i, t in enumerate(texts)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    DIM, K = 16, 4
+
+    def featurize(tokens):
+        v = [0.0] * DIM
+        for tk in tokens:
+            if tk:
+                v[int(hashlib.md5(tk.encode()).hexdigest()[0], 16)] += 1
+        n = sum(x * x for x in v) ** 0.5
+        return [x / n for x in v] if n > 0 else None
+
+    emb = {}
+    for i, t in enumerate(texts):
+        e = featurize(t)
+        if e is not None:
+            emb[i] = e
+    if len(emb) == 0:
+        return  # nothing to cluster on either side
+
+    def d2(a, b):
+        # SEQUENTIAL sum, exactly the engines' list_sum order
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) ** 2
+        return s
+
+    cents = [list(emb[i]) for i in sorted(emb)[:K]]
+
+    def assign(cs):
+        out = {}
+        for i, e in emb.items():
+            best = min(range(len(cs)), key=lambda c: (d2(e, cs[c]), c))
+            out[i] = best
+        return out
+
+    for _ in range(2):
+        a = assign(cents)
+        new = []
+        for c in range(len(cents)):
+            members = [emb[i] for i, cc in a.items() if cc == c]
+            if members:
+                new.append([
+                    round(sum(m[j] for m in members) / len(members), 6)
+                    for j in range(DIM)
+                ])
+            else:
+                new.append(cents[c])
+        cents = new
+    expected = assign(cents)
+
+    got = {
+        r.doc_id: r.topic
+        for r in all_queries()["docs_hashtf_kmeans_topics"]
+        .spark_fn(spark, str(tmp))
+        .collect()
+    }
+    assert got == expected
