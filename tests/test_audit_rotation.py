@@ -284,6 +284,47 @@ def test_source_hash_sees_the_defining_module_text(tmp_path):
     assert entry_source_hash(Q(fn1, None)) != entry_source_hash(Q(fn2, None))
 
 
+def test_source_hash_ignores_comment_only_edits(tmp_path):
+    """v3 (r12): a # comment or blank-line edit cannot change what the
+    driver executes, so it must not flip the snapshot and burn an
+    audit slot on a re-prove (ADVICE r11 #2 wanted libm-parity notes
+    documented NEXT TO the ppm device — under v2 that documentation
+    would have reseated 6 green entries). Docstring edits still trip:
+    docstrings are runtime-visible STRING tokens."""
+    import importlib.util
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from audit_rotation import entry_source_hash
+
+    class Q:
+        def __init__(self, fn, oracle):
+            self.spark_fn = fn
+            self.oracle = oracle
+
+    def load(name, body):
+        p = tmp_path / f"{name}.py"
+        p.write_text(body)
+        spec = importlib.util.spec_from_file_location(name, p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.fn
+
+    base = "def fn(spark, sf_dir):\n    return 7\n"
+    h_base = entry_source_hash(Q(load("v3_base", base), None))
+    commented = (
+        "# a module comment\n\ndef fn(spark, sf_dir):\n"
+        "    # an inline note\n    return 7  # trailing\n\n"
+    )
+    assert entry_source_hash(Q(load("v3_comm", commented), None)) == h_base
+    docstringed = (
+        'def fn(spark, sf_dir):\n    """doc"""\n    return 7\n'
+    )
+    assert entry_source_hash(Q(load("v3_doc", docstringed), None)) != h_base
+    recoded = "def fn(spark, sf_dir):\n    return 8\n"
+    assert entry_source_hash(Q(load("v3_code", recoded), None)) != h_base
+
+
 def test_ledger_carries_the_current_hash_version():
     import sys
 

@@ -53,10 +53,12 @@ from __future__ import annotations
 import glob
 import hashlib
 import inspect
+import io
 import json
 import os
 import re
 import sys
+import tokenize
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -68,15 +70,45 @@ _OPS_DIR = os.path.join(REPO, "dataengineer_job_scraper_etl_spark", "operators")
 
 # Bumped when the hash recipe changes: old snapshots are then
 # incomparable (every entry would read "changed" forever), so a
-# version mismatch re-snapshots the whole ledger and the round's
-# genuinely-edited entries are pinned by hand once (see the catalog
-# comment for that round's window).
+# version mismatch re-snapshots the whole ledger. SAFE only when the
+# regeneration runs on a tree whose engine code is byte-identical to
+# what the driver last audited (re-seeding audited=current is then
+# exactly right); otherwise the round's genuinely-edited entries must
+# be pinned by hand once (see the catalog comment for that round's
+# window). The r12 bump was sequenced that way: v3 + re-seed landed
+# as the round's FIRST commit, before any engine edit.
 #   v1 (r9): fn source + oracle SQL + imported operators/ modules.
 #   v2 (r10): + the entry's DEFINING module text (ADVICE r9 #2 —
 #        module-level helpers like _trim_covered_runs / oracle
 #        builders are shared by entries whose own fn body never
 #        moves).
-HASH_VERSION = 2
+#   v3 (r12): all Python texts normalized to their token stream with
+#        COMMENT/NL dropped — a comment-only edit (e.g. documenting
+#        an assumption next to the code it describes, ADVICE r11 #2)
+#        cannot change what the driver executes, so it must not burn
+#        an audit slot on a re-prove. Docstrings still count: they
+#        are STRING tokens (runtime-visible objects), and the cheap
+#        rule "only # comments and blank lines are free" needs no
+#        AST special-casing.
+HASH_VERSION = 3
+
+
+def _normalize_py(text: str) -> str:
+    """The v3 hash basis for Python source: the token stream with
+    COMMENT and NL (non-logical newline, i.e. blank/continuation
+    lines) tokens dropped. NEWLINE/INDENT/DEDENT stay, so code
+    structure is fully pinned; only behavior-free edits normalize
+    away. Unparseable text hashes raw (fail closed: a change is then
+    always visible)."""
+    try:
+        toks = [
+            (t.type, t.string)
+            for t in tokenize.generate_tokens(io.StringIO(text).readline)
+            if t.type not in (tokenize.COMMENT, tokenize.NL)
+        ]
+    except (tokenize.TokenError, IndentationError, SyntaxError):
+        return text
+    return "\x1f".join(f"{t}:{s}" for t, s in toks)
 
 
 def entry_source_hash(q) -> str:
@@ -86,14 +118,16 @@ def entry_source_hash(q) -> str:
     functions, module constants — ADVICE r9 #2), and of every
     operators/ module the function imports locally (so an edit to
     e.g. operators/prefix.py marks every prefix-riding entry changed,
-    not just entries whose own body moved)."""
+    not just entries whose own body moved). All Python texts are
+    comment-insensitive (v3, _normalize_py); the oracle SQL hashes
+    raw."""
     src = inspect.getsource(q.spark_fn)
-    parts = [src, q.oracle or ""]
+    parts = [_normalize_py(src), q.oracle or ""]
     try:
         def_path = inspect.getsourcefile(q.spark_fn)
         if def_path and os.path.exists(def_path):
             with open(def_path, encoding="utf-8") as f:
-                parts.append(f.read())
+                parts.append(_normalize_py(f.read()))
     except TypeError:
         pass  # builtins/C-level callables have no source file
     mods = set(
@@ -106,7 +140,7 @@ def entry_source_hash(q) -> str:
         path = os.path.join(_OPS_DIR, f"{mod}.py")
         if os.path.exists(path):
             with open(path, encoding="utf-8") as f:
-                parts.append(f.read())
+                parts.append(_normalize_py(f.read()))
     return hashlib.sha256("\x00".join(parts).encode()).hexdigest()[:16]
 
 
