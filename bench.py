@@ -233,8 +233,8 @@ HEADLINE += [
 HEADLINE += [
     # round-11 session tail: the text-side k-means composition
     # (featurize -> quantized Lloyd), the purchase-anchored
-    # attribution join, the basket pair self-join (the round's
-    # heaviest shuffle), and the market-basket association pass
+    # attribution join, and the market-basket pass whose pair
+    # self-join is the round's heaviest shuffle
     "docs_hashtf_kmeans_topics",
     "events_multitouch_attribution",
     "lineitem_copurchase_lift",

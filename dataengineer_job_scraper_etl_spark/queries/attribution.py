@@ -102,6 +102,14 @@ def events_multitouch_attribution(
         .select(
             "purchase_id",
             "view_id",
+            # LIBM-PARITY ASSUMPTION (ADVICE r11 #2, shared with the
+            # Markov anomaly scorer): round(exp(..)*1e6) quantizes a
+            # TRANSCENDENTAL to the ppm grid. JVM and DuckDB libm are
+            # not correctly-rounded, so a 1-ulp divergence adjacent to
+            # a .5-ppm boundary COULD flip the oracle hash; the
+            # quantize-then-sum device only fixes summation order, not
+            # this. If a boundary-adjacent fixture ever reds out here,
+            # diagnose as quantization-tie noise first, not logic.
             F.round(F.exp(-age_s / _TAU_S) * 1e6, 0)
             .cast("bigint")
             .alias("w_ppm"),

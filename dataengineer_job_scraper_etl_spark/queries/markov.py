@@ -330,6 +330,14 @@ def events_user_markov_anomaly(
         F.broadcast(model), ["prev_type", "next_type"]
     ).select(
         "user_id",
+        # LIBM-PARITY ASSUMPTION (ADVICE r11 #2, shared with the
+        # attribution decay weights): round(-ln(p)*1e6) quantizes a
+        # TRANSCENDENTAL to the ppm grid. JVM and DuckDB libm are not
+        # correctly-rounded, so a 1-ulp ln() divergence adjacent to a
+        # .5-ppm boundary COULD flip the oracle hash — a failure mode
+        # the quantize-then-sum device does NOT cover (it only fixes
+        # summation order). If a boundary-adjacent fixture ever reds
+        # out here, diagnose as quantization-tie noise first.
         F.round(-F.log("p") * 1e6, 0).cast("bigint").alias("s_ppm"),
     )
     return scored.groupBy("user_id").agg(
