@@ -66,6 +66,87 @@ def test_copurchase_prunes_infrequent_parts_before_pairing(spark, sf_dir):
     assert all(r.conf_a_b_ppm >= r.support_ppm for r in rows)
 
 
+def test_copurchase_mega_basket_capped(spark, tmp_path):
+    """VERDICT r11 ask #4: a planted 200-part bot order — which would
+    contribute C(200,2) = 19,900 pairs in a single task uncapped —
+    is dropped BEFORE pair generation, marginals included: co(1,2)
+    and the support denominator both read the 6 normal orders only,
+    and every basket entering the self-join is bounded by the cap
+    (the per-task pair bound is C(_MAX_BASKET, 2), not data-sized)."""
+    from dataengineer_job_scraper_etl_spark.queries.basket import (
+        _MAX_BASKET,
+        _capped_baskets,
+        basket_cap_audit,
+    )
+
+    rows = []
+    orders = [
+        (100, [1, 2]),
+        (101, [1, 2]),
+        (102, [1, 2, 3]),
+        (103, [1]),
+        (104, [1, 3]),
+        (105, [2]),
+        # the bot order: parts 1..200, including the (1, 2) pair that
+        # would inflate co to 4 if the cap leaked
+        (999, list(range(1, 201))),
+    ]
+    ln = 0
+    for o, parts in orders:
+        for p in parts:
+            ln += 1
+            rows.append((o, p, 500, ln, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                         datetime(2024, 3, 1).date()))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate date",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    out = all_queries()["lineitem_copurchase_lift"].spark_fn(
+        spark, str(tmp_path)
+    ).collect()
+    # identical to the 6-normal-order fixture: the mega basket is
+    # invisible to counts AND to the support denominator
+    assert len(out) == 1
+    r = out[0]
+    assert (r.part_a, r.part_b, r.co) == (1, 2, 3)
+    assert r.support_ppm == round(3 / 6 * 1e6)
+
+    # the audit row makes the drop observable
+    audit = basket_cap_audit(spark, str(tmp_path)).collect()[0]
+    assert (audit.n_baskets, audit.n_capped, audit.max_basket) == (7, 1, 200)
+
+    # bounded per-task pair work: nothing entering the self-join
+    # exceeds the cap, so per-order pair fan-out <= C(cap, 2)
+    kept_sizes = (
+        _capped_baskets(spark.read.parquet(f"{tmp_path}/lineitem.parquet"))
+        .groupBy("o")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]
+        .mx
+    )
+    assert kept_sizes <= _MAX_BASKET
+
+
+def test_copurchase_cap_is_identity_on_tpch(spark, sf_dir):
+    """On every shipped fixture the largest basket is far below the
+    cap, so the capped entry is the uncapped formulation bit-for-bit
+    (which is why the driver oracle hash is unchanged by ask #4)."""
+    from dataengineer_job_scraper_etl_spark.queries.basket import (
+        _MAX_BASKET,
+        basket_cap_audit,
+    )
+
+    audit = basket_cap_audit(spark, sf_dir).collect()[0]
+    assert audit.n_capped == 0
+    assert audit.max_basket <= _MAX_BASKET
+
+
 def test_multitouch_attribution_planted_credits(spark, tmp_path):
     """One purchase at 12:00 with views at 11:00, 06:00 and (outside)
     36h earlier: linear = 1/2 each; decay splits by exp(-age/6h)
