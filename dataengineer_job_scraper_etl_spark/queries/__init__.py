@@ -42,6 +42,7 @@ from dataengineer_job_scraper_etl_spark.queries import (  # noqa: F401
     text,
     tokenizer,
     topics,
+    topicsample,
     tpch,
     tpch_full,
     vectors,
