@@ -439,3 +439,44 @@ def test_watermark_drops_late_rows_and_reports_metric(spark, tmp_path):
     # hour 00 finalized WITHOUT the late row; hour 10 still withheld
     # (watermark never passed its end before the queue drained)
     assert emitted == [(T0.isoformat(), 2)]
+
+
+def test_streaming_hopping_equals_batch_restricted_to_finalized(
+    spark, sf_dir
+):
+    """The ask #5 device: the streamed hopping windows must equal the
+    BATCH hopping entry restricted by the finalization predicate
+    w_end <= max(ts) - watermark, column-for-column on the shared
+    metrics (the twin carries n_events; exact distinct users is not
+    streaming-expressible)."""
+    from dataengineer_job_scraper_etl_spark.catalog import all_queries
+    from dataengineer_job_scraper_etl_spark.queries.hopstream import (
+        _WATERMARK_MIN,
+    )
+
+    streamed = sorted(
+        (r.w_start, r.w_end, r.n_events)
+        for r in all_queries()["streaming_hopping_window"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    )
+    batch = all_queries()["events_hopping_window_volume"].spark_fn(
+        spark, sf_dir
+    )
+    mx = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .agg(F.max(F.col("ts").cast("timestamp")).alias("m"))
+        .collect()[0]
+        .m
+    )
+    from datetime import timedelta
+
+    cutoff = mx - timedelta(minutes=_WATERMARK_MIN)
+    restricted = sorted(
+        (r.w_start, r.w_end, r.n_events)
+        for r in batch.collect()
+        if r.w_end <= cutoff
+    )
+    assert streamed == restricted
+    # the restriction is real: some trailing window is withheld
+    assert len(restricted) < batch.count()
