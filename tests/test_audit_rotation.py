@@ -130,68 +130,74 @@ def test_every_registered_entry_evidenced_or_scheduled():
     assert unevidenced_not_scheduled() == []
 
 
-def test_r11_head_leads_with_late_registrations_and_stale_rows_only():
-    """The 3 rows-only refresh slots (r8-dated no-oracle entries,
-    VERDICT r10 ask #5) + the never-audited late registrations (the
-    ask #3/#4 remedies, the ask #6 multi-scale interval join, and the
-    round's new entries) + the source-changed entries (those remedies
-    edited their defining modules) lead; the tail drains the entire
-    r6 cohort (ask #2)."""
-    rows_only_head = {
-        "corpus_pipeline_full",
-        "ann_ivfpq_topk",
-        "vec_neardup_lsh_pairs",
-    }
+def test_r12_head_leads_and_tail_drains_the_r7_cohort():
+    """The 4 never-audited r12 registrations (asks #3/#5/#6) + the
+    ask #4 source-changed basket entry lead; the tail holds 45 of the
+    48-entry r7 cohort (ask #1) — the 3 deferred entries are the
+    zero-sum cost of the head seats and must lead r13's staleness
+    tier. No rows-only slots: the five r10-dated no-oracle entries
+    are exactly 2 rounds stale at this clock (the >2 rule seats them
+    in r13 — ask #2's bar '≤2 rounds stale after r12' holds either
+    way)."""
     never_audited = {
-        "vec_knn_pagerank_ivf_deep",
-        "docs_quality_logreg_converged",
-        "events_interval_join_multiscale",
-        "events_interval_overlap_join",
-        "events_type_markov_transitions",
-        "docs_shingle_containment",
-        "streaming_interval_join_multiscale",
-        "docs_containment_dedup",
-        "retrieval_prf_expansion",
-        "streaming_markov_transitions",
-        "events_user_markov_anomaly",
-        "ann_ivf_probe_tradeoff",
-        "lineitem_copurchase_lift",
-        "events_multitouch_attribution",
-        "events_markov_incremental_update",
-        "events_user_rfm_segments",
-        "streaming_multitouch_attribution",
-        "events_hourly_autocorrelation",
-        "docs_hashtf_kmeans_topics",
-        "events_hopping_window_volume",
+        "streaming_hopping_window",
+        "events_type_markov2_transitions",
+        "events_user_markov2_anomaly",
+        "docs_topic_balanced_sample",
     }
-    source_changed = {
-        "docs_bigram_perplexity",
-        "vec_knn_pagerank_centrality",
-        "vec_knn_pagerank_ivf",
-        "events_interval_containment_join",
-        "streaming_interval_containment_join",
-        "docs_quality_logreg_weights",
-        "docs_quality_logreg_scores",
-    }
-    head = catalog.AUDIT_SCHEDULE[: len(rows_only_head) + len(
-        never_audited) + len(source_changed)]
-    assert set(head[:3]) == rows_only_head
-    # every never-audited late registration and every source-changed
-    # entry precedes the staleness tail (exact interleave is the
-    # tool's sort key; membership in the head block is the contract)
-    assert never_audited | source_changed == set(head[3:])
-    # ask #2: no r6-dated oracle-bearing entry survives outside the
-    # window — the schedule's tail must absorb all of them
-    last = _last_rounds(upto=catalog.AUDIT_SCHEDULE_META[
-        "generated_after_round"])
+    source_changed = {"lineitem_copurchase_lift"}
+    head = catalog.AUDIT_SCHEDULE[: len(never_audited) + len(source_changed)]
+    assert never_audited | source_changed == set(head)
+    # ask #1: every r7-dated oracle-bearing entry is in the window,
+    # except exactly the 3 documented zero-sum deferrals
+    gen = catalog.AUDIT_SCHEDULE_META["generated_after_round"]
+    last = _last_rounds(upto=gen)
     qs = catalog.all_queries()
-    r6_dated = {
+    r7_dated = {
         n for n, q in qs.items()
-        if q.oracle is not None and last.get(n) == 6
+        if q.oracle is not None and last.get(n) == 7
     }
-    assert r6_dated <= set(catalog.AUDIT_SCHEDULE), (
-        r6_dated - set(catalog.AUDIT_SCHEDULE)
-    )
+    deferred = r7_dated - set(catalog.AUDIT_SCHEDULE)
+    assert deferred == {
+        "agg_distinct_counts",
+        "skew_two_stage_distinct_users",
+        "tpch_q1_pricing_summary",
+    }, deferred
+    # the tail is ONLY r7 drain — nothing fresher holds a slot ahead
+    # of the cohort
+    tail = catalog.AUDIT_SCHEDULE[len(head):]
+    assert all(last.get(n) == 7 for n in tail), [
+        (n, last.get(n)) for n in tail if last.get(n) != 7
+    ]
+    # no rows-only head slot exists in this window
+    assert all(qs[n].oracle is not None for n in catalog.AUDIT_SCHEDULE)
+
+
+def test_no_oracle_refresh_rule_seats_r10_cohort_in_r13():
+    """VERDICT r11 ask #2, pinned as the RULE (not this window's
+    composition): a no-oracle entry with r10 evidence is exactly 2
+    rounds stale when the r12 window is generated (next_round=12 ->
+    NOT seated: 12-10 is not >2) and 3 rounds stale at the r13
+    generation (13-10 > 2 -> seated). The five r10-dated entries
+    therefore stay ≤2 rounds stale after r12 and refresh in r13
+    automatically."""
+    gen = catalog.AUDIT_SCHEDULE_META["generated_after_round"]
+    last = _last_rounds(upto=gen)
+    qs = catalog.all_queries()
+    r10_no_oracle = {
+        n for n, q in qs.items()
+        if q.oracle is None and last.get(n) == 10
+    }
+    assert len(r10_no_oracle) == 5, r10_no_oracle
+    # the rule, exactly as audit_rotation.plan_window computes it
+    for n in r10_no_oracle:
+        assert not (12 - last[n] > 2)  # r12: no slot
+        assert 13 - last[n] > 2        # r13: refresh slot
+    # and the other three no-oracle entries are fresher still
+    others = {
+        n for n, q in qs.items() if q.oracle is None
+    } - r10_no_oracle
+    assert all(last[n] == 11 for n in others), others
 
 
 def test_audit_order_puts_schedule_first():

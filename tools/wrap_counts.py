@@ -18,8 +18,17 @@ prints one JSON object with every number a wrap note cites:
   the r9 schedule froze and silently missed a round; a late
   registration must either have evidence or lead the next window).
   Non-empty -> exit 1, so the wrap step fails loudly.
+- pytest skip bookkeeping (VERDICT r11 ask #7): the schedule-equality
+  test (tests/test_audit_rotation.py) RUNS while the committed
+  schedule's clock is current and BY DESIGN starts skipping the
+  moment the driver's next CORRECTNESS artifact lands — so the skip
+  count the judge measures on the judged tree exceeds the at-wrap
+  count by exactly one whenever the clock is current at wrap. Pass
+  the final full run's skip count via --pytest-skips N and this tool
+  records both numbers; without it, it still records whether the
+  clock-gated flip is armed.
 
-Usage: python tools/wrap_counts.py
+Usage: python tools/wrap_counts.py [--pytest-skips N]
 """
 
 from __future__ import annotations
@@ -66,11 +75,32 @@ def unevidenced_not_scheduled() -> list[str]:
     )
 
 
+def clock_gated_skip_armed() -> bool:
+    """True when the schedule-equality test currently RUNS (the
+    committed clock matches the evidence on disk) and will therefore
+    flip to a skip once the driver's next CORRECTNESS file lands —
+    the +1 the judged tree's skip count carries over the wrap's."""
+    import glob
+
+    from dataengineer_job_scraper_etl_spark import catalog
+
+    on_disk = 0
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+        on_disk = max(on_disk, rnd)
+    return catalog.AUDIT_SCHEDULE_META["generated_after_round"] == on_disk
+
+
 def main() -> int:
     from dataengineer_job_scraper_etl_spark import catalog
 
     qs = catalog.all_queries()
     oracle_bearing = sum(1 for q in qs.values() if q.oracle is not None)
+
+    skips_at_wrap = None
+    if "--pytest-skips" in sys.argv:
+        skips_at_wrap = int(sys.argv[sys.argv.index("--pytest-skips") + 1])
+    armed = clock_gated_skip_armed()
 
     import bench
 
@@ -98,6 +128,15 @@ def main() -> int:
             {
                 "tests_collected": collected,
                 "unevidenced_not_scheduled": gap,
+                # ask r11 #7: the judged tree's skip count = at-wrap
+                # count + 1 iff the clock-gated flip is armed
+                "pytest_skips_at_wrap": skips_at_wrap,
+                "clock_gated_skip_armed": armed,
+                "pytest_skips_expected_post_driver": (
+                    None
+                    if skips_at_wrap is None
+                    else skips_at_wrap + (1 if armed else 0)
+                ),
                 "registry_entries": len(qs),
                 "oracle_bearing": oracle_bearing,
                 "no_oracle": len(qs) - oracle_bearing,
