@@ -239,6 +239,16 @@ HEADLINE += [
     "events_multitouch_attribution",
     "lineitem_copurchase_lift",
 ]
+HEADLINE += [
+    # round-12 additions: the streaming hopping twin (append-mode
+    # finalization machinery), the second-order Markov pair (one
+    # full-stream window feeding train+score), and the two-phase
+    # topic-balanced quota riding the hashed-TF k-means chain
+    "streaming_hopping_window",
+    "events_type_markov2_transitions",
+    "events_user_markov2_anomaly",
+    "docs_topic_balanced_sample",
+]
 
 # Entries OMITTED from the stdout line's per-query dict (still RUN
 # every round; medians/spread/raw reps publish in bench_runs.json under
