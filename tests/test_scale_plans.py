@@ -106,6 +106,14 @@ def test_catalog_docstring_plan_claims_hold(spark, sf_dir):
         "docs_containment_dedup": (7, 0, 2),
         "lineitem_copurchase_lift": (8, 0, 2),
         "events_multitouch_attribution": (3, 1, 1),
+        # round-12 additions (same measurement convention; the
+        # basket-cap window hides behind _capped_baskets'
+        # localCheckpoint, so the copurchase row above is unchanged)
+        "events_type_markov2_transitions": (3, 2, 0),
+        "events_user_markov2_anomaly": (6, 2, 1),
+        # exactly TWO windows = the two-phase quota signature (a
+        # third would mean a stratum-sized frame snuck back in)
+        "docs_topic_balanced_sample": (3, 2, 0),
     }
     qs = all_queries()
     bad = []
