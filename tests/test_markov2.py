@@ -156,3 +156,86 @@ def test_markov2_property_matches_python_reference(spark, tmp_path_factory):
             .collect()
         }
         assert got == expected, (i, got, expected)
+
+
+def test_backoff_scorer_matches_python_reference(spark, tmp_path_factory):
+    """Differential: the full back-off scorer (train/score split,
+    boundary triples, three precedence levels, ppm quantization,
+    integer mean) equals a pure-Python replay over a battery of
+    multi-user sequence sets that cross the 15-day cutoff with unseen
+    contexts in the arriving slice."""
+    import math
+    from collections import Counter, defaultdict
+
+    batteries = [
+        # (user -> [(day, type), ...]); days >= 15 land in arriving
+        {1: [(0, "A"), (0, "B"), (1, "C"), (20, "A"), (20, "B"), (20, "C")],
+         2: [(0, "B"), (1, "B"), (21, "D"), (21, "B")]},
+        {1: [(0, "A"), (2, "A"), (3, "B"), (16, "B"), (17, "A")],
+         2: [(0, "C"), (18, "C"), (19, "C"), (19, "A")],
+         3: [(16, "A"), (17, "B")]},  # user with NO training history
+        {1: [(0, "A"), (0, "B"), (0, "A"), (0, "B"), (25, "B"), (25, "A")]},
+    ]
+    for bi, seqs in enumerate(batteries):
+        tmp = tmp_path_factory.mktemp(f"mk2bo{bi}")
+        _write_events(spark, tmp, seqs)
+
+        # python replay — same event ordering as _write_events builds
+        all_ts = []
+        per_user = {}
+        eid = 0
+        from datetime import datetime, timedelta
+
+        start = datetime(2024, 3, 1)
+        for uid, seq in seqs.items():
+            evs = []
+            for day, typ in seq:
+                eid += 1
+                ts = start + timedelta(days=day, seconds=eid)
+                evs.append((ts, typ))
+                all_ts.append(ts)
+            per_user[uid] = sorted(evs)
+        cutoff = min(all_ts) + timedelta(days=15)
+
+        tri, pair, types = Counter(), Counter(), set()
+        score_rows = defaultdict(list)
+        for uid, evs in per_user.items():
+            for i, (ts, typ) in enumerate(evs):
+                p1 = evs[i - 1][1] if i >= 1 else None
+                p2 = evs[i - 2][1] if i >= 2 else None
+                if ts < cutoff:
+                    types.add(typ)
+                    if p2 is not None:
+                        tri[(p2, p1, typ)] += 1
+                    if p1 is not None:
+                        pair[(p1, typ)] += 1
+                elif p1 is not None:
+                    score_rows[uid].append((p2, p1, typ))
+        ctx3 = defaultdict(int)
+        for (a, b, _), n in tri.items():
+            ctx3[(a, b)] += n
+        ctx2 = defaultdict(int)
+        for (a, _), n in pair.items():
+            ctx2[a] += n
+        expected = {}
+        for uid, rows in score_rows.items():
+            s, backed = [], 0
+            for p2, p1, nxt in rows:
+                if (p2, p1, nxt) in tri:
+                    p = tri[(p2, p1, nxt)] / ctx3[(p2, p1)]
+                else:
+                    backed += 1
+                    if (p1, nxt) in pair:
+                        p = pair[(p1, nxt)] / ctx2[p1]
+                    else:
+                        p = 1.0 / len(types)
+                s.append(round(-math.log(p) * 1e6))
+            expected[uid] = (len(rows), backed, sum(s) // len(rows))
+
+        got = {
+            r.user_id: (r.n_trans, r.n_backoff, r.avg_surprise_ppm)
+            for r in all_queries()["events_user_markov2_anomaly"]
+            .spark_fn(spark, str(tmp))
+            .collect()
+        }
+        assert got == expected, (bi, got, expected)

@@ -40,6 +40,9 @@ ENTRIES = [
     "vec_pca_grid_sample",              # rank-exact edges + hash-rank
     "events_value_ks_drift",            # cross-multiplied CDF max
     "events_time_weighted_value",       # window lead + integer TWAP
+    # round-12 additions with order-sensitivity risk:
+    "docs_topic_balanced_sample",       # two-phase salted quota rank
+    "events_user_markov2_anomaly",      # lag windows + ppm back-off
 ]
 
 
