@@ -83,9 +83,14 @@ CROSS JOIN n
 
 def _capped_baskets(lineitem: DataFrame) -> DataFrame:
     """DISTINCT (o, p) postings with over-cap baskets dropped. The
-    size check is a window count over the basket key — ONE exchange on
-    o, which the pair self-join (also keyed on o) reuses downstream —
-    never a second scan or a join against a separate sizes table."""
+    size check is a window count over the basket key — ONE extra
+    posting-scale exchange on o (measured at sf1: +36 MB on the
+    entry's 245 MB baseline, ~15%), not a second scan or a join
+    against a separate sizes table. The pair join does NOT reuse this
+    exchange: the caller's localCheckpoint (which exists so four
+    consumers share the materialized postings instead of re-scanning)
+    truncates the partitioning info — the +1 exchange is the cap's
+    measured price, bounded and basket-local."""
     op = lineitem.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
