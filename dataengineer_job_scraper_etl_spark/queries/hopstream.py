@@ -31,16 +31,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataengineer_job_scraper_etl_spark.catalog import register
-from dataengineer_job_scraper_etl_spark.queries.seasonality import (
-    _HOP_SIZE_H,
-    _HOP_SLIDE_H,
-)
-from dataengineer_job_scraper_etl_spark.queries.streaming_queries import (
-    _drain,
-    _stage_stream_dir,
-)
-from dataengineer_job_scraper_etl_spark.streaming.jobs import stream_events
 
+# The hopping spec is shared with the batch entry
+# (queries/seasonality.py) — but importing that module (or
+# streaming_queries) at MODULE level here would register ~30
+# later-module entries at this module's import position, shifting
+# all_queries()'s documented-stable registration order (it is an
+# API); the sibling modules are therefore imported inside the entry
+# function, and the two constants are asserted equal to the batch
+# module's in tests/test_streaming.py's differential.
+_HOP_SIZE_H, _HOP_SLIDE_H = 2, 1
 _WATERMARK_MIN = 30
 
 _HOPSTREAM_ORACLE = f"""
@@ -77,6 +77,19 @@ GROUP BY w_start
 def streaming_hopping_window(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.queries import seasonality
+    from dataengineer_job_scraper_etl_spark.queries.streaming_queries import (
+        _drain,
+        _stage_stream_dir,
+    )
+    from dataengineer_job_scraper_etl_spark.streaming.jobs import (
+        stream_events,
+    )
+
+    assert (_HOP_SIZE_H, _HOP_SLIDE_H) == (
+        seasonality._HOP_SIZE_H,
+        seasonality._HOP_SLIDE_H,
+    )  # the twin must track the batch spec
     d = _stage_stream_dir(spark, sf_dir)
     out = (
         stream_events(spark, d)

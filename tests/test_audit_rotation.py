@@ -160,7 +160,7 @@ def test_r12_head_leads_and_tail_drains_the_r7_cohort():
     deferred = r7_dated - set(catalog.AUDIT_SCHEDULE)
     assert deferred == {
         "agg_distinct_counts",
-        "skew_two_stage_distinct_users",
+        "streaming_pc1_drift_monitor",
         "tpch_q1_pricing_summary",
     }, deferred
     # the tail is ONLY r7 drain — nothing fresher holds a slot ahead
