@@ -38,8 +38,9 @@ from dataengineer_job_scraper_etl_spark.catalog import register
 # later-module entries at this module's import position, shifting
 # all_queries()'s documented-stable registration order (it is an
 # API); the sibling modules are therefore imported inside the entry
-# function, and the two constants are asserted equal to the batch
-# module's in tests/test_streaming.py's differential.
+# function, which asserts these constants equal the batch module's
+# (and the tests/test_streaming.py differential would catch a drift
+# anyway — streamed windows against the batch entry's).
 _HOP_SIZE_H, _HOP_SLIDE_H = 2, 1
 _WATERMARK_MIN = 30
 
