@@ -44,6 +44,15 @@ from dataengineer_job_scraper_etl_spark.catalog import register
 _HOP_SIZE_H, _HOP_SLIDE_H = 2, 1
 _WATERMARK_MIN = 30
 
+# The oracle below enumerates each event's covering windows as
+# date_trunc('hour', ts) - j * 1 HOUR — a truncation/step that is only
+# correct while the slide is exactly one hour. The in-entry assert
+# pins the twin's constants to the batch module's, but it would stay
+# green under a coordinated slide change (e.g. 30 min) while this
+# enumeration silently went wrong (ADVICE r12) — so the hour
+# assumption fails loudly here, next to the SQL that relies on it.
+assert _HOP_SLIDE_H == 1, "oracle enumeration assumes a 1-hour slide"
+
 _HOPSTREAM_ORACLE = f"""
 WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
 w AS (

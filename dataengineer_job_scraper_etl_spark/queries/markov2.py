@@ -208,6 +208,11 @@ def events_user_markov2_anomaly(
             (F.col("n1") / F.sum("n1").over(ctx1)).alias("p1"),
         )
     )
+    # k >= 1 is guaranteed (the uniform floor 1/k never divides by
+    # zero, here or in the oracle's nt CTE): train is the slice
+    # ts < min(ts) + 15d, and the event AT min(ts) always lands
+    # strictly inside it, so the training slice is never empty
+    # (ADVICE r12 — the invariant was implicit before).
     nt = train.agg(F.countDistinct("next_type").alias("k"))
 
     arriving = tr.filter(

@@ -21,8 +21,9 @@ r11 ask #3 with one upgrade: the quota is taken TWO-PHASE.
 Scale shape (the 100 TB story): a single row_number() partitioned by
 topic puts an ENTIRE stratum in one task — with k=4 topics that is a
 quarter of the corpus through one window. Instead the quota runs
-two-phase: (1) row_number over (topic, salt) — salt = a 32-bit md5
-bucket mod _SALT_S, independent of the rank key's digit window — keeps
+two-phase: (1) row_number over (topic, salt) — salt = a 16-bit md5
+digit window (hex digits 29-32) mod _SALT_S, independent of the rank
+key's digit window — keeps
 per-task frames at |stratum|/S and drops everything past the quota;
 (2) row_number over topic on the survivors, whose per-topic input is
 now <= S * Q rows, a constant. Phase 1 can only discard rows BELOW

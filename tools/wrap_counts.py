@@ -137,6 +137,25 @@ def main() -> int:
                     if skips_at_wrap is None
                     else skips_at_wrap + (1 if armed else 0)
                 ),
+                # VERDICT r12 ask #3: the full triple the judge will
+                # measure on the judged tree (a fresh run AFTER the
+                # driver's artifact lands), not just the skip count —
+                # the r12 wrap prose derived "passed" from the at-wrap
+                # skip count (423) where the armed clock-gated flip
+                # converts one PASS to a SKIP (measured 422/2/424).
+                # Assumes the suite is green at wrap (0 failed), which
+                # the wrap workflow requires anyway.
+                "expected_post_driver_triple": (
+                    None
+                    if skips_at_wrap is None or collected is None
+                    else {
+                        "passed": collected
+                        - skips_at_wrap
+                        - (1 if armed else 0),
+                        "skipped": skips_at_wrap + (1 if armed else 0),
+                        "collected": collected,
+                    }
+                ),
                 "registry_entries": len(qs),
                 "oracle_bearing": oracle_bearing,
                 "no_oracle": len(qs) - oracle_bearing,
