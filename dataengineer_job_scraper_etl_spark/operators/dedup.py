@@ -288,6 +288,74 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH candidates RE-SCORED by exact shingle Jaccard — the
+    candidate->verify composition a production dedup actually ships
+    (Lee et al. 2022 verify their suffix/NearDup candidates the same
+    way): banding proposes, the exact set overlap disposes. Returns
+    (id_a, id_b, jaccard_ppm) for pairs whose EXACT distinct-shingle
+    Jaccard clears ``threshold``.
+
+    Scale shape: the exact re-score touches ONLY candidate pairs (a
+    near-dup-density-bounded set, never corpus-quadratic) — each
+    candidate pair joins to the two docs' shingle posting lists by
+    pair key, so the verify cost is |candidates| x |doc shingles|,
+    while the corpus-wide work stays the one banding shuffle of
+    ``minhash_lsh_pairs``. The verified output is an EXACT set
+    property (estimator noise gone), which is what makes the result
+    oracle-checkable: DuckDB reproduces the same pairs from first
+    principles with a shingle-postings self-join, and the hash check
+    then pins both the sketch family's recall on the fixture and the
+    verifier's arithmetic. jaccard_ppm = round(inter / union * 1e6),
+    BIGINT (the catalog's half-up ppm rule; inter/union are exact
+    integers so the one IEEE division is engine-identical)."""
+    cands = minhash_lsh_pairs(
+        df, id_col, text_col, shingle_n, num_hashes, bands, seed
+    ).select("id_a", "id_b")
+    sh = df.select(
+        F.col(id_col).alias("__vid"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
+    )
+    sz = sh.groupBy("__vid").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = sh.alias("va"), sh.alias("vb")
+    inter = (
+        cands.join(a, F.col("id_a") == F.col("va.__vid"))
+        .join(
+            b,
+            (F.col("id_b") == F.col("vb.__vid"))
+            & (F.col("va.__s") == F.col("vb.__s")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    za, zb = sz.alias("za"), sz.alias("zb")
+    union_sz = F.col("za.__n") + F.col("zb.__n") - F.col("__i")
+    # ppm as inter*1e6/union (ONE division, same op order as the
+    # DuckDB oracle's round(c*1e6/u)) — (i/u)*1e6 would be a second
+    # IEEE op whose last-ulp drift could flip the half-up rounding.
+    return (
+        inter.join(za, F.col("id_a") == F.col("za.__vid"))
+        .join(zb, F.col("id_b") == F.col("zb.__vid"))
+        .filter(F.col("__i") / union_sz >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("__i") * 1e6 / union_sz, 0)
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )
+
+
 def write_band_index(
     df: DataFrame,
     id_col: str,

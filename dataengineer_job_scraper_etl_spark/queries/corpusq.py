@@ -18,9 +18,12 @@ Two pipeline renderings:
   oracle; context_tokens=128 makes shard boundaries actually advance
   at that size.
 - ``corpus_pipeline_full``: the production rendering over the whole
-  documents table with the default MinHash+LSH pair generator —
-  rows-only by design (engine-specific hashing); it exists so the
-  bench can time the composition end-to-end at sf0.1.
+  documents table with the MinHash+LSH candidate generator VERIFIED
+  by exact 3-gram Jaccard (operators/dedup.minhash_verified_pairs) —
+  oracle-bearing since r13 (VERDICT r12 ask #2): the verify step
+  makes the pair relation an exact set property, so the full-corpus
+  composition is hash-checked end to end against an unbounded CTE
+  chain; it doubles as the bench's end-to-end timing entry at sf0.1.
 """
 
 from __future__ import annotations
@@ -210,17 +213,116 @@ def corpus_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full-table oracle for corpus_pipeline_full (VERDICT r12 ask #2):
+# the same gate -> exact dedup -> near-dup clusters -> canonical ->
+# mixture -> split -> pack chain as _PIPE_ORACLE, UNBOUNDED (whole
+# documents table), with the near-dup pair set being the EXACT 3-gram
+# shingle Jaccard >= 0.5 relation — the first-principles recomputation
+# of what the Spark side's MinHash candidates + exact re-score
+# produce (operators/dedup.minhash_verified_pairs). Recursion stays
+# cheap: the reach CTE walks only the near-dup edge set (fixture
+# near-dup density, never corpus-quadratic), and the shingle postings
+# join is the same shape the neardup_minhash_lsh oracle runs.
+_EQ_WTS = ", ".join(f"('src{i}', 0.05)" for i in range(20))
+
+_PIPE_FULL_ORACLE = f"""
+WITH RECURSIVE
+sig AS (
+  SELECT doc_id, source, toks, len(toks) AS n_toks,
+         len(list_distinct(toks)) AS d_toks, md5(norm) AS fp
+  FROM (SELECT doc_id, source,
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        FROM documents)),
+gated AS (
+  SELECT * FROM sig
+  WHERE n_toks >= 20 AND n_toks <= 90
+    AND (d_toks * 1000000) // n_toks >= 400000),
+keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY fp),
+exact AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)),
+shg AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS s
+    FROM (SELECT doc_id, toks,
+                 unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+          FROM exact))),
+ssz AS (SELECT doc_id, count(*) AS n FROM shg GROUP BY doc_id),
+pinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM shg a JOIN shg b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM pinter
+  JOIN ssz sa ON sa.doc_id = id_a
+  JOIN ssz sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+clustered AS (
+  SELECT e.doc_id, e.source, e.n_toks,
+         coalesce(c.component, e.doc_id) AS cluster
+  FROM exact e LEFT JOIN comp c ON e.doc_id = c.node),
+canonical AS (
+  SELECT doc_id, source, n_toks FROM (
+    SELECT *, first_value(doc_id) OVER (
+        PARTITION BY cluster ORDER BY n_toks DESC, doc_id ASC) AS keep_doc
+    FROM clustered)
+  WHERE doc_id = keep_doc),
+counts AS (SELECT source, count(*) AS n FROM canonical GROUP BY source),
+wts AS (SELECT * FROM (VALUES
+  {_EQ_WTS}) w(source, w)),
+tot AS (SELECT min(n / w) AS total FROM counts JOIN wts USING (source)),
+rates AS (
+  SELECT source, least(1.0, w * (SELECT total FROM tot) / n) AS r
+  FROM counts JOIN wts USING (source)),
+sampled AS (
+  SELECT c.doc_id, c.source, c.n_toks
+  FROM canonical c JOIN rates USING (source)
+  WHERE {_NIB5_8} < CAST(round(r * 65536) AS BIGINT)),
+labeled AS (
+  SELECT doc_id, source, n_toks,
+         CASE WHEN b < 12 THEN 'train' WHEN b < 14 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT *,
+               position(substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        in '0123456789abcdef') - 1 AS b
+        FROM sampled))
+SELECT doc_id, source, split,
+       CAST(floor(coalesce(sum(n_toks) OVER (
+           PARTITION BY source, split ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         / 2048.0) AS BIGINT) AS shard_id,
+       CAST(n_toks AS BIGINT) AS n_toks
+FROM labeled
+"""
+
+
 @register(
     "corpus_pipeline_full",
-    None,
-    doc="The same composed pipeline over the ENTIRE documents table "
-    "with the production MinHash+LSH near-dup path and an "
-    "all-sources mixture — the end-to-end timing entry (bench). "
-    "Rows-only by design: the LSH hash family is engine-specific; "
-    "the composition's correctness contract is "
-    "corpus_pipeline_survivors and the stage entries.",
+    _PIPE_FULL_ORACLE,
+    doc="The composed pipeline over the ENTIRE documents table with "
+    "the production MinHash+LSH near-dup path and an all-sources "
+    "mixture — the end-to-end timing entry (bench). Oracle-bearing "
+    "since r13 (VERDICT r12 ask #2): the near-dup stage now runs "
+    "candidate->verify (MinHash banding proposes, exact 3-gram "
+    "Jaccard >= 0.5 disposes — operators/dedup.minhash_verified_"
+    "pairs, re-scoring only the candidate set), so the pair relation "
+    "is an exact set property and the WHOLE full-corpus composition "
+    "is hash-checked against the unbounded CTE chain above — gate, "
+    "digest dedup, LSH recall on this corpus, cluster canonicals, "
+    "the 20-source equal-weight mixture rates, split, and packing "
+    "all cross the driver's hash, at full scale rather than the "
+    "doc_id < 500 window of corpus_pipeline_survivors.",
 )
 def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.operators.dedup import (
+        minhash_verified_pairs,
+    )
     from dataengineer_job_scraper_etl_spark.plans.corpus import (
         build_pretraining_corpus,
     )
@@ -229,7 +331,15 @@ def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     weights = {f"src{i}": 0.05 for i in range(20)}
-    out = build_pretraining_corpus(docs, mixture_weights=weights)
+
+    def verified_pair_fn(exact: DataFrame) -> DataFrame:
+        return minhash_verified_pairs(
+            exact, "doc_id", "text", shingle_n=3, threshold=0.5
+        ).select("id_a", "id_b")
+
+    out = build_pretraining_corpus(
+        docs, mixture_weights=weights, pair_fn=verified_pair_fn
+    )
     return out.select(
         "doc_id",
         "source",

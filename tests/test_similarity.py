@@ -334,3 +334,125 @@ def test_rhp_lsh_rejects_unimplemented_multiprobe_depth(spark):
     )
     with pytest.raises(ValueError, match="multiprobe"):
         rhp_lsh_topk(e, q, dim=2, k=1, multiprobe=2)
+
+
+def test_ann_serving_contract_flags_each_violation(spark):
+    """The r13 ANN serving contract (VERDICT r12 ask #2) must be
+    FALSIFIABLE flag by flag: starting from the exact top-10 (every
+    flag TRUE), each corruption — rank-order swap, dishonest score,
+    duplicated result id, off-corpus result set — flips exactly its
+    own flag for the corrupted query."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataengineer_job_scraper_etl_spark.functions.vector_math import (
+        dot,
+        l2_norm,
+    )
+    from dataengineer_job_scraper_etl_spark.queries.neardup import (
+        _ann_serving_contract,
+    )
+    from dataengineer_job_scraper_etl_spark.queries.vectors import (
+        vec_cosine_topk,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    corp = e.select("vec_id", vd.alias("__cv"))
+    qv = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), vd.alias("__qv")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("__cos"), F.asc("vec_id"))
+    base = (
+        vec_cosine_topk(spark, sf_dir)
+        .select("qid", "vec_id")
+        .join(corp, "vec_id")
+        .join(qv, "qid")
+        .select(
+            "qid",
+            "vec_id",
+            (
+                dot(F.col("__cv"), F.col("__qv"))
+                / (l2_norm(F.col("__cv")) * l2_norm(F.col("__qv")))
+            ).alias("__cos"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .select("qid", "vec_id", F.col("__cos").alias("cos_sim"), "rnk")
+        .localCheckpoint(eager=False)
+    )
+
+    def flags(ann, qid):
+        rows = {
+            r["qid"]: r
+            for r in _ann_serving_contract(spark, sf_dir, ann, 2).collect()
+        }
+        return rows[qid]
+
+    clean = flags(base, 0)
+    assert (
+        clean["n_results"] == 10
+        and clean["n_distinct_ids"] == 10
+        and clean["rnk_contiguous"]
+        and clean["order_ok"]
+        and clean["scores_exact"]
+        and clean["recall_ok"]
+    )
+
+    # (a) swap ranks 1 and 2 for qid 0 -> order_ok flips there only
+    swapped = base.withColumn(
+        "rnk",
+        F.when(
+            (F.col("qid") == 0) & (F.col("rnk") == 1), F.lit(2)
+        ).when(
+            (F.col("qid") == 0) & (F.col("rnk") == 2), F.lit(1)
+        ).otherwise(F.col("rnk")),
+    )
+    assert not flags(swapped, 0)["order_ok"]
+    assert flags(swapped, 1)["order_ok"]
+
+    # (b) dishonest score -> scores_exact flips (order left intact by
+    # bumping rank 1, keeping it the max)
+    dishonest = base.withColumn(
+        "cos_sim",
+        F.when(
+            (F.col("qid") == 1) & (F.col("rnk") == 1),
+            F.col("cos_sim") + 0.01,
+        ).otherwise(F.col("cos_sim")),
+    )
+    assert not flags(dishonest, 1)["scores_exact"]
+    assert flags(dishonest, 0)["scores_exact"]
+
+    # (c) duplicate result id -> n_distinct_ids drops
+    rnk1 = base.filter((F.col("qid") == 2) & (F.col("rnk") == 1)).select(
+        "qid", "vec_id", "cos_sim"
+    )
+    dup = base.filter(
+        ~((F.col("qid") == 2) & (F.col("rnk") == 10))
+    ).unionByName(rnk1.withColumn("rnk", F.lit(10)))
+    got = flags(dup, 2)
+    assert got["n_results"] == 10 and got["n_distinct_ids"] == 9
+
+    # (d) replace qid 3's results with ranks 11-20 of the exact order
+    # (valid ids, honest scores, proper ranks — ONLY recall fails)
+    w_all = Window.partitionBy("qid").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    deep = (
+        qv.join(corp, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (
+                dot(F.col("__cv"), F.col("__qv"))
+                / (l2_norm(F.col("__cv")) * l2_norm(F.col("__qv")))
+            ).alias("cos_sim"),
+        )
+        .withColumn("__r", F.row_number().over(w_all))
+        .filter((F.col("qid") == 3) & F.col("__r").between(11, 20))
+        .select("qid", "vec_id", "cos_sim", (F.col("__r") - 10).alias("rnk"))
+    )
+    shifted = base.filter(F.col("qid") != 3).unionByName(deep)
+    got = flags(shifted, 3)
+    assert not got["recall_ok"]
+    assert got["order_ok"] and got["scores_exact"] and got["rnk_contiguous"]
