@@ -377,3 +377,50 @@ def test_ingest_index_only_rule_skips_batch_internal_repeats(spark):
     # doc 2: pure batch-internal repeat -> untouched under index-only
     assert out[2]["removed_toks"] == 0
     assert out[2]["cleaned"] == f"{batch_only} y1"
+
+
+def test_verified_trim_keeps_composite_borrow_removes_true_dup(spark):
+    """VERDICT r12 ask #5's over-trim fixture, hand-built: doc 1
+    borrows 8 tokens from doc 2 immediately followed by 8 tokens from
+    doc 3 — the shingle-cover approximation sees one 16-position
+    covered run and trims it, but NO 16-token substring of doc 1
+    occurs twice, so the verified chain must keep all of doc 1. A
+    true 24-token cross-doc duplicate (docs 4/5) is trimmed by BOTH
+    chains identically."""
+    from dataengineer_job_scraper_etl_spark.queries.exsubverify import (
+        exact_substring_trim_verified,
+    )
+
+    a = " ".join(f"a{j}" for j in range(8))   # borrowed from doc 2
+    b = " ".join(f"b{j}" for j in range(8))   # borrowed from doc 3
+    dup = " ".join(f"d{j}" for j in range(24))  # true duplicate run
+    pad = lambda p, n: " ".join(f"{p}{j}" for j in range(n))  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, f"{pad('x', 20)} {a} {b} {pad('y', 20)}"),
+            (2, f"{pad('u', 20)} {a}"),
+            (3, f"{b} {pad('v', 20)}"),
+            (4, f"{pad('m', 20)} {dup}"),
+            (5, f"{pad('n', 20)} {dup}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in exact_substring_trim_verified(df).collect()
+    }
+    # doc 1: approximation would trim the 16 assembled positions;
+    # exact semantics keep everything
+    assert got[1]["removed_approx"] == 16
+    assert got[1]["removed_exact"] == 0
+    assert got[1]["cleaned"].split(" ")[20:36] == (a + " " + b).split(" ")
+    # docs 2/3: each borrowed phrase alone is an 8-token covered run,
+    # below min_run — neither chain trims
+    assert got[2]["removed_approx"] == 0 and got[2]["removed_exact"] == 0
+    assert got[3]["removed_approx"] == 0 and got[3]["removed_exact"] == 0
+    # docs 4/5: the genuine 24-token duplicate goes in BOTH chains,
+    # from every occurrence
+    for d in (4, 5):
+        assert got[d]["removed_approx"] == 24
+        assert got[d]["removed_exact"] == 24
+        assert "d0" not in got[d]["cleaned"]
