@@ -193,3 +193,145 @@ def lineitem_copurchase_lift(
             .alias("lift_ppm"),
         )
     )
+
+
+# --- salted over-cap variant (VERDICT r12 ask #6) ---------------------
+
+_SALTED_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+pc AS (SELECT p, CAST(count(*) AS BIGINT) AS cnt FROM op GROUP BY p),
+freq AS (SELECT op.o, op.p FROM op JOIN pc ON op.p = pc.p
+         WHERE pc.cnt >= {_MIN_CO}),
+pairs AS (
+  SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS co
+  FROM freq a JOIN freq b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+  HAVING count(*) >= {_MIN_CO})
+SELECT pr.part_a, pr.part_b, pr.co,
+       CAST(round(pr.co * 1e6 / n.n_orders) AS BIGINT) AS support_ppm,
+       CAST(round(pr.co * 1e6 / ca.cnt) AS BIGINT) AS conf_a_b_ppm,
+       CAST(round(pr.co * 1e6 / cb.cnt) AS BIGINT) AS conf_b_a_ppm,
+       CAST(round(pr.co * n.n_orders * 1e6 / (ca.cnt * cb.cnt)) AS BIGINT)
+         AS lift_ppm
+FROM pairs pr
+JOIN pc ca ON pr.part_a = ca.p
+JOIN pc cb ON pr.part_b = cb.p
+CROSS JOIN n
+"""
+
+
+def _salted_pairs(freq: DataFrame, cap: int) -> DataFrame:
+    """Pair generation with triangle-join replication for over-cap
+    baskets — the operators/similarity._presplit_dropped device keyed
+    on the ORDER id: a basket of B > cap distinct (pruned) parts is
+    hashed into s = ceil(B / cap) groups, each posting replicated to
+    the s tasks (t1 <= t2) containing its group, and the join runs on
+    (o, t1, t2). Cross-group pairs meet exactly in (min, max);
+    same-group pairs are kept only in (g, g) — every unordered pair
+    is examined EXACTLY once, so the result is bit-identical to the
+    plain self-join (pinned by tests/test_basket_attribution.py's
+    planted 200-part order), while per-task pair work is bounded by
+    ~cap^2 regardless of basket skew. Baskets at or under the cap get
+    s = 1 (single task key (0,0) — zero replication overhead). The
+    basket-size count is a window over the order key, the exchange
+    the pair join needs anyway."""
+    bs = F.count(F.lit(1)).over(Window.partitionBy("o"))
+    g = freq.withColumn(
+        "__s", F.ceil(bs / F.lit(cap)).cast("int")
+    ).withColumn(
+        "__g", F.pmod(F.xxhash64(F.col("p")), F.col("__s")).cast("int")
+    )
+    tasks = g.select(
+        "o",
+        "p",
+        "__g",
+        F.explode(F.sequence(F.lit(0), F.col("__s") - 1)).alias("__h"),
+    ).select(
+        "o",
+        "p",
+        "__g",
+        F.least("__g", "__h").alias("__t1"),
+        F.greatest("__g", "__h").alias("__t2"),
+    )
+    a, b = tasks.alias("a"), tasks.alias("b")
+    same_group_once = (F.col("a.__g") != F.col("b.__g")) | (
+        (F.col("a.__t1") == F.col("a.__g"))
+        & (F.col("a.__t2") == F.col("a.__g"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.__t1") == F.col("b.__t1"))
+            & (F.col("a.__t2") == F.col("b.__t2"))
+            & (F.col("a.p") < F.col("b.p")),
+        )
+        .filter(same_group_once)
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .filter(F.col("co") >= _MIN_CO)
+    )
+
+
+@register(
+    "lineitem_copurchase_lift_salted",
+    _SALTED_ORACLE,
+    doc="Market-basket association metrics INCLUDING over-cap baskets "
+    "(VERDICT r12 ask #6) — the alternative to lineitem_copurchase_"
+    "lift's drop-the-basket cap for the retailer who wants bulk "
+    "orders in the analysis: pair generation runs with triangle-join "
+    "replication (the vec_semdedup_presplit device keyed on the "
+    "order id), so a 10k-item bot basket spreads over s*(s+1)/2 "
+    "tasks of ~cap^2 pair work each instead of one quadratic task, "
+    "and the output is BIT-IDENTICAL to the uncapped formulation "
+    "(the oracle is exactly that; the planted 200-part order test "
+    "pins salted == plain). Marginals, support, confidence and lift "
+    "are over the FULL corpus — no basket dropped. TPC-H baskets "
+    "never exceed 7, so on shipped fixtures every basket has s = 1 "
+    "and the replication is pure identity overhead (~one int column "
+    "per posting).",
+)
+def lineitem_copurchase_lift_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    op = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=False)  # shared by counts + join sides
+    )
+    n = op.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    pc = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    freq = op.join(
+        pc.filter(F.col("cnt") >= _MIN_CO).select("p"), "p", "left_semi"
+    )
+    pairs = _salted_pairs(freq, _MAX_BASKET)
+    ca, cb = pc.alias("ca"), pc.alias("cb")
+    return (
+        pairs.join(ca, F.col("part_a") == F.col("ca.p"))
+        .join(cb, F.col("part_b") == F.col("cb.p"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "co",
+            F.round(F.col("co") * 1e6 / F.col("n_orders"), 0)
+            .cast("bigint")
+            .alias("support_ppm"),
+            F.round(F.col("co") * 1e6 / F.col("ca.cnt"), 0)
+            .cast("bigint")
+            .alias("conf_a_b_ppm"),
+            F.round(F.col("co") * 1e6 / F.col("cb.cnt"), 0)
+            .cast("bigint")
+            .alias("conf_b_a_ppm"),
+            F.round(
+                F.col("co") * F.col("n_orders") * 1e6
+                / (F.col("ca.cnt") * F.col("cb.cnt")),
+                0,
+            )
+            .cast("bigint")
+            .alias("lift_ppm"),
+        )
+    )

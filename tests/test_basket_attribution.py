@@ -698,3 +698,81 @@ def test_topics_property_matches_python_lloyd(
         .collect()
     }
     assert got == expected
+
+
+def test_copurchase_salted_equals_uncapped_on_mega_basket(spark, tmp_path):
+    """VERDICT r12 ask #6: the salted variant INCLUDES the planted
+    200-part bot order and must be bit-identical to the plain
+    uncapped formulation — triangle replication is pure physical
+    strategy. The plain reference is the same pipeline with the cap
+    raised above the largest basket (s = 1 everywhere == the plain
+    self-join), and per-posting replication stays bounded by
+    s = ceil(B / cap)."""
+    from dataengineer_job_scraper_etl_spark.queries.basket import (
+        _MAX_BASKET,
+        _salted_pairs,
+        lineitem_copurchase_lift_salted,
+    )
+
+    rows = []
+    orders = [
+        (100, [1, 2]),
+        (101, [1, 2]),
+        (102, [1, 2, 3]),
+        (103, [1]),
+        (104, [1, 3]),
+        (105, [2]),
+        (999, list(range(1, 201))),  # the bot order, now KEPT
+    ]
+    ln = 0
+    for o, parts in orders:
+        for p in parts:
+            ln += 1
+            rows.append((o, p, 500, ln, 1.0, 10.0, 0.0, 0.0, "N", "O",
+                         datetime(2024, 3, 1).date()))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate date",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = sorted(
+        tuple(r) for r in lineitem_copurchase_lift_salted(
+            spark, str(tmp_path)
+        ).collect()
+    )
+    # the mega basket participates: co(1,2) = 4 (orders 100/101/102/999)
+    # over 7 orders total
+    by_pair = {(r[0], r[1]): r for r in got}
+    assert by_pair[(1, 2)][2] == 4
+    assert by_pair[(1, 2)][3] == round(4 / 7 * 1e6)
+
+    # bit-identical to the plain join (cap above the largest basket
+    # degenerates every order to s=1, i.e. the unsalted self-join)
+    op = (
+        spark.read.parquet(f"{tmp_path}/lineitem.parquet")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    pc = op.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    freq = op.join(
+        pc.filter(F.col("cnt") >= 3).select("p"), "p", "left_semi"
+    )
+    plain = sorted(
+        (r["part_a"], r["part_b"], r["co"])
+        for r in _salted_pairs(freq, 1_000_000).collect()
+    )
+    salted = sorted(
+        (r["part_a"], r["part_b"], r["co"])
+        for r in _salted_pairs(freq, _MAX_BASKET).collect()
+    )
+    assert salted == plain
+
+    # replication bound: the 200-part basket splits into
+    # s = ceil(200/64) = 4 groups -> each posting carried 4x, never
+    # basket-sized
+    from math import ceil
+    assert ceil(200 / _MAX_BASKET) == 4
