@@ -79,29 +79,40 @@ init AS (
 {assign("a2", "c2")}"""
 
 
-_TOPICS_ORACLE = f"""
-WITH tok AS (
-  SELECT doc_id, {_TOK_SQL} AS t
-  FROM documents WHERE doc_id < {_DOC_BOUND}),
-cnt AS (
+def _hashtf_emb_sql(src: str, out: str) -> str:
+    """The hashed-TF featurization chain in SQL, parameterized so the
+    streaming twin (queries/topicstream.py) can featurize its incoming
+    slice with the IDENTICAL formulation: (doc_id, text) relation
+    ``src`` -> L2-normalized {_DIM}-dim unit vectors ``out``
+    (vec_id, e); zero-norm docs excluded."""
+    return f"""
+{out}_tok AS (
+  SELECT doc_id, {_TOK_SQL} AS t FROM {src}),
+{out}_cnt AS (
   SELECT doc_id,
          position(substring(md5(tk), 1, 1) IN '0123456789abcdef') - 1 AS bk,
          count(*) AS c
-  FROM (SELECT doc_id, unnest(t) AS tk FROM tok WHERE len(t) > 0)
+  FROM (SELECT doc_id, unnest(t) AS tk FROM {out}_tok WHERE len(t) > 0)
   WHERE tk <> '' GROUP BY ALL),
-vec AS (
+{out}_vec AS (
   SELECT d.doc_id,
-         list(CAST(coalesce(cnt.c, 0) AS DOUBLE) ORDER BY r.i) AS v
-  FROM (SELECT DISTINCT doc_id FROM cnt) d
+         list(CAST(coalesce({out}_cnt.c, 0) AS DOUBLE) ORDER BY r.i) AS v
+  FROM (SELECT DISTINCT doc_id FROM {out}_cnt) d
   CROSS JOIN range(0, {_DIM}) r(i)
-  LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.bk = r.i
+  LEFT JOIN {out}_cnt ON {out}_cnt.doc_id = d.doc_id AND {out}_cnt.bk = r.i
   GROUP BY d.doc_id),
-emb AS (
+{out} AS (
   SELECT doc_id AS vec_id,
          list_transform(v, x -> x / nullif(sqrt(list_inner_product(v, v)), 0))
            AS e
-  FROM vec
-  WHERE sqrt(list_inner_product(v, v)) > 0),
+  FROM {out}_vec
+  WHERE sqrt(list_inner_product(v, v)) > 0)"""
+
+
+_TOPICS_ORACLE = f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < {_DOC_BOUND}),
+{_hashtf_emb_sql("src", "emb")},
 {_lloyd_sql()}
 SELECT vec_id AS doc_id, CAST(cid AS BIGINT) AS topic
 FROM a2
@@ -123,9 +134,6 @@ FROM a2
 def docs_hashtf_kmeans_topics(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from dataengineer_job_scraper_etl_spark.functions.vector_math import (
-        dot,
-    )
     from dataengineer_job_scraper_etl_spark.operators.similarity import (
         assign_to_centroid,
         kmeans_corpus_init,
@@ -134,40 +142,49 @@ def docs_hashtf_kmeans_topics(
     d = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .filter(F.col("doc_id") < _DOC_BOUND)
-        .select(
-            "doc_id",
-            F.split(
-                F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
-            ).alias("t"),
-        )
-        .filter(F.size("t") > 0)
+        .select("doc_id", "text")
     )
-    bucket = lambda tk: (  # noqa: E731 - one md5 nibble, 0..15
-        F.conv(F.substring(F.md5(tk), 1, 1), 16, 10).cast("int")
-    )
-    toks = F.filter(F.col("t"), lambda tk: tk != "")
-    bks = F.transform(toks, bucket)
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(_DIM - 1)),
-        lambda i: F.size(F.filter(bks, lambda b: b == i)).cast("double"),
-    )
-    base = d.select("doc_id", vec.alias("v")).withColumn(
-        "__norm", F.sqrt(dot(F.col("v"), F.col("v")))
-    )
-    emb = (
-        base.filter(F.col("__norm") > 0)
-        .select(
-            "doc_id",
-            F.transform(F.col("v"), lambda x: x / F.col("__norm")).alias(
-                "e"
-            ),
-        )
-        .localCheckpoint(eager=False)  # Lloyd rounds + final assignment
-    )
+    emb = hashtf_unit_embeddings(d).localCheckpoint(
+        eager=False
+    )  # Lloyd rounds + final assignment
     cents = kmeans_corpus_init(
         emb, id_col="doc_id", vec_col="e", dim=_DIM, n_clusters=_K,
         n_iter=2,
     )
     return assign_to_centroid(emb, cents, "e").select(
         "doc_id", F.col("cluster_id").cast("bigint").alias("topic")
+    )
+
+
+def hashtf_unit_embeddings(d: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, e): the hashed bag-of-words
+    featurizer (one md5 nibble per token -> {_DIM} buckets) with L2
+    normalization — a pure codegen projection (no shuffle, no state),
+    which is exactly what lets the streaming twin run it per
+    micro-batch unchanged. Token-less and zero-norm docs drop."""
+    from dataengineer_job_scraper_etl_spark.functions.vector_math import (
+        dot,
+    )
+
+    bucket = lambda tk: (  # noqa: E731 - one md5 nibble, 0..15
+        F.conv(F.substring(F.md5(tk), 1, 1), 16, 10).cast("int")
+    )
+    split = d.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
+        ).alias("t"),
+    ).filter(F.size("t") > 0)
+    toks = F.filter(F.col("t"), lambda tk: tk != "")
+    bks = F.transform(toks, bucket)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(_DIM - 1)),
+        lambda i: F.size(F.filter(bks, lambda b: b == i)).cast("double"),
+    )
+    base = split.select("doc_id", vec.alias("v")).withColumn(
+        "__norm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    return base.filter(F.col("__norm") > 0).select(
+        "doc_id",
+        F.transform(F.col("v"), lambda x: x / F.col("__norm")).alias("e"),
     )
