@@ -249,6 +249,17 @@ HEADLINE += [
     "events_user_markov2_anomaly",
     "docs_topic_balanced_sample",
 ]
+HEADLINE += [
+    # round-13 additions: the exactness-verified ExactSubstr (two
+    # bounded corpus passes + candidate-run re-shingling), the salted
+    # over-cap basket variant (triangle replication on the order key),
+    # and the streaming topic-assignment twin (frozen centroids,
+    # stateless serve). The 8 rows-only->contract conversions keep
+    # their existing headline seats (same names).
+    "docs_exact_substring_verified",
+    "lineitem_copurchase_lift_salted",
+    "streaming_topic_assignment",
+]
 
 # Entries OMITTED from the stdout line's per-query dict (still RUN
 # every round; medians/spread/raw reps publish in bench_runs.json under
@@ -325,6 +336,16 @@ STDOUT_OMIT = frozenset(
         "tpch_q3_shipping_priority",
         "text_bm25_ranking",
         "tpch_q5_region_revenue",
+        # round-13 omissions, restoring the headroom the three new
+        # headline entries consumed: q9 has sat at ~0.9 s in every
+        # artifact since its r5 join-order fix (0.91/0.96 r11/r12);
+        # q21 and the RRF fusion live in the 1.0-1.25 s band where
+        # the observed rep spread (0.2-0.4 s under this host posture)
+        # rivals any cross-round delta the stdout number could show —
+        # bench_runs.json keeps their full per-rep record either way
+        "tpch_q9_product_profit",
+        "tpch_q21_waiting_suppliers",
+        "retrieval_hybrid_rrf",
     }
 )
 
@@ -458,6 +479,7 @@ def render_stdout_line(
     stall_n: int,
     stall_clean: int,
     uniform: dict,
+    runs_file: str = "bench_runs.json",
 ) -> str:
     """The ONE driver-facing stdout JSON line, inside STDOUT_BUDGET:
     envelope + the per-query subset (STDOUT_OMIT entries publish in the
@@ -485,7 +507,7 @@ def render_stdout_line(
             "warmup_version": WARMUP_VERSION,
             # FULL per-entry medians (incl. STDOUT_OMIT), raw reps,
             # spreads, sentinels, stall detail live here:
-            "runs_file": "bench_runs.json",
+            "runs_file": runs_file,
             "n_run": len(timings),
             # noise flags: counts only on stdout (r9's full
             # stall_flagged dict is what blew the capture window);
@@ -737,6 +759,18 @@ def main() -> None:
     _sentinel()  # compile the probe itself outside the measurement
     sentinels: list[float] = []
 
+    # Solo adjudication mode (VERDICT r12 ask #4 / the r9 protocol):
+    # SPARK_GRAFT_BENCH_ONLY="a,b,c" times only the named headline
+    # entries — full warmup, same rep-major passes, same sentinel
+    # brackets — and redirects the side file so a solo run can never
+    # clobber the round's full-headline artifact. Used to re-run
+    # drift-flagged entries in isolation: a solo median back at the
+    # clean baseline with clean sentinels adjudicates the full-pass
+    # number as pass-ordering/host noise, not a plan regression.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only = [n for n in only_env.split(",") if n.strip()]
+    headline = [n for n in HEADLINE if n in set(only)] if only else HEADLINE
+
     # Rep-major order (full headline pass per rep, not rep-per-query):
     # consecutive same-query runs would share executor-local state the
     # production cadence (one run per nightly batch) does not; a full
@@ -755,7 +789,7 @@ def main() -> None:
         except Exception:  # noqa: BLE001 - best-effort hygiene only
             pass
         sentinels.append(_sentinel())
-        for name in HEADLINE:
+        for name in headline:
             q = qs.get(name)
             if q is None:
                 continue
@@ -834,7 +868,10 @@ def main() -> None:
     # (raw runs arrays) and r9 (stall_flagged + uniform detail at 57
     # entries). stdout keeps the envelope + the per-query subset under
     # STDOUT_BUDGET; everything else lives here.
-    side = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_runs.json")
+    side = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "bench_runs_solo.json" if only else "bench_runs.json",
+    )
     try:
         with open(side, "w") as f:
             json.dump(
@@ -869,6 +906,7 @@ def main() -> None:
             stall_n=len(reruns),
             stall_clean=sum(1 for r in reruns.values() if r["clean"]),
             uniform=uniform,
+            runs_file=os.path.basename(side),
         )
     )
 
