@@ -130,74 +130,103 @@ def test_every_registered_entry_evidenced_or_scheduled():
     assert unevidenced_not_scheduled() == []
 
 
-def test_r12_head_leads_and_tail_drains_the_r7_cohort():
-    """The 4 never-audited r12 registrations (asks #3/#5/#6) + the
-    ask #4 source-changed basket entry lead; the tail holds 45 of the
-    48-entry r7 cohort (ask #1) — the 3 deferred entries are the
-    zero-sum cost of the head seats and must lead r13's staleness
-    tier. No rows-only slots: the five r10-dated no-oracle entries
-    are exactly 2 rounds stale at this clock (the >2 rule seats them
-    in r13 — ask #2's bar '≤2 rounds stale after r12' holds either
-    way)."""
+# The 31 entries whose v3 source hash moved between the r12 and r13
+# schedule generations: the 8 rows-only->contract conversions (VERDICT
+# r12 ask #2) plus their defining-module / imported-operators
+# collateral (neardup.py twins, corpusq.py siblings, operators/dedup
+# importers, the topics.py featurizer refactor, the two ADVICE-r12
+# code fixes). Frozen HERE because the ledger re-snapshots at install
+# time — the changed set is only recomputable before installation.
+_R13_CHANGED = {
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "ann_opq_anisotropic_gain",
+    "ann_opq_vs_pq_gain",
+    "ann_recall_ivf",
+    "ann_recall_ivfpq",
+    "ann_recall_opq",
+    "ann_recall_pq_adc",
+    "ann_recall_rhp_lsh",
+    "ann_rhp_lsh_topk",
+    "corpus_dataset_card",
+    "corpus_pipeline_allsource_mixture",
+    "corpus_pipeline_decontaminated",
+    "corpus_pipeline_full",
+    "corpus_pipeline_intake",
+    "corpus_pipeline_survivors",
+    "corpus_pipeline_survivors_stripped",
+    "docs_hashtf_kmeans_topics",
+    "docs_incremental_ingest",
+    "docs_snapshot_diff",
+    "docs_topic_balanced_sample",
+    "lineitem_copurchase_lift",
+    "neardup_minhash_lsh",
+    "neardup_minhash_planted_recall",
+    "neardup_minhash_precision_contract",
+    "neardup_simhash",
+    "neardup_simhash_fingerprints",
+    "neardup_simhash_planted_recall",
+    "streaming_hopping_window",
+    "vec_neardup_lsh_pairs",
+    "vec_neardup_lsh_planted_recall",
+}
+
+
+def test_r13_head_leads_changed_reproves_tail_drains_oldest():
+    """r13 window (VERDICT r12 asks #1/#2): the 3 never-audited r13
+    registrations lead, the 31-entry changed tier re-proves every
+    entry the ask-#2 conversions touched (including all 8 former
+    rows-only entries — the '8' in ask #1's done-criterion), and the
+    tail drains OLDEST-FIRST: the 3 r7 deferrals, then the head of
+    the r8 cohort. NOTE the ask's 'floor becomes r10 after r13' is
+    arithmetically unreachable: 47 entries are r8-dated and 50 are
+    r9-dated at this clock (PLANS.md r13), so oldest-first is the
+    fastest legal drain; the floor reaches r8 this round."""
     never_audited = {
-        "streaming_hopping_window",
-        "events_type_markov2_transitions",
-        "events_user_markov2_anomaly",
-        "docs_topic_balanced_sample",
+        "lineitem_copurchase_lift_salted",
+        "docs_exact_substring_verified",
+        "streaming_topic_assignment",
     }
-    source_changed = {"lineitem_copurchase_lift"}
-    head = catalog.AUDIT_SCHEDULE[: len(never_audited) + len(source_changed)]
-    assert never_audited | source_changed == set(head)
-    # ask #1: every r7-dated oracle-bearing entry is in the window,
-    # except exactly the 3 documented zero-sum deferrals
-    gen = catalog.AUDIT_SCHEDULE_META["generated_after_round"]
-    last = _last_rounds(upto=gen)
-    qs = catalog.all_queries()
-    r7_dated = {
-        n for n, q in qs.items()
-        if q.oracle is not None and last.get(n) == 7
-    }
-    deferred = r7_dated - set(catalog.AUDIT_SCHEDULE)
-    assert deferred == {
+    head = catalog.AUDIT_SCHEDULE[: len(never_audited)]
+    assert set(head) == never_audited
+    n_chg = len(_R13_CHANGED)
+    assert set(catalog.AUDIT_SCHEDULE[3 : 3 + n_chg]) == _R13_CHANGED
+    # ask #1's 8: the 3 r7 deferrals + the 5 r10-dated former
+    # rows-only seats are all in THIS window
+    for n in (
         "agg_distinct_counts",
         "streaming_pc1_drift_monitor",
         "tpch_q1_pricing_summary",
-    }, deferred
-    # the tail is ONLY r7 drain — nothing fresher holds a slot ahead
-    # of the cohort
-    tail = catalog.AUDIT_SCHEDULE[len(head):]
-    assert all(last.get(n) == 7 for n in tail), [
-        (n, last.get(n)) for n in tail if last.get(n) != 7
-    ]
-    # no rows-only head slot exists in this window
-    assert all(qs[n].oracle is not None for n in catalog.AUDIT_SCHEDULE)
-
-
-def test_no_oracle_refresh_rule_seats_r10_cohort_in_r13():
-    """VERDICT r11 ask #2, pinned as the RULE (not this window's
-    composition): a no-oracle entry with r10 evidence is exactly 2
-    rounds stale when the r12 window is generated (next_round=12 ->
-    NOT seated: 12-10 is not >2) and 3 rounds stale at the r13
-    generation (13-10 > 2 -> seated). The five r10-dated entries
-    therefore stay ≤2 rounds stale after r12 and refresh in r13
-    automatically."""
+        "neardup_minhash_lsh",
+        "neardup_simhash",
+        "neardup_simhash_fingerprints",
+        "ann_rhp_lsh_topk",
+        "ann_ivf_topk",
+    ):
+        assert n in catalog.AUDIT_SCHEDULE, n
+    # the staleness tail is oldest-first: exactly the 3 r7 entries,
+    # then r8-dated entries to the window edge
     gen = catalog.AUDIT_SCHEDULE_META["generated_after_round"]
     last = _last_rounds(upto=gen)
+    tail = catalog.AUDIT_SCHEDULE[3 + n_chg :]
+    assert sorted(last.get(n) for n in tail) == [7] * 3 + [8] * (
+        len(tail) - 3
+    ), [(n, last.get(n)) for n in tail]
+
+
+def test_rows_only_class_retired():
+    """VERDICT r12 ask #2's done-criterion: every registered entry is
+    oracle-bearing — the no-oracle refresh-rule machinery (head seats
+    for never-seen / >2-rounds-stale rows-only entries) is vestigial
+    by construction, and the driver's rows-only check can no longer
+    be any entry's only evidence."""
     qs = catalog.all_queries()
-    r10_no_oracle = {
-        n for n, q in qs.items()
-        if q.oracle is None and last.get(n) == 10
-    }
-    assert len(r10_no_oracle) == 5, r10_no_oracle
-    # the rule, exactly as audit_rotation.plan_window computes it
-    for n in r10_no_oracle:
-        assert not (12 - last[n] > 2)  # r12: no slot
-        assert 13 - last[n] > 2        # r13: refresh slot
-    # and the other three no-oracle entries are fresher still
-    others = {
-        n for n, q in qs.items() if q.oracle is None
-    } - r10_no_oracle
-    assert all(last[n] == 11 for n in others), others
+    no_oracle = [n for n, q in qs.items() if q.oracle is None]
+    assert no_oracle == []
+    # and therefore no schedule can waste a rows-only slot
+    assert not _wasted_no_oracle_slots(
+        catalog.AUDIT_SCHEDULE, qs, _last_rounds(), 13
+    )
 
 
 def test_audit_order_puts_schedule_first():
