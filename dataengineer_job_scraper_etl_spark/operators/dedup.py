@@ -295,7 +295,7 @@ def minhash_verified_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     num_hashes: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     seed: int = 42,
 ) -> DataFrame:
     """MinHash+LSH candidates RE-SCORED by exact shingle Jaccard — the
@@ -317,7 +317,19 @@ def minhash_verified_pairs(
     then pins both the sketch family's recall on the fixture and the
     verifier's arithmetic. jaccard_ppm = round(inter / union * 1e6),
     BIGINT (the catalog's half-up ppm rule; inter/union are exact
-    integers so the one IEEE division is engine-identical)."""
+    integers so the one IEEE division is engine-identical).
+
+    BANDING IS MATCHED TO THE VERIFY THRESHOLD (r13 sf1 finding): the
+    exact-set contract needs P(banding misses a pair at j >= threshold)
+    ~ 0, and the candidate generator's default 16 bands x 4 rows has
+    P(find) = 1-(1-j^4)^16 = 0.65 at j=0.5 and 0.988 at j=0.7 — at
+    sf1 the tile near-dups sit at j ~ 0.7 and 56 of 329,600 true
+    pairs were missed. With the same 64 hashes re-banded as 32 bands
+    x 2 rows, P(find) = 1-(1-j^2)^32 = 0.9999 at j=0.5 (verified
+    pair-set == exact relation at sf0.001/0.01/0.1 AND sf1). The
+    price is candidate-side: band rows double and low-j collisions
+    rise (P ~ 32*j^2, still density-bounded — a j=0.05 random pair
+    collides w.p. ~8e-5), all disposed of by the exact re-score."""
     cands = minhash_lsh_pairs(
         df, id_col, text_col, shingle_n, num_hashes, bands, seed
     ).select("id_a", "id_b")
