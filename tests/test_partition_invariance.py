@@ -43,6 +43,11 @@ ENTRIES = [
     # round-12 additions with order-sensitivity risk:
     "docs_topic_balanced_sample",       # two-phase salted quota rank
     "events_user_markov2_anomaly",      # lag windows + ppm back-off
+    # round-13 additions with order-sensitivity risk:
+    "neardup_minhash_lsh",              # banding candidates + exact ppm
+    "lineitem_copurchase_lift_salted",  # triangle replication pair join
+    "docs_exact_substring_verified",    # two gaps-and-islands passes
+    "ann_ivfpq_topk",                   # probe + ADC + rerank contract
 ]
 
 

@@ -114,6 +114,21 @@ def test_catalog_docstring_plan_claims_hold(spark, sf_dir):
         # exactly TWO windows = the two-phase quota signature (a
         # third would mean a stratum-sized frame snuck back in)
         "docs_topic_balanced_sample": (3, 2, 0),
+        # round-13 additions (same convention). The fingerprint
+        # contract is a PURE PROJECTION — zero exchanges is the
+        # signature; the verified-pairs entry is banding shuffle +
+        # candidate-bounded verify joins (AQE broadcasts them at
+        # sf0.01; headroom for their SMJ rendering at scale); the
+        # verified ExactSubstr's 4 windows are its two per-doc
+        # gaps-and-islands passes (phase-1 candidates, phase-2
+        # verified coverage) x (row_number + the run-list agg's
+        # internal sort); the salted basket's 2 windows are the
+        # basket-size count (the one exchange the pair join needs
+        # anyway) — a third would mean a stratum-sized frame.
+        "neardup_minhash_lsh": (5, 0, 3),
+        "neardup_simhash_fingerprints": (0, 0, 0),
+        "docs_exact_substring_verified": (13, 4, 2),
+        "lineitem_copurchase_lift_salted": (9, 2, 2),
     }
     qs = all_queries()
     bad = []
