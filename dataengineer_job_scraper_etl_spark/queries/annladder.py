@@ -101,3 +101,131 @@ def ann_ivf_probe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.coalesce(F.lag("hits").over(w), F.lit(0))
         ).alias("monotone_ok"),
     )
+
+
+# --- Matryoshka-style dimension-truncation ladder --------------------
+# The third axis of the same provisioning surface: probe count sizes
+# LATENCY, SQ bits size STORAGE, and truncated dimensionality sizes
+# BOTH at once (Matryoshka/MRL serving keeps only the first d' of d
+# trained dimensions per vector — shorter vectors mean smaller index
+# AND cheaper distance arithmetic). Unlike the probe/bits ladders this
+# one is pure deterministic arithmetic on both engines (slice, then
+# the identical cosine), so the ORACLE recomputes the exact per-rung
+# recall instead of asserting floors: the driver hash pins the whole
+# tradeoff curve, not just a lower bound.
+DIM_LADDER = (8, 16, 32, 64)
+_DIM_K = 10
+
+
+def _dim_ladder_oracle() -> str:
+    dims = ", ".join(str(d) for d in DIM_LADDER)
+    full = DIM_LADDER[-1]
+    return f"""
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5),
+dims AS (SELECT unnest([{dims}]) AS dim),
+scored AS (
+  SELECT d.dim, q.qid, e.vec_id,
+         list_cosine_similarity(
+           array_slice(q.qe, 1, d.dim),
+           array_slice(CAST(e.embedding AS DOUBLE[]), 1, d.dim)) AS sim
+  FROM q CROSS JOIN dims d CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.qid),
+ranked AS (
+  SELECT dim, qid, vec_id,
+         row_number() OVER (PARTITION BY dim, qid
+                            ORDER BY sim DESC, vec_id ASC) AS rnk
+  FROM scored),
+topk AS (SELECT dim, qid, vec_id FROM ranked WHERE rnk <= {_DIM_K}),
+gold AS (SELECT qid, vec_id FROM topk WHERE dim = {full})
+SELECT CAST(t.dim AS BIGINT) AS dim, t.qid,
+       CAST(count(g.vec_id) AS BIGINT) AS hits,
+       CAST(count(g.vec_id) * 100000 AS BIGINT) AS recall_ppm
+FROM topk t LEFT JOIN gold g
+  ON g.qid = t.qid AND g.vec_id = t.vec_id
+GROUP BY t.dim, t.qid
+"""
+
+
+@register(
+    "ann_dim_truncation_tradeoff",
+    _dim_ladder_oracle(),
+    doc="Matryoshka/MRL dimension-truncation ladder: recall@10 vs the "
+    "full-dim exact top-10 when serving cosine over only the first "
+    "8/16/32/64 dimensions, per query. ONE corpus scan computes every "
+    "rung (the per-dim cosines are sliced projections of the same "
+    "broadcast-query cross, unpivoted with stack), then one two-stage "
+    "top-k on (dim, qid) — the corpus is never rescanned per rung and "
+    "never shuffled, only (dim, qid, vec_id, sim) rows move. Exact "
+    "hash oracle (no floors): truncation is deterministic arithmetic, "
+    "so the full 20-row tradeoff curve is pinned cross-engine. The "
+    "64-dim rung doubles as the self-check (hits = 10 everywhere).",
+)
+def ann_dim_truncation_tradeoff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from dataengineer_job_scraper_etl_spark.functions.vector_math import (
+        cosine,
+    )
+    from dataengineer_job_scraper_etl_spark.operators.topk import (
+        grouped_topk,
+    )
+
+    e, q = _vectors(spark, sf_dir)
+    qe = F.transform(F.col("qe"), lambda x: x.cast("double"))
+    ee = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # one projection per corpus row: all ladder rungs as columns...
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            *[
+                cosine(F.slice(qe, 1, d), F.slice(ee, 1, d)).alias(
+                    f"cos_{d}"
+                )
+                for d in DIM_LADDER
+            ],
+        )
+    )
+    # ...then unpivoted to (dim, sim) rows — the scan runs ONCE for
+    # the whole ladder (the probe ladder above must loop: each probe
+    # count re-probes the index; a slice width is just a projection)
+    stack_args = []
+    for d in DIM_LADDER:
+        stack_args += [F.lit(d).cast("bigint"), F.col(f"cos_{d}")]
+    long = scored.select(
+        "qid",
+        "vec_id",
+        F.stack(F.lit(len(DIM_LADDER)), *stack_args).alias("dim", "sim"),
+    )
+    topk = grouped_topk(
+        long, ["dim", "qid"], [F.desc("sim"), F.asc("vec_id")], _DIM_K
+    )
+    gold = (
+        topk.filter(F.col("dim") == DIM_LADDER[-1])
+        .select("qid", "vec_id")
+    )
+    hits = (
+        topk.join(F.broadcast(gold), ["qid", "vec_id"], "left_semi")
+        .groupBy("dim", "qid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    # every (dim, qid) group exists (top-k always returns k rows on a
+    # >k corpus), but a rung could in principle share NOTHING with the
+    # exact set — re-anchor on the full 20-group frame so hits=0 rungs
+    # still emit a row instead of vanishing from the curve
+    groups = topk.select("dim", "qid").distinct()
+    return (
+        groups.join(hits, ["dim", "qid"], "left")
+        .select(
+            "dim",
+            "qid",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) * 100000).alias(
+                "recall_ppm"
+            ),
+        )
+    )

@@ -148,6 +148,9 @@ _R13_CHANGED = {
     "ann_recall_pq_adc",
     "ann_recall_rhp_lsh",
     "ann_rhp_lsh_topk",
+    # session-2: the MRL ladder was appended to annladder.py, so the
+    # probe ladder's defining module text changed — it re-proves
+    "ann_ivf_probe_tradeoff",
     "corpus_dataset_card",
     "corpus_pipeline_allsource_mixture",
     "corpus_pipeline_decontaminated",
@@ -173,24 +176,34 @@ _R13_CHANGED = {
 
 
 def test_r13_head_leads_changed_reproves_tail_drains_oldest():
-    """r13 window (VERDICT r12 asks #1/#2): the 3 never-audited r13
-    registrations lead, the 31-entry changed tier re-proves every
-    entry the ask-#2 conversions touched (including all 8 former
-    rows-only entries — the '8' in ask #1's done-criterion), and the
-    tail drains OLDEST-FIRST: the 3 r7 deferrals, then the head of
-    the r8 cohort. NOTE the ask's 'floor becomes r10 after r13' is
-    arithmetically unreachable: 47 entries are r8-dated and 50 are
-    r9-dated at this clock (PLANS.md r13), so oldest-first is the
-    fastest legal drain; the floor reaches r8 this round."""
+    """r13 window (VERDICT r12 asks #1/#2): the 5 never-audited r13
+    registrations lead (3 from session 1 — verified ExactSubstr,
+    salted basket, streaming topic twin — plus session 2's MRL
+    dimension ladder and graded-IR-eval entries), the 32-entry
+    changed tier re-proves every entry the ask-#2 conversions touched
+    (including all 8 former rows-only entries — the '8' in ask #1's
+    done-criterion) plus the probe ladder whose module session 2
+    appended to, and the tail drains OLDEST-FIRST: the 3 r7
+    deferrals, then the head of the r8 cohort. NOTE the ask's 'floor
+    becomes r10 after r13' is arithmetically unreachable: 47 entries
+    are r8-dated and 50 are r9-dated at this clock (PLANS.md r13), so
+    oldest-first is the fastest legal drain; the floor reaches r8
+    this round."""
     never_audited = {
         "lineitem_copurchase_lift_salted",
         "docs_exact_substring_verified",
         "streaming_topic_assignment",
+        "ann_dim_truncation_tradeoff",
+        "retrieval_mlt_eval_metrics",
     }
-    head = catalog.AUDIT_SCHEDULE[: len(never_audited)]
+    n_new = len(never_audited)
+    head = catalog.AUDIT_SCHEDULE[:n_new]
     assert set(head) == never_audited
     n_chg = len(_R13_CHANGED)
-    assert set(catalog.AUDIT_SCHEDULE[3 : 3 + n_chg]) == _R13_CHANGED
+    assert (
+        set(catalog.AUDIT_SCHEDULE[n_new : n_new + n_chg])
+        == _R13_CHANGED
+    )
     # ask #1's 8: the 3 r7 deferrals + the 5 r10-dated former
     # rows-only seats are all in THIS window
     for n in (
@@ -208,7 +221,7 @@ def test_r13_head_leads_changed_reproves_tail_drains_oldest():
     # then r8-dated entries to the window edge
     gen = catalog.AUDIT_SCHEDULE_META["generated_after_round"]
     last = _last_rounds(upto=gen)
-    tail = catalog.AUDIT_SCHEDULE[3 + n_chg :]
+    tail = catalog.AUDIT_SCHEDULE[n_new + n_chg :]
     assert sorted(last.get(n) for n in tail) == [7] * 3 + [8] * (
         len(tail) - 3
     ), [(n, last.get(n)) for n in tail]

@@ -48,6 +48,9 @@ ENTRIES = [
     "lineitem_copurchase_lift_salted",  # triangle replication pair join
     "docs_exact_substring_verified",    # two gaps-and-islands passes
     "ann_ivfpq_topk",                   # probe + ADC + rerank contract
+    # round-13 session-2 additions (both top-k over float scores):
+    "ann_dim_truncation_tradeoff",      # sliced-cosine ladder top-k
+    "retrieval_mlt_eval_metrics",       # integer-DCG over ranked join
 ]
 
 
