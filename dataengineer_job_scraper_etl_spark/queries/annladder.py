@@ -201,9 +201,12 @@ def ann_dim_truncation_tradeoff(
         "vec_id",
         F.stack(F.lit(len(DIM_LADDER)), *stack_args).alias("dim", "sim"),
     )
+    # the 20-group top-k frame feeds THREE consumers (the hit join's
+    # probe side, the gold filter, the group re-anchor) — materialize
+    # it or each branch re-runs the corpus cross + both top-k windows
     topk = grouped_topk(
         long, ["dim", "qid"], [F.desc("sim"), F.asc("vec_id")], _DIM_K
-    )
+    ).localCheckpoint(eager=False)
     gold = (
         topk.filter(F.col("dim") == DIM_LADDER[-1])
         .select("qid", "vec_id")
@@ -219,7 +222,7 @@ def ann_dim_truncation_tradeoff(
     # still emit a row instead of vanishing from the curve
     groups = topk.select("dim", "qid").distinct()
     return (
-        groups.join(hits, ["dim", "qid"], "left")
+        groups.join(F.broadcast(hits), ["dim", "qid"], "left")
         .select(
             "dim",
             "qid",

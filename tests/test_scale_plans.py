@@ -129,6 +129,17 @@ def test_catalog_docstring_plan_claims_hold(spark, sf_dir):
         "neardup_simhash_fingerprints": (0, 0, 0),
         "docs_exact_substring_verified": (13, 4, 2),
         "lineitem_copurchase_lift_salted": (9, 2, 2),
+        # round-13 session-2 additions. The dim ladder's ZERO windows
+        # is the materialize-once signature: the two top-k windows run
+        # once behind the localCheckpoint instead of once per consumer
+        # branch (pre-fix the visible plan carried 6 windows — the
+        # corpus cross re-ran per branch); its joins are all broadcast.
+        # The IR-eval entry's 4 windows are its two grouped_topk pairs
+        # (system list + dense gold); query-profile/df/stats joins
+        # broadcast, so no shuffle join at any scale where a vocabulary
+        # broadcasts (the documented MLT shape).
+        "ann_dim_truncation_tradeoff": (2, 0, 0),
+        "retrieval_mlt_eval_metrics": (9, 4, 0),
     }
     qs = all_queries()
     bad = []
