@@ -210,6 +210,9 @@ def mlt_bm25_scores(
     base = docs.select(
         "doc_id", ws_tokens(F.col("text")).alias("toks")
     ).localCheckpoint(eager=False)
+    # the postings frame feeds THREE consumers (scoring probe, term-df
+    # aggregate, the query-profile filter) — materialize it like the
+    # bm25 index or each consumer re-runs the explode + groupBy
     tf = (
         base.select(
             "doc_id",
@@ -218,6 +221,7 @@ def mlt_bm25_scores(
         )
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     stats = base.select(F.size("toks").alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")

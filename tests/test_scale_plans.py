@@ -139,7 +139,7 @@ def test_catalog_docstring_plan_claims_hold(spark, sf_dir):
         # broadcast, so no shuffle join at any scale where a vocabulary
         # broadcasts (the documented MLT shape).
         "ann_dim_truncation_tradeoff": (2, 0, 0),
-        "retrieval_mlt_eval_metrics": (9, 4, 0),
+        "retrieval_mlt_eval_metrics": (6, 4, 0),
     }
     qs = all_queries()
     bad = []
