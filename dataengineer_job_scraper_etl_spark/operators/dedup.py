@@ -333,11 +333,17 @@ def minhash_verified_pairs(
     cands = minhash_lsh_pairs(
         df, id_col, text_col, shingle_n, num_hashes, bands, seed
     ).select("id_a", "id_b")
+    # the shingle-postings frame feeds THREE consumers (a-side,
+    # b-side, sizes) and sizes feeds two more (za, zb) — materialize
+    # both, or the corpus tokenize+shingle explode re-runs ~5x (the
+    # same index-materialization doctrine as bm25_scores)
     sh = df.select(
         F.col(id_col).alias("__vid"),
         F.explode(shingles(F.col(text_col), shingle_n)).alias("__s"),
-    )
-    sz = sh.groupBy("__vid").agg(F.count(F.lit(1)).alias("__n"))
+    ).localCheckpoint(eager=False)
+    sz = sh.groupBy("__vid").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).localCheckpoint(eager=False)
     a, b = sh.alias("va"), sh.alias("vb")
     inter = (
         cands.join(a, F.col("id_a") == F.col("va.__vid"))
@@ -559,8 +565,12 @@ def incremental_ingest_status(
         both = batch.select(id_col, text_col).unionByName(
             index.select(id_col, text_col)
         )
-        cand = minhash_lsh_pairs(both, id_col, text_col).filter(
-            F.col("est_jaccard") >= neardup_threshold
+        # cand feeds the ab AND ba cross-side projections — without
+        # materialization each one re-runs the full LSH banding chain
+        cand = (
+            minhash_lsh_pairs(both, id_col, text_col)
+            .filter(F.col("est_jaccard") >= neardup_threshold)
+            .localCheckpoint(eager=False)
         )
         b_ids = batch.select(F.col(id_col).alias("__bid"))
         i_ids = index.select(F.col(id_col).alias("__iid"))

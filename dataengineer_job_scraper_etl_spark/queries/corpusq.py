@@ -434,15 +434,19 @@ def exact_jaccard_cross_pairs(batch: DataFrame, index: DataFrame) -> DataFrame:
             index.select("doc_id", "text").withColumn("__side", F.lit("i"))
         )
     )
+    # posting feeds tdf AND the df-prune semi-join; kept feeds THREE
+    # consumers (a-side, b-side, sizes) — materialize both or every
+    # consumer re-runs the two-table scan + explode chain (the plan
+    # carried 28 index scans before these checkpoints)
     posting = tagged.select(
         "doc_id", "__side", F.explode(F.array_distinct(toks)).alias("term")
-    )
+    ).localCheckpoint(eager=False)
     tdf = posting.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     kept = posting.join(
         tdf.filter(F.col("df") <= _PAIR_MAX_DF).select("term"),
         "term",
         "left_semi",
-    )
+    ).localCheckpoint(eager=False)
     a = kept.filter(F.col("__side") == "b").alias("a")
     b = kept.filter(F.col("__side") == "i").alias("b")
     inter = (
