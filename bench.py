@@ -269,6 +269,11 @@ HEADLINE += [
     "ann_dim_truncation_tradeoff",
     "retrieval_mlt_eval_metrics",
 ]
+HEADLINE += [
+    # round-13 session-2 tail: compact-forward triangle counting on
+    # the kNN graph — the two-shuffle degree-ordered plan shape
+    "vec_knn_clustering_coefficient",
+]
 
 # Entries OMITTED from the stdout line's per-query dict (still RUN
 # every round; medians/spread/raw reps publish in bench_runs.json under
@@ -297,6 +302,7 @@ STDOUT_OMIT = frozenset(
         # round-13 session-2 overflow class (see note above)
         "ann_dim_truncation_tradeoff",
         "retrieval_mlt_eval_metrics",
+        "vec_knn_clustering_coefficient",
         "tpch_q13_customer_order_distribution",
         "tpch_q17_small_quantity_revenue",
         "text_bpe_top_pairs",

@@ -51,6 +51,7 @@ ENTRIES = [
     # round-13 session-2 additions (both top-k over float scores):
     "ann_dim_truncation_tradeoff",      # sliced-cosine ladder top-k
     "retrieval_mlt_eval_metrics",       # integer-DCG over ranked join
+    "vec_knn_clustering_coefficient",   # kNN edge top-k + wedge joins
 ]
 
 
