@@ -271,8 +271,10 @@ HEADLINE += [
 ]
 HEADLINE += [
     # round-13 session-2 tail: compact-forward triangle counting on
-    # the kNN graph — the two-shuffle degree-ordered plan shape
+    # the kNN graph — the two-shuffle degree-ordered plan shape —
+    # and the CUPED A/B readout (integer moment reduce)
     "vec_knn_clustering_coefficient",
+    "events_cuped_ab_adjustment",
 ]
 
 # Entries OMITTED from the stdout line's per-query dict (still RUN
@@ -303,6 +305,7 @@ STDOUT_OMIT = frozenset(
         "ann_dim_truncation_tradeoff",
         "retrieval_mlt_eval_metrics",
         "vec_knn_clustering_coefficient",
+        "events_cuped_ab_adjustment",
         "tpch_q13_customer_order_distribution",
         "tpch_q17_small_quantity_revenue",
         "text_bpe_top_pairs",

@@ -176,10 +176,11 @@ _R13_CHANGED = {
 
 
 def test_r13_head_leads_changed_reproves_tail_drains_oldest():
-    """r13 window (VERDICT r12 asks #1/#2): the 6 never-audited r13
+    """r13 window (VERDICT r12 asks #1/#2): the 7 never-audited r13
     registrations lead (3 from session 1 — verified ExactSubstr,
     salted basket, streaming topic twin — plus session 2's MRL
-    dimension ladder, graded-IR-eval, and kNN-triangle entries), the
+    dimension ladder, graded-IR-eval, kNN-triangle, and CUPED
+    entries), the
     changed tier re-proves every entry the ask-#2 conversions touched
     (including all 8 former rows-only entries — the '8' in ask #1's
     done-criterion) plus the probe ladder whose module session 2
@@ -196,6 +197,7 @@ def test_r13_head_leads_changed_reproves_tail_drains_oldest():
         "ann_dim_truncation_tradeoff",
         "retrieval_mlt_eval_metrics",
         "vec_knn_clustering_coefficient",
+        "events_cuped_ab_adjustment",
     }
     n_new = len(never_audited)
     head = catalog.AUDIT_SCHEDULE[:n_new]

@@ -52,6 +52,7 @@ ENTRIES = [
     "ann_dim_truncation_tradeoff",      # sliced-cosine ladder top-k
     "retrieval_mlt_eval_metrics",       # integer-DCG over ranked join
     "vec_knn_clustering_coefficient",   # kNN edge top-k + wedge joins
+    "events_cuped_ab_adjustment",       # float chain off integer moments
 ]
 
 
