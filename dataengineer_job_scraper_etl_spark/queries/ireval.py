@@ -269,8 +269,10 @@ def mlt_bm25_scores(
     "arithmetic (literal ppb discounts shared with the oracle, "
     "per-term ppb quantization before every sum) so the driver hash "
     "pins the full metric surface, not floors. One corpus tokenize "
-    "scan + one (qid, doc_id) shuffle; query profile, term-df and "
-    "stats frames broadcast — nothing joined scales with the corpus.",
+    "scan; the postings aggregate and the per-(qid, doc_id) score "
+    "aggregate are the two corpus-scale shuffles; query profile, "
+    "term-df and stats frames broadcast — no JOIN scales with the "
+    "corpus.",
 )
 def retrieval_mlt_eval_metrics(
     spark: SparkSession, sf_dir: str

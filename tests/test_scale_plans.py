@@ -140,6 +140,14 @@ def test_catalog_docstring_plan_claims_hold(spark, sf_dir):
         # broadcasts (the documented MLT shape).
         "ann_dim_truncation_tradeoff": (2, 0, 0),
         "retrieval_mlt_eval_metrics": (6, 4, 0),
+        # triangle counting: node-scale keyed joins render as shuffle
+        # joins (nodes = corpus docs at real scale, never broadcast;
+        # the checkpoints also deny AQE the stats to broadcast the
+        # fixture-small sides) — the measured 7 is the honest shape;
+        # CUPED is the minimal shape: one pushed scan, one user
+        # shuffle, a 1-row reduce
+        "vec_knn_clustering_coefficient": (15, 0, 7),
+        "events_cuped_ab_adjustment": (1, 0, 0),
     }
     qs = all_queries()
     bad = []
