@@ -82,7 +82,19 @@ m AS (
          CAST(sum(CASE WHEN user_id % 2 = 0 THEN y ELSE 0 END) AS BIGINT)
            AS sy0,
          CAST(sum(CASE WHEN user_id % 2 = 1 THEN y ELSE 0 END) AS BIGINT)
-           AS sy1
+           AS sy1,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN x * x ELSE 0 END) AS BIGINT)
+           AS sxx0,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN x * x ELSE 0 END) AS BIGINT)
+           AS sxx1,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN x * y ELSE 0 END) AS BIGINT)
+           AS sxy0,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN x * y ELSE 0 END) AS BIGINT)
+           AS sxy1,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN y * y ELSE 0 END) AS BIGINT)
+           AS syy0,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN y * y ELSE 0 END) AS BIGINT)
+           AS syy1
   FROM per_user),
 d AS (
   SELECT *,
@@ -97,7 +109,28 @@ t AS (
          CASE WHEN cden > 0 AND ydev > 0
               THEN CAST(cnum AS DOUBLE) * cnum / (CAST(cden AS DOUBLE) * ydev)
               ELSE 0.0 END AS rho2
-  FROM d)
+  FROM d),
+s AS (
+  SELECT *,
+         (CAST(syy0 AS DOUBLE) - 2 * theta * sxy0
+            + theta * theta * sxx0) / n0
+           - (CAST(sy0 AS DOUBLE) / n0 - theta * (CAST(sx0 AS DOUBLE) / n0))
+             * (CAST(sy0 AS DOUBLE) / n0 - theta * (CAST(sx0 AS DOUBLE) / n0))
+           AS var0,
+         (CAST(syy1 AS DOUBLE) - 2 * theta * sxy1
+            + theta * theta * sxx1) / n1
+           - (CAST(sy1 AS DOUBLE) / n1 - theta * (CAST(sx1 AS DOUBLE) / n1))
+             * (CAST(sy1 AS DOUBLE) / n1 - theta * (CAST(sx1 AS DOUBLE) / n1))
+           AS var1,
+         (CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0)
+           - theta * (CAST(sx1 AS DOUBLE) / n1 - CAST(sx0 AS DOUBLE) / n0)
+           AS lift
+  FROM t),
+f AS (
+  SELECT *,
+         1.96 * sqrt(greatest(var0, 0.0) / n0 + greatest(var1, 0.0) / n1)
+           AS ci
+  FROM s)
 SELECT CAST(v.variant AS BIGINT) AS variant,
        CASE WHEN v.variant = 0 THEN n0 ELSE n1 END AS n_users,
        CAST(round(CAST(CASE WHEN v.variant = 0 THEN sy0 ELSE sy1 END
@@ -114,8 +147,11 @@ SELECT CAST(v.variant AS BIGINT) AS variant,
                         - CAST(sx AS DOUBLE) / n)) * 1000)
             AS BIGINT) AS mean_adj_millicents,
        CAST(round(theta * 1e6) AS BIGINT) AS theta_ppm,
-       CAST(round(rho2 * 1e6) AS BIGINT) AS var_reduction_ppm
-FROM t CROSS JOIN (SELECT unnest([0, 1]) AS variant) v
+       CAST(round(rho2 * 1e6) AS BIGINT) AS var_reduction_ppm,
+       CAST(round(lift * 1000) AS BIGINT) AS lift_millicents,
+       CAST(round(ci * 1000) AS BIGINT) AS ci_halfwidth_millicents,
+       abs(lift) > ci AS significant
+FROM f CROSS JOIN (SELECT unnest([0, 1]) AS variant) v
 """
 
 
@@ -136,15 +172,38 @@ def cuped_moments(per_user: DataFrame) -> DataFrame:
         F.sum(F.when(~is0, F.col("x")).otherwise(0)).cast("long").alias("sx1"),
         F.sum(F.when(is0, F.col("y")).otherwise(0)).cast("long").alias("sy0"),
         F.sum(F.when(~is0, F.col("y")).otherwise(0)).cast("long").alias("sy1"),
+        F.sum(F.when(is0, F.col("x") * F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sxx0"),
+        F.sum(F.when(~is0, F.col("x") * F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sxx1"),
+        F.sum(F.when(is0, F.col("x") * F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sxy0"),
+        F.sum(F.when(~is0, F.col("x") * F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("sxy1"),
+        F.sum(F.when(is0, F.col("y") * F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("syy0"),
+        F.sum(F.when(~is0, F.col("y") * F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("syy1"),
     )
 
 
 def cuped_readout(per_user: DataFrame) -> DataFrame:
-    """Two-row (variant, n_users, mean_post_millicents,
-    mean_adj_millicents, theta_ppm, var_reduction_ppm) CUPED readout
-    from the per-user frame; factored so tests can plant covariate
-    structures with known theta/rho (e.g. y = c*x exactly -> rho2 =
-    1e6 and zero adjusted variance)."""
+    """Two-row CUPED readout from the per-user frame: (variant,
+    n_users, mean_post_millicents, mean_adj_millicents, theta_ppm,
+    var_reduction_ppm, lift_millicents, ci_halfwidth_millicents,
+    significant). The last three are the delta-method inference —
+    lift = difference of adjusted means, CI halfwidth = 1.96 * SE
+    with SE^2 = var_adj0/n0 + var_adj1/n1 and var_adj_v the per-arm
+    population variance of y - theta*x, all derived from the same
+    exact integer moments. Factored so tests can plant covariate
+    structures with known answers (e.g. y = c*x exactly -> rho2 =
+    1e6, zero adjusted variance, zero CI halfwidth)."""
     m = cuped_moments(per_user)
     cnum = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     cden = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -160,6 +219,44 @@ def cuped_readout(per_user: DataFrame) -> DataFrame:
         )
         .otherwise(F.lit(0.0))
         .alias("rho2"),
+    )
+
+    # delta-method inference from the same exact integer moments:
+    # per-arm population variance of the CUPED-adjusted individual
+    # metric y - theta*x, then SE of the adjusted-mean difference.
+    # Op order mirrors the oracle CTEs term for term.
+    def _var(arm: str):
+        th = F.col("theta")
+        mean_adj = F.col(f"sy{arm}").cast("double") / F.col(
+            f"n{arm}"
+        ) - th * (F.col(f"sx{arm}").cast("double") / F.col(f"n{arm}"))
+        return (
+            F.col(f"syy{arm}").cast("double")
+            - 2 * th * F.col(f"sxy{arm}")
+            + th * th * F.col(f"sxx{arm}")
+        ) / F.col(f"n{arm}") - mean_adj * mean_adj
+
+    th = F.col("theta")
+    lift = (
+        F.col("sy1").cast("double") / F.col("n1")
+        - F.col("sy0").cast("double") / F.col("n0")
+    ) - th * (
+        F.col("sx1").cast("double") / F.col("n1")
+        - F.col("sx0").cast("double") / F.col("n0")
+    )
+    t = t.select(
+        "*", _var("0").alias("var0"), _var("1").alias("var1"),
+        lift.alias("lift"),
+    )
+    t = t.select(
+        "*",
+        (
+            1.96
+            * F.sqrt(
+                F.greatest(F.col("var0"), F.lit(0.0)) / F.col("n0")
+                + F.greatest(F.col("var1"), F.lit(0.0)) / F.col("n1")
+            )
+        ).alias("ci"),
     )
     variants = t.crossJoin(
         F.broadcast(
@@ -196,6 +293,13 @@ def cuped_readout(per_user: DataFrame) -> DataFrame:
         F.round(F.col("rho2") * 1e6, 0)
         .cast("bigint")
         .alias("var_reduction_ppm"),
+        F.round(F.col("lift") * 1000, 0)
+        .cast("bigint")
+        .alias("lift_millicents"),
+        F.round(F.col("ci") * 1000, 0)
+        .cast("bigint")
+        .alias("ci_halfwidth_millicents"),
+        (F.abs(F.col("lift")) > F.col("ci")).alias("significant"),
     )
 
 
@@ -207,7 +311,10 @@ def cuped_readout(per_user: DataFrame) -> DataFrame:
     "experiment half, covariate = the pre-period half; pooled theta "
     "= cov/var and rho-squared from EXACT integer moment sums (the "
     "summation-order-free device), then per-arm raw and "
-    "CUPED-adjusted means via one pinned-op-order double chain. One "
+    "CUPED-adjusted means plus the delta-method lift CI (1.96 x SE "
+    "of the adjusted-mean difference; per-arm adjusted variances "
+    "from the same integer moments) via one pinned-op-order double "
+    "chain. One "
     "pushed-filter events scan, one user shuffle, one 1-row moment "
     "reduce; the 2-row readout is a projection of that broadcast "
     "row.",

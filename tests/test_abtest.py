@@ -30,6 +30,12 @@ def test_perfect_covariate_equalizes_arms(spark):
     assert out[0].mean_adj_millicents == out[1].mean_adj_millicents
     # and equal 2 * mean(x) * 1000 = 2 * 550 * 1000
     assert out[0].mean_adj_millicents == 1_100_000
+    # adjusted individuals are CONSTANT (y - 2x + 2*mean = const):
+    # zero adjusted variance -> zero CI halfwidth, zero lift, and a
+    # zero-lift readout must not claim significance
+    assert out[0].ci_halfwidth_millicents == 0
+    assert out[0].lift_millicents == 0
+    assert out[0].significant is False
 
 
 def test_constant_covariate_is_a_noop(spark):
@@ -52,6 +58,26 @@ def test_hand_computed_theta(spark):
     assert out[0].mean_adj_millicents == 3_000
     # arm 1: mean_y 4, mean_x 2 -> adj 4 - 1*(2-1) = 3 — balanced
     assert out[1].mean_adj_millicents == 3_000
+    # delta-method by hand: adjusted individuals y - x are (1, 3) in
+    # BOTH arms -> var 1 each (population), SE^2 = 1/2 + 1/2 = 1,
+    # halfwidth = 1.96 * 1000; lift 0 -> not significant
+    assert out[0].lift_millicents == 0
+    assert out[0].ci_halfwidth_millicents == 1_960
+    assert out[0].significant is False
+
+
+def test_planted_effect_is_significant(spark):
+    # constant covariate (theta guards to 0) + a planted 1000-cent
+    # treatment shift with +-0.5-cent noise: lift = exactly 1000,
+    # halfwidth = 1.96 * sqrt(0.25/4 + 0.25/4) = 0.693 -> flagged
+    rows = [
+        (u, u % 2, 7, 10 + (u % 2) * 1000 + (u // 2) % 2)
+        for u in range(8)
+    ]
+    out = {r.variant: r for r in cuped_readout(_per_user(spark, rows)).collect()}
+    assert out[0].lift_millicents == 1_000_000
+    assert out[0].ci_halfwidth_millicents == 693
+    assert out[0].significant is True
 
 
 def test_entry_surface(spark, sf_dir):
@@ -68,6 +94,11 @@ def test_entry_surface(spark, sf_dir):
     for r in out:
         assert r.n_users > 0
         assert 0 <= r.var_reduction_ppm <= 1_000_000
+        assert r.ci_halfwidth_millicents >= 0
+        # significance is consistent with its own interval
+        assert r.significant == (
+            abs(r.lift_millicents) > r.ci_halfwidth_millicents
+        ) or abs(abs(r.lift_millicents) - r.ci_halfwidth_millicents) <= 1
 
 
 def test_variant_assignment_matches_user_parity(spark, sf_dir):
