@@ -142,38 +142,47 @@ def vec_knn_pagerank_centrality(
         scored, ["src"], [F.desc("cos_ppm"), F.asc("dst")], KNN_K
     ).select("src", "dst").localCheckpoint(eager=False)
 
-    ranks = nodes.select(
-        "vec_id", F.lit(_R0_PPM).cast("bigint").alias("r")
-    )
-    for _ in range(PR_ITER):
-        contrib = (
-            edges.join(
-                ranks.select(F.col("vec_id").alias("src"), "r"), "src"
+    # One join + one aggregate per step (r13 optimization): the rank
+    # formula BASE + (85*contrib) DIV 100 is folded INTO the next
+    # step's edge join (LEFT join: a node absent from contrib — no
+    # in-edges — scores coalesce(contrib, 0) = BASE, exactly what the
+    # old per-step nodes-reinstatement join produced), so the node
+    # table is joined ONCE at the end instead of once per iteration —
+    # at real scale that is one node-scale shuffle join per step
+    # removed; arithmetic (and therefore the oracle trajectory) is
+    # unchanged. Step 1's uniform r0 rides as a literal: no join at
+    # all. contrib is localCheckpoint'ed per step — same lineage
+    # truncation as before, one materialization per step.
+    def _rank_col() -> F.Column:
+        return (
+            F.lit(_BASE_PPM)
+            + F.expr(
+                f"({_DAMP_NUM} * coalesce(contrib, 0)) DIV {_DAMP_DEN}"
             )
-            .groupBy(F.col("dst").alias("vec_id"))
+        ).cast("bigint")
+
+    contrib = None
+    for step in range(PR_ITER):
+        if contrib is None:
+            flowing = edges.withColumn(
+                "r", F.lit(_R0_PPM).cast("bigint")
+            )
+        else:
+            flowing = edges.join(
+                contrib.withColumnRenamed("vec_id", "src"), "src", "left"
+            ).select("src", "dst", _rank_col().alias("r"))
+        contrib = (
+            flowing.groupBy(F.col("dst").alias("vec_id"))
             .agg(
                 F.sum(F.expr(f"r DIV {KNN_K}")).cast("bigint").alias("contrib")
             )
-        )
-        ranks = (
-            nodes.join(contrib, "vec_id", "left")
-            .select(
-                "vec_id",
-                (
-                    F.lit(_BASE_PPM)
-                    + F.expr(
-                        f"({_DAMP_NUM} * coalesce(contrib, 0))"
-                        f" DIV {_DAMP_DEN}"
-                    )
-                )
-                .cast("bigint")
-                .alias("r"),
-            )
             # truncate lineage: step T+1 plans against T's materialized
-            # ranks, not the whole join tree since r0
+            # contributions, not the whole join tree since r0
             .localCheckpoint(eager=False)
         )
-    return ranks.select("vec_id", F.col("r").cast("bigint").alias("rank_ppm"))
+    return nodes.join(contrib, "vec_id", "left").select(
+        "vec_id", _rank_col().alias("rank_ppm")
+    )
 
 
 # --- IVF-accelerated kNN graph, same fixed-point PageRank --------------
@@ -387,33 +396,36 @@ def _ivf_pagerank_frame(
     )
     edges2 = edges.join(deg, "src").localCheckpoint(eager=False)
 
-    ranks = nodes.select(
-        "vec_id", F.lit(_R0_PPM).cast("bigint").alias("r")
-    )
-    for _ in range(PR_ITER):
-        contrib = (
-            edges2.join(
-                ranks.select(F.col("vec_id").alias("src"), "r"), "src"
+    # Same one-join-one-agg step shape as the exact entry (r13
+    # optimization, see vec_knn_pagerank_centrality): the rank formula
+    # folds into the edge join, the node table joins once at the end,
+    # arithmetic unchanged. Here r divides by the node's ACTUAL
+    # out-degree column riding on edges2.
+    def _rank_col() -> F.Column:
+        return (
+            F.lit(_BASE_PPM)
+            + F.expr(
+                f"({_DAMP_NUM} * coalesce(contrib, 0)) DIV {_DAMP_DEN}"
             )
-            .groupBy(F.col("dst").alias("vec_id"))
+        ).cast("bigint")
+
+    contrib = None
+    for step in range(PR_ITER):
+        if contrib is None:
+            flowing = edges2.withColumn(
+                "r", F.lit(_R0_PPM).cast("bigint")
+            )
+        else:
+            flowing = edges2.join(
+                contrib.withColumnRenamed("vec_id", "src"), "src", "left"
+            ).select("src", "dst", "outdeg", _rank_col().alias("r"))
+        contrib = (
+            flowing.groupBy(F.col("dst").alias("vec_id"))
             .agg(
                 F.sum(F.expr("r DIV outdeg")).cast("bigint").alias("contrib")
             )
-        )
-        ranks = (
-            nodes.join(contrib, "vec_id", "left")
-            .select(
-                "vec_id",
-                (
-                    F.lit(_BASE_PPM)
-                    + F.expr(
-                        f"({_DAMP_NUM} * coalesce(contrib, 0))"
-                        f" DIV {_DAMP_DEN}"
-                    )
-                )
-                .cast("bigint")
-                .alias("r"),
-            )
             .localCheckpoint(eager=False)
         )
-    return ranks.select("vec_id", F.col("r").cast("bigint").alias("rank_ppm"))
+    return nodes.join(contrib, "vec_id", "left").select(
+        "vec_id", _rank_col().alias("rank_ppm")
+    )

@@ -221,6 +221,7 @@ def bigram_neg_logprob(
     reference: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    model: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """(id, n_transitions, avg_neg_logprob): train the interpolated
     bigram LM on ``reference`` and score every doc of ``base`` — the
@@ -233,10 +234,21 @@ def bigram_neg_logprob(
     see the module docstring) — pass a curated slice for filtering.
     Docs with < 2 tokens have no transitions and DROP (inner-join
     semantics) — compose after a min-length gate. avg_neg_logprob is
-    1e-6-rounded, so downstream ordering on it is hash-stable."""
-    if reference is None:
-        reference = base
-    probs, uni, stats = train_bigram_lm(reference, text_col)
+    1e-6-rounded, so downstream ordering on it is hash-stable.
+
+    ``model=(probs, uni, stats)`` skips training and scores against an
+    ALREADY-TRAINED model (the train_bigram_lm tuple): a caller that
+    also needs the model tables themselves (the streaming serve twin
+    broadcasts them into its micro-batch plan) would otherwise pay the
+    whole reference tokenize + count chain twice — once for its own
+    tables and once inside this function (r13 optimization; the two
+    trainings were plan-identical, so scores are unchanged)."""
+    if model is not None:
+        probs, uni, stats = model
+    else:
+        if reference is None:
+            reference = base
+        probs, uni, stats = train_bigram_lm(reference, text_col)
     tokd = base.select(
         F.col(id_col).alias("doc_id"), ws_tokens(F.col(text_col)).alias("t")
     ).localCheckpoint(eager=False)

@@ -346,7 +346,11 @@ def monitor_psi_ppm(
     cost of the always-on monitor."""
     m, v, edges, n_ref = monitor
     scored = cur_rows.select(pc1_score_expr(m, v).alias("pc1"))
-    n_cur = scored.count()
+    # ONE action (r13 optimization): every scored row lands in exactly
+    # one bucket (bucket_expr is total, 1..N_BUCKETS), so n_cur is the
+    # sum of the bucket counts — the separate count() was a second
+    # full scan + a second sequential job for a number the bucket
+    # aggregate already contains.
     counts = {
         r["b"]: r["n"]
         for r in scored.select(bucket_expr(edges).alias("b"))
@@ -354,6 +358,7 @@ def monitor_psi_ppm(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+    n_cur = sum(counts.values())
     # frozen deciles: the reference proportion per bucket is the
     # rank-exact decile mass; reconstruct counts from n_ref the same
     # way the edge rule split them (uniform up to rank ties)

@@ -179,18 +179,28 @@ def streaming_bigram_ppl_ingest(
     ref = corpus.filter(F.col("doc_id") % REF_MOD == 0)
 
     # frozen model: tables broadcast into the stream, scalars as
-    # literals (bounded collect: ONE row)
-    probs, uni, stats = train_bigram_lm(ref)
+    # literals (bounded collect: ONE row). stats is re-derived from the
+    # CHECKPOINTED uni (same expressions as train_bigram_lm's) so the
+    # collect below materializes the checkpoint instead of re-running
+    # the training chain beside it.
+    probs, uni, _stats = train_bigram_lm(ref)
     probs = probs.localCheckpoint(eager=False)
     uni = uni.localCheckpoint(eager=False)
+    stats = uni.agg(
+        F.sum("c_uni").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
     n_v = stats.collect()[0]
     n = float(n_v["n"] if n_v["n"] is not None else 0.0)
     v = float(n_v["v"])
 
-    # frozen per-source cutoffs from the corpus's own scored ranking
-    corpus_scored = bigram_neg_logprob(corpus, reference=ref).join(
-        corpus.select("doc_id", "source"), "doc_id"
-    )
+    # frozen per-source cutoffs from the corpus's own scored ranking.
+    # The model is passed IN (r13 optimization): bigram_neg_logprob
+    # would otherwise re-train the identical LM — one full duplicate
+    # reference tokenize + bigram/unigram count chain per run.
+    corpus_scored = bigram_neg_logprob(
+        corpus, model=(probs, uni, stats)
+    ).join(corpus.select("doc_id", "source"), "doc_id")
     w = Window.partitionBy("source").orderBy("avg_neg_logprob", "doc_id")
     co_b = corpus_scored.withColumn("b", F.ntile(_N_BUCKETS).over(w))
     cuts = co_b.groupBy("source").agg(
