@@ -75,8 +75,24 @@ def shingles(text: Column, n: int = 3) -> Column:
     CASE branch is only evaluated when the token count is >= n."""
     toks = ws_tokens(text)
     n_sh = F.size(toks) - F.lit(n - 1)
-    idx = F.sequence(F.lit(1), n_sh)  # 1-based for slice()
-    windows = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    # Windows via zip_with of n SHIFTED SLICES (r13 optimization):
+    # the old transform(sequence(1, n_sh), i -> array_join(slice(toks,
+    # i, n))) referenced ``toks`` INSIDE the lambda, and Catalyst does
+    # not CSE across lambda boundaries — the whole regexp+split
+    # tokenization re-ran once per window (~len(toks) times per row;
+    # measured 4.0 s of the 6.0 s sf0.1 sketch pass). Here ``toks``
+    # appears only at top level (n slices + the size), where
+    # projection-level subexpression elimination evaluates it once.
+    # Window i of the zip is toks[i]+" "+toks[i+1]+...+" "+toks[i+n-1]
+    # — byte-identical to array_join(slice(toks, i, n), " ") for the
+    # full windows the old index range produced (no null/short
+    # windows: every slice is length n_sh).
+    parts = [F.slice(toks, j + 1, n_sh) for j in range(n)]
+    windows = parts[0]
+    for part in parts[1:]:
+        windows = F.zip_with(
+            windows, part, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
     return F.when(
         text.isNotNull(),  # null text -> null shingles (propagate)
         F.array_distinct(
@@ -126,17 +142,37 @@ def _signature_from_hashes(
     into the accumulator with least(). Empty input -> all-p sentinel
     signature (callers filter empty shingle sets out first)."""
     params = _hash_params(num_hashes, seed)
-    a_arr = F.array(*[F.lit(a) for a, _ in params])
-    b_arr = F.array(*[F.lit(b) for _, b in params])
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in params
+        ]
+    )
     p = F.lit(_MERSENNE_31)
 
-    def step(acc: Column, x: Column) -> Column:
-        xm = F.pmod(x, p)
-        hashes = F.zip_with(a_arr, b_arr, lambda a, b: F.pmod(a * xm + b, p))
-        return F.zip_with(acc, hashes, lambda m, h: F.least(m, h))
+    # r13 optimization (guide §1.2 per-task work): the old step built
+    # TWO 64-element arrays per shingle (the candidate-hash zip, then
+    # the least() zip) and — because lambda bodies are not CSE'd —
+    # re-evaluated pmod(x, p) inside the inner lambda once per hash
+    # function. Hoisting the mod into one transform pass and zipping
+    # the accumulator directly against the literal (a, b) struct array
+    # does the identical arithmetic (pmod(a * pmod(x, p) + b, p),
+    # least) in ONE zip per shingle with the mod taken once. Same
+    # longs out, so signatures, band hashes, and every downstream
+    # candidate set and oracle hash are unchanged.
+    base_m = F.transform(base_hashes, lambda x: F.pmod(x, p))
+
+    def step(acc: Column, xm: Column) -> Column:
+        return F.zip_with(
+            acc,
+            ab,
+            lambda m, s: F.least(
+                m, F.pmod(s.getField("a") * xm + s.getField("b"), p)
+            ),
+        )
 
     init = F.array_repeat(p.cast("long"), num_hashes)
-    return F.aggregate(base_hashes, init, step)
+    return F.aggregate(base_m, init, step)
 
 
 def minhash_signature(

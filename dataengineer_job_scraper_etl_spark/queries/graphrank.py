@@ -116,24 +116,55 @@ FROM r{PR_ITER}
 def vec_knn_pagerank_centrality(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from dataengineer_job_scraper_etl_spark.functions.vector_math import cosine
+    from dataengineer_job_scraper_etl_spark.functions.vector_math import (
+        dot,
+        l2_norm,
+    )
     from dataengineer_job_scraper_etl_spark.operators.topk import grouped_topk
+    from dataengineer_job_scraper_etl_spark.session import (
+        ensure_min_parallelism,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
         F.col("vec_id") < N_NODES
     )
     ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    v = emb.select("vec_id", ed.alias("e")).localCheckpoint(eager=False)
+    # r13 optimization (guide §2.5/§1.2): (1) fan the node slice out to
+    # all cores BEFORE the quadratic pair stage — the slice scans as
+    # ONE parquet partition, which pinned the whole N^2 cosine stage to
+    # a single task (measured 3.5 s of the entry); (2) precompute each
+    # node's norm ONCE here instead of once per pair — cos(a,b) is then
+    # dot/(na*nb), the IDENTICAL float expression (same ops, same
+    # order; sqrt is deterministic), so cos_ppm and the oracle hash are
+    # unchanged while per-pair work drops from 3 array folds to 1.
+    v = (
+        ensure_min_parallelism(emb.select("vec_id", ed.alias("e")))
+        .withColumn("nrm", l2_norm(F.col("e")))
+        .localCheckpoint(eager=False)
+    )
     nodes = v.select("vec_id")
 
-    a = v.select(F.col("vec_id").alias("src"), F.col("e").alias("ea"))
-    b = v.select(F.col("vec_id").alias("dst"), F.col("e").alias("eb"))
+    a = v.select(
+        F.col("vec_id").alias("src"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("dst"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     scored = (
         a.join(b, F.col("src") != F.col("dst"))
         .select(
             "src",
             "dst",
-            F.round(cosine(F.col("ea"), F.col("eb")) * 1e6, 0)
+            F.round(
+                dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+                * 1e6,
+                0,
+            )
             .cast("bigint")
             .alias("cos_ppm"),
         )
@@ -321,7 +352,10 @@ def _ivf_pagerank_frame(
     """The IVF-edge fixed-point PageRank at a given probe depth —
     shared by the probe-4 entry (the honest-finding configuration)
     and the probe-7 production-remedy entry (DEEP_PROBES)."""
-    from dataengineer_job_scraper_etl_spark.functions.vector_math import cosine
+    from dataengineer_job_scraper_etl_spark.functions.vector_math import (
+        dot,
+        l2_norm,
+    )
     from dataengineer_job_scraper_etl_spark.operators.similarity import (
         _as_double,
         _centroids_sql,
@@ -365,13 +399,22 @@ def _ivf_pagerank_frame(
         ).alias("p"),
     ).select("src", F.col("p.cluster_id").alias("cid"))
 
+    # Per-node norms precomputed BEFORE the candidate join (r13
+    # optimization, same device as the exact entry): dot/(sn*dn) is the
+    # bit-identical cosine with the two norm folds hoisted out of the
+    # per-candidate loop; only the 8-byte norm scalar rides the shuffle
+    # (the embedding stays float — half the bytes of a pre-cast double
+    # array, guide §2.3).
     assigned = assign_to_centroid(emb, cents, "embedding").select(
         F.col("vec_id").alias("dst"),
         F.col("cluster_id").alias("cid"),
         F.col("embedding").alias("de"),
+        l2_norm(_as_double(F.col("embedding"))).alias("dn"),
     )
     src_vecs = emb.select(
-        F.col("vec_id").alias("src"), F.col("embedding").alias("se")
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("se"),
+        l2_norm(_as_double(F.col("embedding"))).alias("sn"),
     )
     cand = (
         probe_lists.join(assigned, "cid")
@@ -381,7 +424,9 @@ def _ivf_pagerank_frame(
             "src",
             "dst",
             F.round(
-                cosine(_as_double(F.col("se")), _as_double(F.col("de"))) * 1e6,
+                dot(_as_double(F.col("se")), _as_double(F.col("de")))
+                / (F.col("sn") * F.col("dn"))
+                * 1e6,
                 0,
             )
             .cast("bigint")

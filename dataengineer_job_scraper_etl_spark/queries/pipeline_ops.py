@@ -746,9 +746,21 @@ def docs_chunk_hashtf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(tk), 1, 1), 16, 10).cast("int")
     )
     bks = F.transform(F.col("ctoks"), bucket)
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(HASHTF_DIM - 1)),
-        lambda i: F.size(F.filter(bks, lambda b: b == i)).cast("double"),
+    # Single-pass bucket histogram (r13 optimization): the old
+    # transform(sequence(0..15), i -> size(filter(bks, b==i)))
+    # re-evaluated ``bks`` — one md5 per chunk token — once per
+    # bucket (no CSE across lambda boundaries; see
+    # topics.hashtf_unit_embeddings for the measured 4x). Counts are
+    # identical small-integer doubles, so vectors and hashes are
+    # unchanged.
+    vec = F.aggregate(
+        bks,
+        F.array_repeat(F.lit(0.0), HASHTF_DIM),
+        lambda acc, b: F.transform(
+            acc,
+            lambda x, i: x
+            + F.when(b == i, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ),
     )
     # Stage vectors + norm once (same checkpoint pattern as SemDeDup:
     # the scoring join reads nv per pair, and deriving it beside the

@@ -177,9 +177,26 @@ def hashtf_unit_embeddings(d: DataFrame) -> DataFrame:
     ).filter(F.size("t") > 0)
     toks = F.filter(F.col("t"), lambda tk: tk != "")
     bks = F.transform(toks, bucket)
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(_DIM - 1)),
-        lambda i: F.size(F.filter(bks, lambda b: b == i)).cast("double"),
+    # ONE pass over the token array (r13 optimization, guide §1.2):
+    # the old transform(sequence(0..15), i -> size(filter(bks, b==i)))
+    # re-evaluated ``bks`` — one md5 per token — once PER BUCKET,
+    # because Catalyst does not hoist loop-invariant subexpressions
+    # out of lambda bodies (the same hazard operators/dedup.py
+    # documents for shingles). The aggregate form evaluates ``bks``
+    # once and folds each token into its bucket with 16 comparisons;
+    # counts are small-integer-valued doubles either way, so the
+    # vectors (and every downstream hash) are identical. Measured 3.5s
+    # -> 0.9s for the bare featurizer over sf0.1 documents. Still a
+    # pure projection — no shuffle, no rdd access — so the streaming
+    # twin can keep running it per micro-batch unchanged.
+    vec = F.aggregate(
+        bks,
+        F.array_repeat(F.lit(0.0), _DIM),
+        lambda acc, b: F.transform(
+            acc,
+            lambda x, i: x
+            + F.when(b == i, F.lit(1.0)).otherwise(F.lit(0.0)),
+        ),
     )
     base = split.select("doc_id", vec.alias("v")).withColumn(
         "__norm", F.sqrt(dot(F.col("v"), F.col("v")))
