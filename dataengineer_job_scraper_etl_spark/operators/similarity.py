@@ -67,15 +67,24 @@ def brute_force_topk(
     broadcast). The corpus is fanned out to all cores first — a
     single-row-group parquet scan is 1 partition, which would run the
     whole scoring pass on one core (no-op at scale)."""
+    # Per-side norms computed ONCE per row before the cross join (r13
+    # optimization, the graphrank device): dot/(qn*cn) is the
+    # bit-identical cosine (same ops, same order) with the two norm
+    # folds hoisted out of the |queries| x |corpus| scoring loop.
+    q2 = queries.withColumn("__qn", l2_norm(_as_double(F.col(qvec_col))))
+    c2 = ensure_min_parallelism(corpus).withColumn(
+        "__cn", l2_norm(_as_double(F.col(vec_col)))
+    )
     scored = (
-        F.broadcast(queries)
-        .crossJoin(ensure_min_parallelism(corpus))
+        F.broadcast(q2)
+        .crossJoin(c2)
         .select(
             F.col(qid_col),
             F.col(id_col),
-            cosine(_as_double(F.col(qvec_col)), _as_double(F.col(vec_col))).alias(
-                "cos_sim"
-            ),
+            (
+                dot(_as_double(F.col(qvec_col)), _as_double(F.col(vec_col)))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cos_sim"),
         )
     )
     return grouped_topk(
@@ -145,11 +154,17 @@ def rhp_lsh_topk(
             bits, F.lit(0).cast("long"), lambda acc, b: acc * 2 + b
         )
 
+    # Corpus-side norm computed once per row BEFORE the planes cross
+    # join (r13 optimization): the rerank's cosine becomes dot/(qn*cn)
+    # — the bit-identical expression with the two norm folds hoisted
+    # out of the candidate loop (and out of the n_tables fan-out).
     c_all = (
-        corpus.crossJoin(F.broadcast(planes_df))
+        corpus.withColumn("__cn", l2_norm(_as_double(F.col(vec_col))))
+        .crossJoin(F.broadcast(planes_df))
         .select(
             F.col(id_col),
             F.col(vec_col),
+            F.col("__cn"),
             F.col("tab"),
             bucket_for(_as_double(F.col(vec_col))).alias("bucket"),
         )
@@ -170,10 +185,12 @@ def rhp_lsh_topk(
     else:
         probe_buckets = F.array(qb)
     q_all = (
-        queries.crossJoin(F.broadcast(planes_df))
+        queries.withColumn("__qn", l2_norm(_as_double(F.col(qvec_col))))
+        .crossJoin(F.broadcast(planes_df))
         .select(
             F.col(qid_col),
             F.col(qvec_col),
+            F.col("__qn"),
             F.col("tab"),
             F.explode(probe_buckets).alias("bucket"),
         )
@@ -181,15 +198,16 @@ def rhp_lsh_topk(
 
     cand = (
         c_all.join(F.broadcast(q_all), ["tab", "bucket"])
-        .select(qid_col, id_col, qvec_col, vec_col)
+        .select(qid_col, id_col, qvec_col, vec_col, "__qn", "__cn")
         .dropDuplicates([qid_col, id_col])
     )
     scored = cand.select(
         F.col(qid_col),
         F.col(id_col),
-        cosine(_as_double(F.col(qvec_col)), _as_double(F.col(vec_col))).alias(
-            "cos_sim"
-        ),
+        (
+            dot(_as_double(F.col(qvec_col)), _as_double(F.col(vec_col)))
+            / (F.col("__qn") * F.col("__cn"))
+        ).alias("cos_sim"),
     )
     return grouped_topk(
         scored, [qid_col], [F.desc("cos_sim"), F.asc(id_col)], k
@@ -1289,15 +1307,24 @@ def ivf_topk(
         lambda s: s.getField("cluster_id"),
     )
     probes = queries.select(
-        qid_col, qvec_col, F.explode(probed).alias("cluster_id")
+        qid_col,
+        qvec_col,
+        # query norm once per query row, not once per probed candidate
+        # (r13 optimization; same device as brute_force_topk)
+        l2_norm(_as_double(F.col(qvec_col))).alias("__qn"),
+        F.explode(probed).alias("cluster_id"),
     )
-    cand = inverted.join(F.broadcast(probes), "cluster_id")
+    # corpus-side norm once per inverted row, before the probe join
+    cand = inverted.withColumn(
+        "__cn", l2_norm(_as_double(F.col(vec_col)))
+    ).join(F.broadcast(probes), "cluster_id")
     scored = cand.select(
         F.col(qid_col),
         F.col(id_col),
-        cosine(_as_double(F.col(qvec_col)), _as_double(F.col(vec_col))).alias(
-            "cos_sim"
-        ),
+        (
+            dot(_as_double(F.col(qvec_col)), _as_double(F.col(vec_col)))
+            / (F.col("__qn") * F.col("__cn"))
+        ).alias("cos_sim"),
     )
     return grouped_topk(
         scored, [qid_col], [F.desc("cos_sim"), F.asc(id_col)], k

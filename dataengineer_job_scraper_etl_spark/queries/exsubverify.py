@@ -181,12 +181,19 @@ def exact_substring_trim_verified(
     base = docs.select(
         F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
     ).localCheckpoint(eager=False)  # phase 1, phase 2 and the trim all scan it
-    sh = base.select(
-        "doc_id",
-        F.posexplode(_sliding_k_shingles(F.col("t"), k)).alias(
-            "pos", "shingle"
-        ),
-    ).select("doc_id", "pos", F.md5(F.col("shingle")).alias("h"))
+    # sh feeds the repeat count AND the coverage join (r13
+    # optimization, the exact_substring_trim staging): one shingle
+    # pass instead of two.
+    sh = (
+        base.select(
+            "doc_id",
+            F.posexplode(_sliding_k_shingles(F.col("t"), k)).alias(
+                "pos", "shingle"
+            ),
+        )
+        .select("doc_id", "pos", F.md5(F.col("shingle")).alias("h"))
+        .localCheckpoint(eager=False)
+    )
     rep = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -205,6 +212,10 @@ def exact_substring_trim_verified(
     )
     w = Window.partitionBy("doc_id").orderBy("cp")
     isl = cov.withColumn("g", F.col("cp") - F.row_number().over(w))
+    # cand feeds approx AND the phase-2 run list — without the
+    # checkpoint each consumer re-ran the whole phase-1 chain
+    # (coverage join + per-doc window) from the sh checkpoint (r13
+    # optimization; the run set is duplicate-density-bounded, tiny).
     cand = (
         isl.groupBy("doc_id", "g")
         .agg(
@@ -213,6 +224,7 @@ def exact_substring_trim_verified(
             F.count(F.lit(1)).alias("len"),
         )
         .filter(F.col("len") >= min_run)
+        .localCheckpoint(eager=False)
     )
     approx = cand.groupBy("doc_id").agg(
         F.sum("len").cast("long").alias("removed_approx")
@@ -238,6 +250,9 @@ def exact_substring_trim_verified(
                 F.array_join(F.slice(F.col("t"), F.col("p") + 1, min_run), " ")
             ).alias("h"),
         )
+        # grams feeds the phase-2 repeat count AND the verified
+        # coverage join — one candidate-gram pass instead of two (r13)
+        .localCheckpoint(eager=False)
     )
     rep16 = (
         grams.groupBy("h")

@@ -323,7 +323,15 @@ def train_pc1_monitor(
     _, m, v, _ = pca_top_component(
         ref_rows, "embedding", DIM, n_iter=N_ITER, cache_key=pca_key
     )
-    ref = ref_rows.select(pc1_score_expr(m, v).alias("pc1"))
+    # Stage the scored reference once (r13 optimization; the same
+    # idiom vec_pca_grid_sample / rfm already use): without the
+    # checkpoint the count action and the edge histogram each re-ran
+    # the full reference scan + scoring projection — two corpus-scale
+    # passes for one frozen monitor (and the refreeze entry trains
+    # TWO monitors per run).
+    ref = ref_rows.select(pc1_score_expr(m, v).alias("pc1")).localCheckpoint(
+        eager=False
+    )
     n_ref = ref.count()
     edges = rank_exact_edges(ref, "pc1", _N_BUCKETS, n_ref)
     return (m, v, edges, n_ref)
@@ -335,29 +343,46 @@ def train_pc1_monitor(
 PSI_RETRAIN_THRESHOLD_PPM = 200_000
 
 
-def monitor_psi_ppm(
+def monitor_bucket_counts(
     monitor: tuple[list[float], list[float], list[float], int],
     cur_rows: DataFrame,
-) -> int:
-    """Total PSI (integer ppm) of ``cur_rows`` against a frozen
-    monitor: score with the frozen axes, bucket by the frozen edges,
-    sum the smoothed per-decile contributions. One stateless
-    projection + a 10-row bounded aggregate — the per-batch serving
-    cost of the always-on monitor."""
-    m, v, edges, n_ref = monitor
+) -> dict[int, int]:
+    """Frozen-monitor bucket counts of ``cur_rows`` in ONE action:
+    score with the frozen axes, bucket by the frozen edges, 10-row
+    bounded collect. Factored out (r13 optimization) so a caller that
+    needs the counts AND the PSI decision (the refreeze entry builds
+    its hashed per-bucket statistic from them) scores the slice once
+    instead of once per consumer."""
+    m, v, edges, _n_ref = monitor
     scored = cur_rows.select(pc1_score_expr(m, v).alias("pc1"))
-    # ONE action (r13 optimization): every scored row lands in exactly
-    # one bucket (bucket_expr is total, 1..N_BUCKETS), so n_cur is the
-    # sum of the bucket counts — the separate count() was a second
-    # full scan + a second sequential job for a number the bucket
-    # aggregate already contains.
-    counts = {
+    return {
         r["b"]: r["n"]
         for r in scored.select(bucket_expr(edges).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
+
+
+def monitor_psi_ppm(
+    monitor: tuple[list[float], list[float], list[float], int],
+    cur_rows: DataFrame,
+    counts: dict[int, int] | None = None,
+) -> int:
+    """Total PSI (integer ppm) of ``cur_rows`` against a frozen
+    monitor: score with the frozen axes, bucket by the frozen edges,
+    sum the smoothed per-decile contributions. One stateless
+    projection + a 10-row bounded aggregate — the per-batch serving
+    cost of the always-on monitor. ``counts`` short-circuits the
+    scoring pass with precomputed ``monitor_bucket_counts`` output."""
+    m, v, edges, n_ref = monitor
+    # ONE action (r13 optimization): every scored row lands in exactly
+    # one bucket (bucket_expr is total, 1..N_BUCKETS), so n_cur is the
+    # sum of the bucket counts — the separate count() was a second
+    # full scan + a second sequential job for a number the bucket
+    # aggregate already contains.
+    if counts is None:
+        counts = monitor_bucket_counts(monitor, cur_rows)
     n_cur = sum(counts.values())
     # frozen deciles: the reference proportion per bucket is the
     # rank-exact decile mass; reconstruct counts from n_ref the same
@@ -380,6 +405,7 @@ def serve_and_maybe_retrain(
     new_pca_key: object = None,
     stale_monitor_keys: tuple = (),
     stale_index_key: str | None = None,
+    counts: dict[int, int] | None = None,
 ) -> tuple[tuple, int, bool]:
     """The detect -> retrain -> re-freeze lifecycle (VERDICT r7 #6):
 
@@ -398,8 +424,10 @@ def serve_and_maybe_retrain(
        slice tag: the r6 advisory — never reuse a cache key across
        retrains) and return the new monitor.
 
-    Returns (serving_monitor, psi_ppm, retrained)."""
-    psi = monitor_psi_ppm(monitor, cur_rows)
+    Returns (serving_monitor, psi_ppm, retrained). ``counts`` feeds
+    precomputed ``monitor_bucket_counts`` through to the PSI decision
+    (one scoring pass for callers that also consume the counts)."""
+    psi = monitor_psi_ppm(monitor, cur_rows, counts=counts)
     if psi <= threshold_ppm:
         return monitor, psi, False
     from dataengineer_job_scraper_etl_spark.operators.similarity import (
@@ -533,25 +561,30 @@ def vec_drift_retrain_refreeze(
         ).alias("embedding"),
     )
     mon1 = train_pc1_monitor(ref, pca_key=("drift-v1", sf_dir))
+    # Score + bucket the shifted slice ONCE (r13 optimization): the
+    # bounded 10-row counts feed BOTH the PSI decision inside
+    # serve_and_maybe_retrain and the hashed per-bucket statistic
+    # below — previously the entry re-ran the full scoring projection
+    # a second time to rebuild the identical counts as a DataFrame.
+    counts_map = monitor_bucket_counts(mon1, shifted)
     serving, _psi_dec, retrained = serve_and_maybe_retrain(
         mon1,
         shifted,
         new_ref_rows=shifted,
         new_pca_key=("drift-v2", sf_dir),
         stale_monitor_keys=(("pc1-monitor", sf_dir),),
+        counts=counts_map,
     )
     m1, v1, edges1, n_ref = mon1
-    n_cur = serving[3] if retrained else shifted.count()
+    n_cur = serving[3] if retrained else sum(counts_map.values())
 
     # The hashed breach statistic: per-bucket floored ppm contributions
     # summed (integer, order-independent — unlike floor-of-total, whose
     # float sum order differs across engines). The frozen v1 reference
     # mass per decile is uniform n_ref/10 (monitor_psi_ppm semantics).
-    scored = shifted.select(pc1_score_expr(m1, v1).alias("pc1"))
-    counts = (
-        scored.select(bucket_expr(edges1).alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("n_b"))
+    counts = spark.createDataFrame(
+        [(int(b), int(n)) for b, n in sorted(counts_map.items())],
+        "b long, n_b long",
     )
     base = spark.range(1, _N_BUCKETS + 1).select(F.col("id").alias("b"))
     jd = base.join(F.broadcast(counts), "b", "left").select(

@@ -67,12 +67,16 @@ def remove_boilerplate_spans(
     whose document frequency reaches DF_NUM/DF_DENOM of the corpus and
     reassemble the survivors in original order ('' if everything was
     boilerplate). Two shuffles; boilerplate set broadcast."""
+    # base feeds the span explode AND the totals projection; ex feeds
+    # the DF count AND the strip join — staged once each (r13
+    # optimization; the materialization the pass-1 comment below
+    # always described).
     base = docs.select(
         F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
-    )
+    ).localCheckpoint(eager=False)
     ex = base.select(
         "doc_id", F.posexplode(span_array(F.col("t"))).alias("pos", "span")
-    )
+    ).localCheckpoint(eager=False)
     n_docs = docs.select(
         F.count(F.lit(1)).cast("long").alias("__n_docs")
     )
@@ -236,13 +240,17 @@ def repeated_ngram_coverage(
     is corpus-sized in the worst case, NOT broadcast), position
     expansion is array-side, and the distinct-position count is a
     partial-aggregating groupBy."""
+    # base feeds shingles + totals, sh feeds the repeat count + the
+    # coverage join — staged once each (r13 optimization; "a
+    # production pipeline materializes this side" made executable,
+    # exactly as in exact_substring_trim).
     base = docs.select(
         F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
-    )
+    ).localCheckpoint(eager=False)
     sh = base.select(
         "doc_id",
         F.posexplode(_sliding_shingles(F.col("t"))).alias("pos", "shingle"),
-    )
+    ).localCheckpoint(eager=False)
     rep = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -375,15 +383,26 @@ def exact_substring_trim(
     Two corpus passes — the irreducible global-dedup shape; a
     production pipeline materializes the shingle side between them.
     """
+    # Stage the tokenized corpus and the shingle-digest frame ONCE
+    # (r13 optimization — the materialization the docstring's "a
+    # production pipeline materializes the shingle side between them"
+    # always described): ``base`` feeds the shingle explode AND the
+    # final trim join, ``sh`` feeds the repeat count AND the coverage
+    # join — without the checkpoints each consumer re-ran the full
+    # tokenize (+ shingle explode + md5) from the source scan.
     base = docs.select(
         F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
+    ).localCheckpoint(eager=False)
+    sh = (
+        base.select(
+            "doc_id",
+            F.posexplode(_sliding_k_shingles(F.col("t"), k)).alias(
+                "pos", "shingle"
+            ),
+        )
+        .select("doc_id", "pos", F.md5(F.col("shingle")).alias("h"))
+        .localCheckpoint(eager=False)
     )
-    sh = base.select(
-        "doc_id",
-        F.posexplode(_sliding_k_shingles(F.col("t"), k)).alias(
-            "pos", "shingle"
-        ),
-    ).select("doc_id", "pos", F.md5(F.col("shingle")).alias("h"))
     rep = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -475,9 +494,12 @@ def decontaminate_trim(
     Run assembly + trim are the shared per-doc core."""
     if min_run is None:
         min_run = k
+    # base feeds the shingle explode AND the trim join — staged once
+    # (r13 optimization; sh has a single consumer here, so only the
+    # tokenize pass was duplicated).
     base = train_docs.select(
         F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
-    )
+    ).localCheckpoint(eager=False)
     sh = base.select(
         "doc_id",
         F.posexplode(_sliding_k_shingles(F.col("t"), k)).alias(
@@ -561,15 +583,23 @@ def exact_substring_ingest_trim(
     index-only rule the STREAMING twin uses (intra-batch repetition
     stays in the batch operator — the same carve-out
     streaming_semdedup_ingest documents)."""
+    # Same staging as exact_substring_trim (r13 optimization): base
+    # feeds shingles + the trim join, sh feeds the dup rule + the
+    # coverage join — one tokenize and one shingle pass per batch
+    # instead of two of each.
     base = batch_docs.select(
         F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
+    ).localCheckpoint(eager=False)
+    sh = (
+        base.select(
+            "doc_id",
+            F.posexplode(_sliding_k_shingles(F.col("t"), k)).alias(
+                "pos", "shingle"
+            ),
+        )
+        .select("doc_id", "pos", F.md5(F.col("shingle")).alias("h"))
+        .localCheckpoint(eager=False)
     )
-    sh = base.select(
-        "doc_id",
-        F.posexplode(_sliding_k_shingles(F.col("t"), k)).alias(
-            "pos", "shingle"
-        ),
-    ).select("doc_id", "pos", F.md5(F.col("shingle")).alias("h"))
     if count_batch_repeats:
         idx = index.select("h").withColumn("__in_corpus", F.lit(True))
         dup = (

@@ -57,14 +57,24 @@ def vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accumulate in float64 (DuckDB list_cosine_similarity promotes).
     qe = F.transform(F.col("qe"), lambda x: x.cast("double"))
     ee = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # Per-side norms hoisted out of the pair loop (r13 optimization,
+    # the graphrank device): dot/(qn*en) is the bit-identical cosine
+    # with each norm folded once per row instead of once per pair.
+    from dataengineer_job_scraper_etl_spark.functions.vector_math import (
+        dot,
+        l2_norm,
+    )
+
+    q2 = q.withColumn("__qn", l2_norm(qe))
+    e2 = e.withColumn("__en", l2_norm(ee))
     scored = (
-        F.broadcast(q)
-        .crossJoin(e)
+        F.broadcast(q2)
+        .crossJoin(e2)
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            cosine(qe, ee).alias("sim"),
+            (dot(qe, ee) / (F.col("__qn") * F.col("__en"))).alias("sim"),
         )
     )
     # two-stage top-k (operators/topk.py): a plain window over 5 qids

@@ -119,15 +119,18 @@ def test_catalog_docstring_plan_claims_hold(spark, sf_dir):
         # signature; the verified-pairs entry is banding shuffle +
         # candidate-bounded verify joins (AQE broadcasts them at
         # sf0.01; headroom for their SMJ rendering at scale); the
-        # verified ExactSubstr's 4 windows are its two per-doc
-        # gaps-and-islands passes (phase-1 candidates, phase-2
-        # verified coverage) x (row_number + the run-list agg's
-        # internal sort); the salted basket's 2 windows are the
+        # verified ExactSubstr shows ONE visible window since the r13
+        # staging: the phase-1 gaps-and-islands window runs once
+        # behind the candidate-run localCheckpoint (pre-fix it was
+        # re-executed by both phase-1 consumers and appeared 4x with
+        # the run-list agg's internal sorts), leaving only phase-2's
+        # verified-coverage window in the final plan; the salted
+        # basket's 2 windows are the
         # basket-size count (the one exchange the pair join needs
         # anyway) — a third would mean a stratum-sized frame.
         "neardup_minhash_lsh": (5, 0, 3),
         "neardup_simhash_fingerprints": (0, 0, 0),
-        "docs_exact_substring_verified": (13, 4, 2),
+        "docs_exact_substring_verified": (13, 1, 2),
         "lineitem_copurchase_lift_salted": (9, 2, 2),
         # round-13 session-2 additions. The dim ladder's ZERO windows
         # is the materialize-once signature: the two top-k windows run
