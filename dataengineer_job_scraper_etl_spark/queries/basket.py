@@ -147,7 +147,14 @@ def lineitem_copurchase_lift(
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     ).localCheckpoint(eager=False)  # shared by counts + both join sides
     n = op.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
-    pc = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # pc feeds the support prune AND both marginal joins — staged once
+    # (r13 optimization) so each consumer reads the dimension-sized
+    # count table instead of re-aggregating the basket postings.
+    pc = (
+        op.groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     freq = op.join(
         pc.filter(F.col("cnt") >= _MIN_CO).select("p"), "p", "left_semi"
     )
@@ -303,7 +310,12 @@ def lineitem_copurchase_lift_salted(
         .localCheckpoint(eager=False)  # shared by counts + join sides
     )
     n = op.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
-    pc = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # staged for the same three consumers as the capped entry (r13)
+    pc = (
+        op.groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     freq = op.join(
         pc.filter(F.col("cnt") >= _MIN_CO).select("p"), "p", "left_semi"
     )

@@ -160,11 +160,16 @@ def retrieval_prf_expansion(
     w1 = Window.partitionBy(F.lit(0)).orderBy(
         F.desc("bm25_ppm"), F.asc("doc_id")
     )
+    # Staged (r13 optimization): first_pass feeds the feedback-doc
+    # mining join AND the final rank join — without the checkpoint
+    # each consumer re-ran the ENTIRE pass-1 corpus BM25 (10 rows
+    # materialized; the bound is FB_DOCS).
     first_pass = (
         bm.orderBy(F.desc("bm25_ppm"), F.asc("doc_id"))
         .limit(FB_DOCS)
         .select("doc_id", F.row_number().over(w1).cast("int")
                 .alias("rank_first"))
+        .localCheckpoint(eager=False)
     )
 
     # shared posting index for mining + pass 2 (ONE tokenize scan)
@@ -175,14 +180,23 @@ def retrieval_prf_expansion(
     ptf = posting.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     ).localCheckpoint(eager=False)
+    # cstats (1 row) and cdf (vocabulary-sized) each feed the mining
+    # pass AND pass 2 — staged once so each consumer reads the
+    # materialized rows instead of re-aggregating the posting index
+    # (r13 optimization; ptf itself was already checkpointed).
     cstats = (
         ptf.groupBy("doc_id").agg(F.first("dl").alias("dl"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.avg("dl").alias("avgdl"),
         )
+        .localCheckpoint(eager=False)
     )
-    cdf = ptf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    cdf = (
+        ptf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint(eager=False)
+    )
 
     orig = sorted({t.lower() for t in BM25_QUERY_TERMS})
     mined = (
