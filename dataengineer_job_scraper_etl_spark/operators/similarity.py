@@ -641,6 +641,14 @@ def normalize_assigned(
     and re-evaluate it per element. Post-checkpoint, nv is dim
     divisions per row against the stored scalar."""
     vd = _as_double(F.col(vec_col))
+    # Fan the narrow (id, vec) frame out BEFORE assign/normalize (r13
+    # optimization, guide §2.5): a small parquet fixture scans as ONE
+    # partition, and since this checkpointed frame feeds BOTH sides of
+    # the quadratic within-cluster pair join, the entire pair pass ran
+    # on one task (measured: a single-task 3.5 s CPU stage inside the
+    # ``dropped`` broadcast build at sf0.1 — half the semdedup entry
+    # cost). No-op at real scale: never repartitions down.
+    emb = ensure_min_parallelism(emb)
     # nullif guard: an all-zero vector has norm 0 — dividing raises
     # under ANSI mode (on by default) and yields NaN otherwise, where
     # Spark's NaN > tau is TRUE but DuckDB's 0/0 is NULL (engines

@@ -134,16 +134,30 @@ def _pair_arr():
     """Adjacent-token struct array. Built in its OWN select and
     exploded in the next one — a non-generator expression in the same
     select as a generator re-evaluates per generated row (the text.py
-    dup-bigram lesson)."""
+    dup-bigram lesson).
+
+    Pairs via zip_with of two SHIFTED SLICES (r13 optimization, the
+    operators/dedup.shingles device): the old transform(sequence(2,
+    size(t)), i -> struct(element_at(t, i-1), element_at(t, i)))
+    referenced ``t`` INSIDE the lambda, and Catalyst does not CSE
+    across lambda boundaries — on a STREAMING frame, where the
+    tokenized column cannot be checkpoint-materialized, CollapseProject
+    inlines the whole regexp+split tokenization into the lambda and
+    re-runs it once PER TRANSITION (measured: 2.2 s of each
+    streaming_bigram_ppl_ingest micro-batch at sf0.1, ~40 us x 53k
+    transitions; the batch callers checkpoint ``t`` first and were
+    shielded). Here ``t`` appears only at top level (two slices + the
+    size), evaluated once per row. Pair i of the zip is
+    (t[i], t[i+1]) — identical structs in identical order to the old
+    index walk; the < 2-token guard is unchanged."""
     tcol = F.col("t")
+    n_pairs = F.size(tcol) - F.lit(1)
     return F.when(
         F.size(tcol) >= 2,
-        F.transform(
-            F.sequence(F.lit(2), F.size(tcol)),
-            lambda i: F.struct(
-                F.element_at(tcol, i - 1).alias("prev"),
-                F.element_at(tcol, i).alias("cur"),
-            ),
+        F.zip_with(
+            F.slice(tcol, 1, n_pairs),
+            F.slice(tcol, 2, n_pairs),
+            lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
         ),
     ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
 
