@@ -216,8 +216,19 @@ def streaming_bigram_ppl_ingest(
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
     )
+    # Generate barrier (r13 optimization, session 4): explode(array(x))
+    # emits exactly one row per input row with the token array as a
+    # REAL attribute, which CollapseProject cannot inline through. On
+    # this STREAMING frame (no checkpoint possible) the plain alias
+    # form collapsed into transitions()' pair expression, where ``t``
+    # appears four times (two slices + two sizes) inside a
+    # CodegenFallback subtree with no CSE — four tokenize passes per
+    # row. Measured on the batch twin of this exact projection:
+    # 0.4-0.7 s -> 0.2-0.3 s per pass, 0 row diffs.
     tokd = stream.select(
-        "doc_id", "source", ws_tokens(F.col("text")).alias("t")
+        "doc_id",
+        "source",
+        F.explode(F.array(ws_tokens(F.col("text")))).alias("t"),
     )
     tr = transitions(tokd, ["doc_id", "source"])
     scored_rows = (
