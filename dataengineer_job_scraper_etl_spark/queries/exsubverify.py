@@ -175,12 +175,12 @@ def exact_substring_trim_verified(
     from dataengineer_job_scraper_etl_spark.queries.spans import (
         _sliding_k_shingles,
         _trim_covered_runs,
+        tok_base,
     )
-    from dataengineer_job_scraper_etl_spark.queries.text import _tokens
 
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
-    ).localCheckpoint(eager=False)  # phase 1, phase 2 and the trim all scan it
+    # phase 1, phase 2 and the trim all scan it; fanned out before
+    # tokenize (see spans.tok_base)
+    base = tok_base(docs, id_col, text_col)
     # sh feeds the repeat count AND the coverage join (r13
     # optimization, the exact_substring_trim staging): one shingle
     # pass instead of two.

@@ -32,6 +32,28 @@ from pyspark.sql import functions as F
 
 from dataengineer_job_scraper_etl_spark.catalog import register
 from dataengineer_job_scraper_etl_spark.queries.text import _docs, _tokens
+from dataengineer_job_scraper_etl_spark.session import ensure_min_parallelism
+
+
+def tok_base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, t): the tokenized, checkpoint-staged base frame every
+    span operator fans out from — with the (id, text) projection
+    round-robined up to cluster parallelism BEFORE tokenize (r13
+    optimization, session 4, guide §2.5). A small parquet fixture
+    scans as ONE partition and the lazy localCheckpoint freezes that
+    layout, so the tokenize + shingle + md5 front half of every span
+    operator ran on one task (measured: a 1-task 3.7 s CPU stage
+    inside docs_exact_substring_verified's broadcast build). No-op at
+    real scale — never repartitions down; the exchange moves raw
+    (id, text) rows once, before the expensive expressions."""
+    src = ensure_min_parallelism(
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+        )
+    )
+    return src.select(
+        "doc_id", _tokens(F.col("__text")).alias("t")
+    ).localCheckpoint(eager=False)
 
 SPAN_TOKENS = 2
 # boilerplate iff document frequency * DF_DENOM >= n_docs * DF_NUM
@@ -71,9 +93,7 @@ def remove_boilerplate_spans(
     # the DF count AND the strip join — staged once each (r13
     # optimization; the materialization the pass-1 comment below
     # always described).
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
-    ).localCheckpoint(eager=False)
+    base = tok_base(docs, id_col, text_col)
     ex = base.select(
         "doc_id", F.posexplode(span_array(F.col("t"))).alias("pos", "span")
     ).localCheckpoint(eager=False)
@@ -244,9 +264,7 @@ def repeated_ngram_coverage(
     # coverage join — staged once each (r13 optimization; "a
     # production pipeline materializes this side" made executable,
     # exactly as in exact_substring_trim).
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
-    ).localCheckpoint(eager=False)
+    base = tok_base(docs, id_col, text_col)
     sh = base.select(
         "doc_id",
         F.posexplode(_sliding_shingles(F.col("t"))).alias("pos", "shingle"),
@@ -390,9 +408,7 @@ def exact_substring_trim(
     # final trim join, ``sh`` feeds the repeat count AND the coverage
     # join — without the checkpoints each consumer re-ran the full
     # tokenize (+ shingle explode + md5) from the source scan.
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
-    ).localCheckpoint(eager=False)
+    base = tok_base(docs, id_col, text_col)
     sh = (
         base.select(
             "doc_id",
@@ -497,9 +513,7 @@ def decontaminate_trim(
     # base feeds the shingle explode AND the trim join — staged once
     # (r13 optimization; sh has a single consumer here, so only the
     # tokenize pass was duplicated).
-    base = train_docs.select(
-        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
-    ).localCheckpoint(eager=False)
+    base = tok_base(train_docs, id_col, text_col)
     sh = base.select(
         "doc_id",
         F.posexplode(_sliding_k_shingles(F.col("t"), k)).alias(
@@ -543,8 +557,14 @@ def exact_substring_index(
     strings); at scale this is stored BUCKETED by ``h`` so the
     per-batch semi-join co-locates against it — only the batch side
     shuffles, batch-proportionally."""
+    # fanned out before tokenize (r13 session 4, the tok_base device):
+    # the corpus-scale tokenize + shingle + md5 of the index build ran
+    # on the scan's partition count — one task on a small fixture
     return (
-        corpus_docs.select(_tokens(F.col(text_col)).alias("t"))
+        ensure_min_parallelism(
+            corpus_docs.select(F.col(text_col).alias("__text"))
+        )
+        .select(_tokens(F.col("__text")).alias("t"))
         .select(
             F.explode(_sliding_k_shingles(F.col("t"), k)).alias("shingle")
         )
@@ -587,9 +607,7 @@ def exact_substring_ingest_trim(
     # feeds shingles + the trim join, sh feeds the dup rule + the
     # coverage join — one tokenize and one shingle pass per batch
     # instead of two of each.
-    base = batch_docs.select(
-        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
-    ).localCheckpoint(eager=False)
+    base = tok_base(batch_docs, id_col, text_col)
     sh = (
         base.select(
             "doc_id",
