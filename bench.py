@@ -456,7 +456,7 @@ def uniform_inflation(
 
 
 def clean_baseline(
-    repo: str, cur_sf: float | str, cur_wv: int
+    repo: str, cur_sf: float | str, cur_wv: int, cur_cpus: int | None = None
 ) -> tuple[dict, dict[str, float]]:
     """Rolling CLEAN per-entry reference for uniform_inflation
     (VERDICT r9 ask #6 + ADVICE r9 #1): per-entry MIN of the medians
@@ -466,7 +466,13 @@ def clean_baseline(
     r(N) run compared against a stalled r(N-1) artifact can no longer
     read as 'normal'; sf/warmup gating stops a methodology- or
     scale-shifted artifact from faking (or masking) a uniform
-    slowdown. Returns ({kind, sources}, {entry: min_median})."""
+    slowdown. Artifacts recorded at a DIFFERENT core count are also
+    excluded (r14 measurement fix: the driver's low-core scaling run
+    writes BENCH_r*_c8.json with "cpus": 8, where the streaming family
+    runs 2-4x faster than at 32 cores — folding those minima into the
+    baseline falsely inflates the 32-core run's ratios; artifacts
+    without a cpus field predate the scaling runs and are kept).
+    Returns ({kind, sources}, {entry: min_median})."""
     import glob as _glob
 
     docs: list[tuple[str, dict]] = []
@@ -484,6 +490,13 @@ def clean_baseline(
         if parsed.get("warmup_version") != cur_wv:
             continue
         if parsed.get("sf") != cur_sf:
+            continue
+        doc_cpus = doc.get("cpus")
+        if (
+            cur_cpus is not None
+            and doc_cpus is not None
+            and int(doc_cpus) != int(cur_cpus)
+        ):
             continue
         docs.append((os.path.basename(path), parsed["queries"]))
         if len(docs) == 3:
@@ -882,6 +895,7 @@ def main() -> None:
         meta, prev = clean_baseline(
             os.path.dirname(os.path.abspath(__file__)), sf_val,
             WARMUP_VERSION,
+            cur_cpus=spark.sparkContext.defaultParallelism,
         )
         uniform = uniform_inflation(prev, timings)
         uniform.update(meta)

@@ -55,10 +55,21 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Fused round 1 (r14 optimization, guide §2.4): with identity
+    # starting labels, round 1's neighbor pass joins labels(b) == b —
+    # so neighbor_min(a) is just min(b) over a's edges and round 1's
+    # whole join + min-agg + reinstatement-join chain collapses into
+    # the label INITIALIZATION itself: one aggregate over sym,
+    # least(a, min(b)) — provably the exact labels the old round 1
+    # produced (pinned against a verbatim pre-r14 replay in
+    # tests/test_r14_optimizations.py). The symmetric edge set also
+    # makes round 1's convergence probe decidable for free: every
+    # edge (a, b) with a != b relabels its larger endpoint, so labels
+    # changed iff sym has any off-diagonal edge — no count action.
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.least(F.col("node"), F.min("b")).alias("component"))
+        .localCheckpoint(eager=False)
     )
     # Adaptive doubling (VERDICT r6 ask #5): the shortcut join is pure
     # overhead on the typical near-dup graph (tiny dense clusters
@@ -71,9 +82,22 @@ def connected_components(
     # doubling stays on: labels only ever decrease, so it only
     # tightens. (A stall-count trigger behaves identically here but
     # needs a full per-round changed COUNT; the round-index trigger
-    # keeps the cheap any-changed probe.)
+    # keeps the cheap any-changed probe.) Round indices below start at
+    # 1 because the fused init above IS round 1 — the doubling
+    # schedule (plain until _PLAIN_ROUNDS, doubling from round 3) and
+    # the max_iter budget are unchanged round-for-round.
     doubling = False
-    for rnd in range(max_iter):
+    if max_iter == 1:
+        # the fused init consumed the whole budget: converged iff no
+        # off-diagonal edge exists (the free round-1 probe above)
+        if sym.filter(F.col("a") != F.col("b")).limit(1).count() == 0:
+            return labels
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"max_iter={max_iter} rounds; the graph's propagation "
+            f"distance exceeds the budget — raise max_iter"
+        )
+    for rnd in range(1, max_iter):
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["node"])
             .groupBy(F.col("a").alias("node"))

@@ -177,29 +177,76 @@ def transitions(frame: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def _headed_pair_arr():
+    """Like ``_pair_arr`` but with a NULL-prev HEAD element per token
+    position: element i of the zip is (t[i-1], t[i]) with t[0]'s prev
+    NULL — one struct per TOKEN, not per transition. Grouping these
+    rows by (prev, cur) yields the bigram counts (prev IS NOT NULL
+    rows) AND, summed over prev per cur, the unigram counts — the
+    single corpus pass train_bigram_lm fuses its two explode passes
+    into (r14 optimization). NULL can never collide with a real token:
+    split() yields no NULLs (empty text tokenizes to [''], a distinct
+    non-NULL value). Same zip-of-slices top-level shape as _pair_arr
+    (no tokenize reference inside a lambda)."""
+    tcol = F.col("t")
+    n = F.size(tcol)
+    prev_arr = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(tcol, 1, F.greatest(n - F.lit(1), F.lit(0))),
+    )
+    return F.when(
+        n >= 1,
+        F.zip_with(
+            prev_arr,
+            tcol,
+            lambda p, c: F.struct(p.alias("prev"), c.alias("cur")),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,cur:string>>"))
+
+
 def train_bigram_lm(
     reference: DataFrame, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(probs, uni, stats): the frozen model tables — the REFERENCE
     slice's distinct-bigram conditional MLE (prev, cur, p_big), the
     unigram counts (tok, c_uni), and a 1-row (n, v) stats frame.
-    Zipf-bounded; built by one groupBy over the reference transitions,
-    context totals aggregating the MODEL (vocab-scale)."""
+
+    ONE corpus-scale pass (r14 optimization, fusing the former
+    unigram-explode + transition-explode pair): each token position
+    emits one (prev-or-NULL, cur) row via _headed_pair_arr, grouped
+    once at token scale. The grouped table is Zipf-bounded (distinct
+    bigrams + V head rows) and is the ONLY materialization — the
+    former token-array checkpoint is gone. Unigram counts re-aggregate
+    the MODEL table by cur (every token occurrence is a ``cur``
+    exactly once, head rows included), so c_uni/n/v are value-
+    identical to the two-pass formulation (pinned in
+    tests/test_r14_optimizations.py); bigram counts are the
+    prev-IS-NOT-NULL rows. The tokenize rides behind a Generate
+    barrier (explode(array(...)), the streaming_lm device) so the
+    zip's CodegenFallback subtree reads ``t`` as a stored attribute
+    instead of re-running the regexp tokenization per reference."""
     ref_tok = reference.select(
-        ws_tokens(F.col(text_col)).alias("t")
-    ).localCheckpoint(eager=False)
-    uni = (
-        ref_tok.select(F.explode("t").alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).cast("double").alias("c_uni"))
+        F.explode(F.array(ws_tokens(F.col(text_col)))).alias("t")
+    )
+    pc = (
+        ref_tok.select(_headed_pair_arr().alias("pcs"))
+        .select(F.explode("pcs").alias("pc"))
+        .select(
+            F.col("pc.prev").alias("prev"), F.col("pc.cur").alias("cur")
+        )
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    uni = pc.groupBy(F.col("cur").alias("tok")).agg(
+        F.sum("c").alias("c_uni")
     )
     stats = uni.agg(
         F.sum("c_uni").alias("n"),
         F.count(F.lit(1)).cast("double").alias("v"),
     )
-    ref_tr = transitions(ref_tok, [])
-    big = ref_tr.groupBy("prev", "cur").agg(
-        F.count(F.lit(1)).cast("double").alias("c_big")
+    big = pc.filter(F.col("prev").isNotNull()).select(
+        "prev", "cur", F.col("c").alias("c_big")
     )
     ctx = big.groupBy("prev").agg(F.sum("c_big").alias("c_ctx"))
     probs = big.join(ctx, "prev").select(

@@ -283,6 +283,49 @@ def rank_exact_edges(
     return [row[f"e{k}"] for k in range(1, n_buckets)]
 
 
+def rank_exact_edges_n(
+    scored: DataFrame, col: str, n_buckets: int
+) -> tuple[list[float], int]:
+    """(edges, n_total) in ONE action (r14 optimization): the separate
+    ``scored.count()`` every monitor train ran before the edge collect
+    was a full extra pass over the scored frame for a number the
+    cumulative histogram already ends at. n_total rides the same
+    bounded collect as a ``max(cum)`` cross-join (the total subtree
+    re-reads the prefix pass's lazily-checkpointed scan, never the
+    corpus), and the threshold rule is applied in its algebraically
+    identical integer form: for integer cum,
+        cum >= ceil(k*n/b)  <=>  cum * b >= k * n
+    so the returned edges are value-identical to
+    ``rank_exact_edges(scored, col, n_buckets, scored.count())``
+    (pinned in tests/test_r14_optimizations.py)."""
+    from dataengineer_job_scraper_etl_spark.operators.prefix import (
+        global_prefix,
+    )
+
+    hist = scored.groupBy(col).count()
+    cum = global_prefix(hist, [F.asc(col)], sums={"cum": "count"})
+    tot = cum.agg(F.max("cum").alias("__n"))
+    row = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("__n").alias("n"),
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") * F.lit(n_buckets)
+                        >= F.lit(k) * F.col("__n"),
+                        F.col(col),
+                    )
+                ).alias(f"e{k}")
+                for k in range(1, n_buckets)
+            ],
+        )
+        .collect()[0]
+    )
+    n = int(row["n"]) if row["n"] is not None else 0
+    return [row[f"e{k}"] for k in range(1, n_buckets)], n
+
+
 # (means, loadings, edges, n_ref) keyed by sf_dir: the frozen monitor
 # is trained once on the reference slice and served to both the batch
 # and the streaming entry (same train-once contract as the centroid
@@ -332,8 +375,11 @@ def train_pc1_monitor(
     ref = ref_rows.select(pc1_score_expr(m, v).alias("pc1")).localCheckpoint(
         eager=False
     )
-    n_ref = ref.count()
-    edges = rank_exact_edges(ref, "pc1", _N_BUCKETS, n_ref)
+    # ONE action for count + edges (r14 optimization): the former
+    # separate ref.count() was a full pass over the scored checkpoint
+    # for the number the edge histogram's cumulative sum already ends
+    # at — rank_exact_edges_n folds it into the edge collect.
+    edges, n_ref = rank_exact_edges_n(ref, "pc1", _N_BUCKETS)
     return (m, v, edges, n_ref)
 
 
@@ -553,13 +599,17 @@ def vec_drift_retrain_refreeze(
         "vec_id", "embedding"
     )
     ref = e.filter(~F.expr(_CUR_PRED))
+    # Staged once (r14 optimization): the shifted slice feeds THREE
+    # consumers — the v1 bucket-count scoring pass, the v2 Gram pass,
+    # and the v2 edge-scoring pass — each of which re-ran the parquet
+    # scan + filter + 64-term shift projection without it.
     shifted = e.filter(F.expr(_CUR_PRED)).select(
         "vec_id",
         F.transform(
             F.col("embedding").cast("array<double>"),
             lambda x: x + F.lit(_SHIFT),
         ).alias("embedding"),
-    )
+    ).localCheckpoint(eager=False)
     mon1 = train_pc1_monitor(ref, pca_key=("drift-v1", sf_dir))
     # Score + bucket the shifted slice ONCE (r13 optimization): the
     # bounded 10-row counts feed BOTH the PSI decision inside
@@ -811,8 +861,10 @@ def vec_pca_grid_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc1_score_expr(m, comps[0]).alias("pc1"),
         pc1_score_expr(m, comps[1]).alias("pc2"),
     ).localCheckpoint(eager=False)
-    n = scored.count()
-    ex = rank_exact_edges(scored, "pc1", _GRID_BUCKETS, n)
+    # first axis folds the count into its edge collect (r14
+    # optimization — one fewer full pass over the scored checkpoint);
+    # the second axis reuses the same n through the original rule
+    ex, n = rank_exact_edges_n(scored, "pc1", _GRID_BUCKETS)
     ey = rank_exact_edges(scored, "pc2", _GRID_BUCKETS, n)
     cells = scored.select(
         "vec_id",

@@ -139,12 +139,21 @@ def events_user_rfm_segments(
         )
         .localCheckpoint(eager=False)  # histograms + final projection
     )
-    # bounded collects (the rank_exact_edges contract): n_total is one
-    # long, each edge list is 3 values
-    n_total = rfm.count()
+    # bounded collects (the rank_exact_edges contract): each edge list
+    # is 3 values; the first metric folds the n_total count into its
+    # own edge collect (rank_exact_edges_n, r14 optimization — the
+    # separate rfm.count() was a full extra pass over the checkpoint)
+    from dataengineer_job_scraper_etl_spark.queries.pca import (
+        rank_exact_edges_n,
+    )
+
+    n_total = None
     cols = {}
     for metric in ("recency_ppm_days", "frequency", "monetary_ppm"):
-        edges = rank_exact_edges(rfm, metric, _N_BUCKETS, n_total)
+        if n_total is None:
+            edges, n_total = rank_exact_edges_n(rfm, metric, _N_BUCKETS)
+        else:
+            edges = rank_exact_edges(rfm, metric, _N_BUCKETS, n_total)
         bucket = F.lit(1)
         for e in edges:
             bucket = bucket + (F.col(metric) > F.lit(e)).cast("int")

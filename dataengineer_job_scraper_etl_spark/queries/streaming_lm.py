@@ -224,7 +224,10 @@ def streaming_bigram_ppl_ingest(
     # appears four times (two slices + two sizes) inside a
     # CodegenFallback subtree with no CSE — four tokenize passes per
     # row. Measured on the batch twin of this exact projection:
-    # 0.4-0.7 s -> 0.2-0.3 s per pass, 0 row diffs.
+    # 0.4-0.7 s -> 0.2-0.3 s per pass, 0 row diffs. The barrier's
+    # optimizer dependence (CollapseProject not crossing Generate) is
+    # pinned by tests/test_scale_plans.py::
+    # test_generate_barriers_survive_the_optimizer (ADVICE r13).
     tokd = stream.select(
         "doc_id",
         "source",

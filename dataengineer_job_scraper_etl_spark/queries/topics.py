@@ -159,9 +159,11 @@ def docs_hashtf_kmeans_topics(
 def hashtf_unit_embeddings(d: DataFrame) -> DataFrame:
     """(doc_id, text) -> (doc_id, e): the hashed bag-of-words
     featurizer (one md5 nibble per token -> {_DIM} buckets) with L2
-    normalization — a pure codegen projection (no shuffle, no state),
-    which is exactly what lets the streaming twin run it per
-    micro-batch unchanged. Token-less and zero-norm docs drop."""
+    normalization — stateless and shuffle-free (streaming-safe, so the
+    streaming twin runs it per micro-batch unchanged), staged as THREE
+    projection segments separated by single-element explode(array(x))
+    Generate barriers (see the barrier comment below) rather than one
+    collapsed projection. Token-less and zero-norm docs drop."""
     from dataengineer_job_scraper_etl_spark.functions.vector_math import (
         dot,
     )

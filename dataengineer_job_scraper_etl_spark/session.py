@@ -81,7 +81,11 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def ensure_min_parallelism(df, min_partitions: int | None = None):
+def ensure_min_parallelism(
+    df,
+    min_partitions: int | None = None,
+    bytes_per_partition: int | None = None,
+):
     """Round-robin repartition ``df`` up to ``min_partitions`` (default:
     the cluster's defaultParallelism) IF it currently has fewer
     partitions; no-op otherwise.
@@ -94,6 +98,21 @@ def ensure_min_parallelism(df, min_partitions: int | None = None):
     already has >> defaultParallelism partitions and this is a no-op —
     we never repartition DOWN, so large inputs are never shuffled.
 
+    ``bytes_per_partition`` additionally scales the target WITH INPUT
+    SIZE (VERDICT r13 ask #6): target = min(defaultParallelism,
+    ceil(estimated_bytes / bytes_per_partition)). Use it at sites whose
+    downstream per-byte CPU is modest (e.g. tokenize feeding many small
+    stages) so a KB-scale fixture is not fanned into defaultParallelism
+    tasks of ~20 KB whose scheduling overhead eats the win — while an
+    unsplittable multi-GB input (the one-huge-gzip hazard, guide §2.5)
+    still fans out to full width. Do NOT use it where downstream cost
+    is quadratic in rows per task (semdedup pair joins, kNN N² stages):
+    there the CPU, not the bytes, is the scaling variable, and full
+    fan-out is the measured win at every size (r13 §4/§11). The size
+    estimate is Catalyst's optimizedPlan stats (file-size-derived for
+    scans; an unknown estimate is huge and simply clamps to
+    defaultParallelism — the pre-r14 behavior).
+
     Call this on a NARROW projection (ids + the columns the expensive
     stage needs), before the expensive expressions, so the heavy
     compute lands after the exchange.
@@ -103,6 +122,17 @@ def ensure_min_parallelism(df, min_partitions: int | None = None):
         if min_partitions is not None
         else df.sparkSession.sparkContext.defaultParallelism
     )
+    if bytes_per_partition is not None and bytes_per_partition > 0:
+        est = int(
+            df._jdf.queryExecution()  # noqa: SLF001 - no public stats API
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+            .toString()
+        )
+        target = min(
+            target, max(1, -(-est // bytes_per_partition))
+        )
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -174,6 +174,44 @@ def test_catalog_docstring_plan_claims_hold(spark, sf_dir):
     assert not bad, bad
 
 
+def test_generate_barriers_survive_the_optimizer(spark):
+    """The explode(array(x)) materialization barriers (r13 — topics.
+    hashtf_unit_embeddings, streaming_lm's tokenize, lm.train_bigram_lm)
+    rely on CollapseProject not crossing a Generate node. A Spark
+    upgrade that eliminates single-element Generates would silently
+    reintroduce the ~25x featurizer re-evaluation / per-transition
+    retokenization with NO correctness signal (ADVICE r13) — so pin
+    the OPTIMIZED plan shape: the expensive expression must appear
+    exactly once, behind at least the expected Generate count."""
+    from dataengineer_job_scraper_etl_spark.functions.strings import (
+        ws_tokens,
+    )
+    from dataengineer_job_scraper_etl_spark.queries.lm import transitions
+    from dataengineer_job_scraper_etl_spark.queries.topics import (
+        hashtf_unit_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e")], "doc_id long, text string"
+    )
+    # featurizer: 3 barriers; the md5-per-token fold must be evaluated
+    # in exactly ONE place in the optimized plan (pre-r13: ~25 sites)
+    feat = hashtf_unit_embeddings(docs)
+    plan = feat._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5(") == 1, plan
+    assert plan.count("Generate explode") >= 3, plan
+    # the streamed-tokenize twin (identical projection on a batch frame
+    # with NO checkpoint): the regexp tokenization must survive as one
+    # evaluation behind the barrier, not collapse into the pair zip
+    tokd = docs.select(
+        "doc_id", F.explode(F.array(ws_tokens(F.col("text")))).alias("t")
+    )
+    tr = transitions(tokd, ["doc_id"])
+    plan2 = tr._jdf.queryExecution().optimizedPlan().toString()
+    assert plan2.count("regexp_replace") == 1, plan2
+    assert plan2.count("Generate explode") >= 2, plan2
+
+
 def test_python_stays_out_of_the_hot_path_catalog_wide(spark, sf_dir):
     """'UDFs are the slow path' enforced mechanically over the WHOLE
     catalog: Python execution nodes may appear only in the four entries

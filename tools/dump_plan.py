@@ -1,7 +1,7 @@
-"""Dump .explain('formatted') for named entries to plans/r13/.
+"""Dump .explain('formatted') for named entries to plans/r14/.
 
 Usage: python tools/dump_plan.py <suffix> <entry> [entry ...]
-Writes plans/r13/<entry>_<suffix>.txt (suffix: before|after).
+Writes plans/r14/<entry>_<suffix>.txt (suffix: before|after).
 """
 
 from __future__ import annotations
@@ -24,7 +24,7 @@ def main() -> None:
     spark = get_spark("plans")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
-    os.makedirs(os.path.join(REPO, "plans", "r13"), exist_ok=True)
+    os.makedirs(os.path.join(REPO, "plans", "r14"), exist_ok=True)
     import contextlib
     import io
 
@@ -33,7 +33,7 @@ def main() -> None:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        out = os.path.join(REPO, "plans", "r13", f"{name}_{suffix}.txt")
+        out = os.path.join(REPO, "plans", "r14", f"{name}_{suffix}.txt")
         with open(out, "w", encoding="utf-8") as f:
             f.write(buf.getvalue())
         print("wrote", out, len(buf.getvalue()), "chars")
