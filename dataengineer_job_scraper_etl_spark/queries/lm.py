@@ -310,9 +310,19 @@ def bigram_neg_logprob(
         if reference is None:
             reference = base
         probs, uni, stats = train_bigram_lm(reference, text_col)
+    # Generate barrier instead of a checkpoint (r14 optimization): the
+    # tokenized frame feeds exactly ONE consumer (the transition
+    # stream), so the former localCheckpoint materialized the whole
+    # token-array corpus just to keep ``t`` out of _pair_arr's
+    # CodegenFallback zip (where 4 references would re-tokenize 4x per
+    # row — no CSE inside fallback subtrees). explode(array(...)) makes
+    # ``t`` a stored attribute with zero materialization — the
+    # streaming_lm device, pinned by test_scale_plans'
+    # Generate-barrier test.
     tokd = base.select(
-        F.col(id_col).alias("doc_id"), ws_tokens(F.col(text_col)).alias("t")
-    ).localCheckpoint(eager=False)
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array(ws_tokens(F.col(text_col)))).alias("t"),
+    )
 
     # Scoring: two token-scale LEFT joins (transitions x model on the
     # bigram key; tokens x unigram table), then a doc-keyed aggregate.
