@@ -35,11 +35,24 @@ from dataengineer_job_scraper_etl_spark.queries.text import _docs, _tokens
 from dataengineer_job_scraper_etl_spark.session import ensure_min_parallelism
 
 
+# Fan-out sizing for the tokenize front half (r14, VERDICT r13 ask #6):
+# the r13 blanket fan-out to defaultParallelism put 32 tasks of ~20 KB
+# behind every span checkpoint, and the scheduling overhead across the
+# many small downstream stages ate the win on some entries (the r13
+# §12 A/B: docs_exact_substring_verified +0.7 s). Sizing the target
+# with input bytes keeps ~10 tasks at fixture scale (interleaved 3-way
+# A/B full32 / 64k / no-fanout: 64 KB/partition fastest or tied on 5
+# of 6 span entries) while an unsplittable multi-GB input still clamps
+# to full cluster width — the no-op-at-scale property is unchanged.
+_TOK_BYTES_PER_PART = 64 * 1024
+
+
 def tok_base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, t): the tokenized, checkpoint-staged base frame every
     span operator fans out from — with the (id, text) projection
-    round-robined up to cluster parallelism BEFORE tokenize (r13
-    optimization, session 4, guide §2.5). A small parquet fixture
+    round-robined up to min(cluster parallelism, input_bytes /
+    _TOK_BYTES_PER_PART) BEFORE tokenize (r13 optimization session 4 +
+    the r14 size-scaled target, guide §2.5). A small parquet fixture
     scans as ONE partition and the lazy localCheckpoint freezes that
     layout, so the tokenize + shingle + md5 front half of every span
     operator ran on one task (measured: a 1-task 3.7 s CPU stage
@@ -49,7 +62,8 @@ def tok_base(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     src = ensure_min_parallelism(
         docs.select(
             F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
-        )
+        ),
+        bytes_per_partition=_TOK_BYTES_PER_PART,
     )
     return src.select(
         "doc_id", _tokens(F.col("__text")).alias("t")

@@ -123,13 +123,16 @@ def ensure_min_parallelism(
         else df.sparkSession.sparkContext.defaultParallelism
     )
     if bytes_per_partition is not None and bytes_per_partition > 0:
-        est = int(
+        raw = (
             df._jdf.queryExecution()  # noqa: SLF001 - no public stats API
             .optimizedPlan()
             .stats()
             .sizeInBytes()
-            .toString()
         )
+        # py4j hands small BigInts back as Python ints; huge ones stay
+        # JavaObjects — stringify those (the "unknown size" sentinel is
+        # ~8 EB and only needs to clamp to defaultParallelism anyway)
+        est = raw if isinstance(raw, int) else int(raw.toString())
         target = min(
             target, max(1, -(-est // bytes_per_partition))
         )
