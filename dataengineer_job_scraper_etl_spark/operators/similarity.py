@@ -281,10 +281,20 @@ def _kmeans_rounds(
     for _ in range(n_iter):
         assigned = assign_to_centroid(corpus, cents, vec_col)
         if dim <= 256:
-            vec = _as_double(F.col(vec_col))
+            # dim avg aggregates as F.expr strings (r14): the Column-
+            # API form (avg(element_at(transform(vec, cast), i+1)))
+            # issued ~5 py4j roundtrips per dimension PER ROUND —
+            # driver-side construction time on par with the round's
+            # job time at fixture scale (guide §7.3). CAST(vec[i] AS
+            # DOUBLE) averages the identical doubles (element-of-cast
+            # == cast-of-element; [i] is the 0-based twin of
+            # element_at(·, i+1)), so partials and results are
+            # bit-identical (pinned in tests/test_r14_optimizations.py).
             new = assigned.groupBy("cluster_id").agg(
                 *[
-                    F.avg(F.element_at(vec, i + 1)).alias(f"m{i}")
+                    F.expr(
+                        f"avg(CAST(`{vec_col}`[{i}] AS DOUBLE)) AS m{i}"
+                    )
                     for i in range(dim)
                 ]
             )

@@ -21,8 +21,6 @@ north-star scope like the k-means/SemDeDup family.
 from __future__ import annotations
 
 import math
-from functools import reduce
-from operator import add
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -230,27 +228,44 @@ FROM joined
 def pc1_score_expr(m: list[float], v: list[float]):
     """Quantized mean-centered PC1 projection of ``embedding`` as a
     pure codegen column (64 literal terms — the k-means literal-argmin
-    shape; streaming-safe: no state, no join)."""
-    emb = F.col("embedding")
-    raw = reduce(
-        add,
-        [
-            (emb[j].cast("double") - F.lit(m[j])) * F.lit(v[j])
-            for j in range(DIM)
-        ],
+    shape; streaming-safe: no state, no join).
+
+    Built as ONE ``F.expr`` SQL string (r14): the Column-API loop this
+    replaces issued ~6 py4j roundtrips per term (~400 per call), and
+    the monitor entries build this projection several times per run —
+    profiling showed the refreeze entry spending more DRIVER time
+    constructing these trees than running its jobs (guide §7.3,
+    driver-side work). The SQL string parses to the same operator
+    tree: left-associative term sum, per-term
+    (CAST(embedding[j] AS DOUBLE) - m_j) * v_j, and the same
+    floor-half-up quantization. Literals ride as CAST('<repr>' AS
+    DOUBLE) — Python float repr round-trips exactly through
+    Double.parseDouble, so every literal is the bit-identical double
+    F.lit produced (pinned value-identical against the verbatim old
+    formulation in tests/test_r14_optimizations.py)."""
+    terms = " + ".join(
+        f"(CAST(embedding[{j}] AS DOUBLE) - CAST('{m[j]!r}' AS DOUBLE))"
+        f" * CAST('{v[j]!r}' AS DOUBLE)"
+        for j in range(DIM)
     )
-    return F.floor(raw * F.lit(float(_Q)) + F.lit(0.5)) / F.lit(float(_Q))
+    q = float(_Q)
+    return F.expr(
+        f"FLOOR(({terms}) * CAST('{q!r}' AS DOUBLE)"
+        f" + CAST('0.5' AS DOUBLE)) / CAST('{q!r}' AS DOUBLE)"
+    )
 
 
 def bucket_expr(edges: list[float], col: str = "pc1"):
-    """1 + number of frozen edges strictly below the score."""
-    return reduce(
-        add,
-        [
-            F.when(F.col(col) > F.lit(ek), 1).otherwise(0)
-            for ek in edges
-        ],
-    ) + F.lit(1)
+    """1 + number of frozen edges strictly below the score. One
+    ``F.expr`` string for the same ~50-py4j-roundtrip reason as
+    ``pc1_score_expr``; CASE WHEN mirrors when/otherwise exactly
+    (NULL score -> every branch 0, same as before)."""
+    cases = " + ".join(
+        f"(CASE WHEN `{col}` > CAST('{ek!r}' AS DOUBLE)"
+        " THEN 1 ELSE 0 END)"
+        for ek in edges
+    )
+    return F.expr(f"({cases}) + 1")
 
 
 def rank_exact_edges(
@@ -356,28 +371,36 @@ def frozen_pc1_monitor(
 
 
 def train_pc1_monitor(
-    ref_rows: DataFrame, pca_key: object = None
+    ref_rows: DataFrame, pca_key: object = None, stage_ref: bool = True
 ) -> tuple[list[float], list[float], list[float], int]:
     """Freeze a PC1 drift monitor on a reference frame: (means,
     loadings, rank-exact decile edges, n_ref). The reusable core of
     ``frozen_pc1_monitor`` — the retrain path re-freezes through this
     with a NEW pca_key (slice tag) so stale cache entries can never
-    shadow the new axes."""
+    shadow the new axes.
+
+    ``stage_ref`` (r14, VERDICT r13 ask #5): the reference slice feeds
+    TWO corpus-scale consumers — the Gram pass and the edge-scoring
+    histogram — so by default it is staged once and the second
+    consumer reads the checkpoint instead of re-running the scan +
+    filter. Callers whose ref frame is ALREADY checkpointed (the
+    refreeze entry's shifted slice) pass False — a second checkpoint
+    of the same rows would only add a redundant block-manager copy."""
+    if stage_ref:
+        ref_rows = ref_rows.localCheckpoint(eager=False)
     _, m, v, _ = pca_top_component(
         ref_rows, "embedding", DIM, n_iter=N_ITER, cache_key=pca_key
     )
-    # Stage the scored reference once (r13 optimization; the same
-    # idiom vec_pca_grid_sample / rfm already use): without the
-    # checkpoint the count action and the edge histogram each re-ran
-    # the full reference scan + scoring projection — two corpus-scale
-    # passes for one frozen monitor (and the refreeze entry trains
-    # TWO monitors per run).
-    ref = ref_rows.select(pc1_score_expr(m, v).alias("pc1")).localCheckpoint(
-        eager=False
-    )
+    # No checkpoint on the scored frame (r14): after rank_exact_edges_n
+    # folded the count() into the edge collect, the scored projection
+    # has exactly ONE consumer — the edge histogram — and global_prefix
+    # stages ITS input (the compressed histogram) internally, so the
+    # r13 scored-frame checkpoint had become a corpus-sized
+    # materialization + one sequential job protecting nothing.
+    ref = ref_rows.select(pc1_score_expr(m, v).alias("pc1"))
     # ONE action for count + edges (r14 optimization): the former
-    # separate ref.count() was a full pass over the scored checkpoint
-    # for the number the edge histogram's cumulative sum already ends
+    # separate ref.count() was a full pass over the scored frame
+    # for a number the edge histogram's cumulative sum already ends
     # at — rank_exact_edges_n folds it into the edge collect.
     edges, n_ref = rank_exact_edges_n(ref, "pc1", _N_BUCKETS)
     return (m, v, edges, n_ref)
@@ -452,6 +475,7 @@ def serve_and_maybe_retrain(
     stale_monitor_keys: tuple = (),
     stale_index_key: str | None = None,
     counts: dict[int, int] | None = None,
+    stage_new_ref: bool = True,
 ) -> tuple[tuple, int, bool]:
     """The detect -> retrain -> re-freeze lifecycle (VERDICT r7 #6):
 
@@ -484,7 +508,9 @@ def serve_and_maybe_retrain(
         _MONITOR_CACHE.pop(k, None)
     if stale_index_key is not None:
         clear_trained_indexes(stale_index_key)
-    fresh = train_pc1_monitor(new_ref_rows, pca_key=new_pca_key)
+    fresh = train_pc1_monitor(
+        new_ref_rows, pca_key=new_pca_key, stage_ref=stage_new_ref
+    )
     return fresh, psi, True
 
 
@@ -624,6 +650,7 @@ def vec_drift_retrain_refreeze(
         new_pca_key=("drift-v2", sf_dir),
         stale_monitor_keys=(("pc1-monitor", sf_dir),),
         counts=counts_map,
+        stage_new_ref=False,  # shifted is already checkpointed above
     )
     m1, v1, edges1, n_ref = mon1
     n_cur = serving[3] if retrained else sum(counts_map.values())

@@ -71,6 +71,19 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # PySpark 4's DataFrame-debugging hook wraps EVERY Column/
+        # DataFrame API call with call-site capture: a Python stack
+        # walk plus extra py4j roundtrips (conf lookup +
+        # PySparkCurrentOrigin.set/clear) PER OPERATION. Profiling
+        # (r14, guide §7.3 driver-side work) showed entries that build
+        # wide literal expression trees (64-term PCA projections,
+        # k-means centroid folds) spending more driver time in this
+        # wrapper than in their jobs. The only cost of disabling it is
+        # losing call-site enrichment on error messages — a debugging
+        # aid, orthogonal to results, and the wrong default for a
+        # production pipeline at ANY scale (the overhead is driver-
+        # side and data-size-independent).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if master is not None:
         builder = builder.master(master)

@@ -267,3 +267,122 @@ def test_fused_bigram_lm_scoring_unchanged(spark, edge_docs):
     old_model = _train_bigram_lm_pre_r14(ref)
     old = bigram_neg_logprob(edge_docs, reference=ref, model=old_model)
     assert _rows(new) == _rows(old)
+
+
+# ---------------------------------------------------------------------------
+# Single-F.expr rewrites of the wide Column-API builders (r14 session 2):
+# pc1_score_expr / bucket_expr / the k-means per-dim mean aggregate were
+# rebuilt as one SQL string each (the Column-API loops issued hundreds of
+# py4j roundtrips per call — driver time on par with the entries' job
+# time). The SQL form must be VALUE-identical, not just close: the
+# monitor/kmeans trajectories are hash-pinned by the oracle.
+
+
+def _pc1_score_expr_pre_r14(m, v):
+    """Pre-r14 pc1_score_expr VERBATIM (Column-API reduce)."""
+    from functools import reduce
+    from operator import add
+
+    from dataengineer_job_scraper_etl_spark.queries.pca import _Q, DIM
+
+    emb = F.col("embedding")
+    raw = reduce(
+        add,
+        [
+            (emb[j].cast("double") - F.lit(m[j])) * F.lit(v[j])
+            for j in range(DIM)
+        ],
+    )
+    return F.floor(raw * F.lit(float(_Q)) + F.lit(0.5)) / F.lit(float(_Q))
+
+
+def _bucket_expr_pre_r14(edges, col="pc1"):
+    """Pre-r14 bucket_expr VERBATIM (when/otherwise reduce)."""
+    from functools import reduce
+    from operator import add
+
+    return reduce(
+        add,
+        [F.when(F.col(col) > F.lit(ek), 1).otherwise(0) for ek in edges],
+    ) + F.lit(1)
+
+
+def test_pc1_score_and_bucket_expr_match_column_api(spark, sf_dir):
+    """The SQL-string pc1_score_expr / bucket_expr must score and
+    bucket the real embedding fixture bit-identically to the verbatim
+    Column-API formulations (floats ride as repr literals — exact
+    Double.parseDouble round-trip)."""
+    from dataengineer_job_scraper_etl_spark.queries.pca import (
+        bucket_expr,
+        frozen_pc1_monitor,
+        pc1_score_expr,
+    )
+
+    m, v, edges, _ = frozen_pc1_monitor(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    both = e.select(
+        "vec_id",
+        pc1_score_expr(m, v).alias("new_pc1"),
+        _pc1_score_expr_pre_r14(m, v).alias("old_pc1"),
+    ).select(
+        "vec_id",
+        "new_pc1",
+        "old_pc1",
+        bucket_expr(edges, "new_pc1").alias("new_b"),
+        _bucket_expr_pre_r14(edges, "old_pc1").alias("old_b"),
+    )
+    bad = both.filter(
+        (F.col("new_pc1") != F.col("old_pc1"))
+        | (F.col("new_b") != F.col("old_b"))
+    ).count()
+    assert bad == 0
+    # NULL score: both formulations must land in bucket 1
+    nulls = spark.sql("SELECT CAST(NULL AS DOUBLE) AS pc1").select(
+        bucket_expr(edges).alias("new_b"),
+        _bucket_expr_pre_r14(edges).alias("old_b"),
+    ).collect()[0]
+    assert nulls["new_b"] == nulls["old_b"] == 1
+
+
+def test_kmeans_expr_agg_matches_column_api(spark, sf_dir):
+    """_kmeans_rounds' F.expr per-dim means must train the identical
+    centroid trajectory as the verbatim Column-API aggregate (same
+    doubles in, same partial-agg shape, 6-decimal quantization)."""
+    from dataengineer_job_scraper_etl_spark.operators.similarity import (
+        _as_double,
+        _kmeans_rounds,
+        assign_to_centroid,
+        kmeans_corpus_init,
+    )
+
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(300)
+    )
+    dim, k = 64, 4
+    cents = kmeans_corpus_init(e, "vec_id", "embedding", dim, k, n_iter=2)
+
+    # verbatim pre-r14 rounds (Column-API wide agg)
+    init = (
+        e.select(F.col("vec_id"), _as_double(F.col("embedding")).alias("v"))
+        .orderBy(F.col("vec_id"))
+        .limit(k)
+        .collect()
+    )
+    old_cents = [(cid, list(r["v"])) for cid, r in enumerate(init)]
+    staged = e.localCheckpoint(eager=False)
+    for _ in range(2):
+        assigned = assign_to_centroid(staged, old_cents, "embedding")
+        vec = _as_double(F.col("embedding"))
+        new = assigned.groupBy("cluster_id").agg(
+            *[F.avg(F.element_at(vec, i + 1)).alias(f"m{i}") for i in range(dim)]
+        )
+        got = {
+            r["cluster_id"]: [round(r[f"m{i}"], 6) for i in range(dim)]
+            for r in new.collect()
+        }
+        old_cents = [(cid, got.get(cid, v0)) for cid, v0 in old_cents]
+    assert cents == old_cents
